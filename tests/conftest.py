@@ -1,0 +1,32 @@
+"""Test configuration.
+
+Unit tests run JAX on the CPU backend with 8 virtual devices so multi-chip
+sharding paths compile and execute without TPU hardware — the analog of the
+reference's CI strategy of exercising GPU code on lavapipe software Vulkan
+(reference: .github/workflows/build.yml:66-90).
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import logging  # noqa: E402
+
+import pytest  # noqa: E402
+
+from gatling_tpu.utils.log import ErrorCountingHandler, init_logging  # noqa: E402
+
+
+@pytest.fixture()
+def fail_on_error_log():
+    """Fail the test if anything was logged at ERROR level, mirroring the
+    reference's quill error-counting test sink (hdGatling/main.cpp:78-100)."""
+    handler = ErrorCountingHandler()
+    logger = init_logging([handler])
+    yield handler
+    logger.removeHandler(handler)
+    assert handler.error_count == 0, f"errors logged: {handler.messages}"
