@@ -1,0 +1,390 @@
+"""Stage walker: parsed USDA prim tree -> renderable scene description.
+
+Plays the role of UsdImagingDelegate::Populate + the hdGatling prim sync
+(reference: src/gatling/main.cpp:145-151, src/hdGatling/{mesh,light,material,
+instancer}.cpp): walks the prim hierarchy with accumulated transforms and
+emits mesh / camera / light / material descriptions consumed by the gi layer.
+
+Conventions: USD matrices are row-major with ROW-vector multiplication
+(p' = p @ M); world = local @ parent_world.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Any
+
+import numpy as np
+
+from gatling_tpu.scene import meshproc
+from gatling_tpu.scene.usda import Attr, Prim, Stage, load_usda
+from gatling_tpu.utils.log import get_logger
+
+# UsdGeomCamera/GfCamera unit scale: apertures and focal length are authored
+# in tenths of scene units (reference: renderPass.cpp:203-204 uses
+# GfCamera::APERTURE_UNIT == FOCAL_LENGTH_UNIT == 0.1).
+APERTURE_UNIT = 0.1
+FOCAL_LENGTH_UNIT = 0.1
+
+
+@dataclasses.dataclass
+class CameraDesc:
+    """Mirrors GiCameraDesc (reference: Gi.h)."""
+
+    position: np.ndarray
+    forward: np.ndarray
+    up: np.ndarray
+    vfov: float
+    f_stop: float = 0.0
+    focus_distance: float = 0.0
+    focal_length: float = 0.05
+    clip_start: float = 0.1
+    clip_end: float = 100000.0
+    exposure: float = 0.0
+
+
+@dataclasses.dataclass
+class ShaderNode:
+    path: str
+    shader_id: str  # info:id, e.g. UsdPreviewSurface / UsdUVTexture
+    inputs: dict[str, Any]  # name -> constant value
+    input_connections: dict[str, tuple[str, str]]  # name -> (node path, output name)
+
+
+@dataclasses.dataclass
+class MaterialDesc:
+    path: str
+    surface_node: str | None  # path of node driving outputs:surface
+    nodes: dict[str, ShaderNode]
+    base_dir: str = ""  # for resolving relative texture asset paths
+
+
+@dataclasses.dataclass
+class MeshDesc:
+    path: str
+    mesh: meshproc.TriangulatedMesh
+    transform: np.ndarray  # [4,4] USD row-vector world transform
+    material: str | None  # material prim path
+    double_sided: bool
+    object_id: int
+    instance_transforms: np.ndarray | None = None  # [N,4,4] or None
+
+
+@dataclasses.dataclass
+class LightDesc:
+    path: str
+    light_type: str  # sphere / distant / rect / disk / dome
+    transform: np.ndarray
+    params: dict[str, Any]
+
+
+@dataclasses.dataclass
+class SceneDesc:
+    meshes: list[MeshDesc]
+    materials: dict[str, MaterialDesc]
+    lights: list[LightDesc]
+    cameras: dict[str, CameraDesc]
+    meters_per_unit: float = 1.0
+    render_settings: dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    def first_camera(self) -> CameraDesc | None:
+        """First camera found, like the standalone CLI (main.cpp:57-82)."""
+        return next(iter(self.cameras.values()), None)
+
+
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+def _rot_x(deg: float) -> np.ndarray:
+    c, s = math.cos(math.radians(deg)), math.sin(math.radians(deg))
+    return np.array([[1, 0, 0, 0], [0, c, s, 0], [0, -s, c, 0], [0, 0, 0, 1]], np.float64)
+
+
+def _rot_y(deg: float) -> np.ndarray:
+    c, s = math.cos(math.radians(deg)), math.sin(math.radians(deg))
+    return np.array([[c, 0, -s, 0], [0, 1, 0, 0], [s, 0, c, 0], [0, 0, 0, 1]], np.float64)
+
+
+def _rot_z(deg: float) -> np.ndarray:
+    c, s = math.cos(math.radians(deg)), math.sin(math.radians(deg))
+    return np.array([[c, s, 0, 0], [-s, c, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]], np.float64)
+
+
+def local_transform(prim: Prim) -> np.ndarray:
+    """Evaluate xformOpOrder into a single row-vector matrix.
+
+    Ops listed first in xformOpOrder are applied to geometry last, so with
+    row vectors: M = reduce(matmul, reversed_ops_as_matrices)."""
+    order_attr = prim.attrs.get("xformOpOrder")
+    if order_attr is None or not order_attr.value:
+        return np.eye(4)
+    mats: list[np.ndarray] = []
+    for op_name in order_attr.value:
+        if op_name.startswith("!invert!"):
+            base = op_name[len("!invert!"):]
+            attr = prim.attrs.get(base)
+            m = np.linalg.inv(_op_matrix(base, attr)) if attr else np.eye(4)
+        else:
+            attr = prim.attrs.get(op_name)
+            m = _op_matrix(op_name, attr) if attr else np.eye(4)
+        mats.append(m)
+    out = np.eye(4)
+    for m in reversed(mats):
+        out = out @ m
+    return out
+
+
+def _op_matrix(op_name: str, attr: Attr) -> np.ndarray:
+    val = attr.value
+    kind = op_name.split(":")[1] if ":" in op_name else op_name
+    kind = kind.split(":")[0]  # strip suffix like translate:pivot
+    if kind == "transform":
+        return np.array(val, dtype=np.float64).reshape(4, 4)
+    if kind == "translate":
+        m = np.eye(4)
+        m[3, :3] = np.asarray(val, np.float64)
+        return m
+    if kind == "scale":
+        m = np.eye(4)
+        m[0, 0], m[1, 1], m[2, 2] = (float(v) for v in val)
+        return m
+    if kind in ("rotateX",):
+        return _rot_x(float(val))
+    if kind in ("rotateY",):
+        return _rot_y(float(val))
+    if kind in ("rotateZ",):
+        return _rot_z(float(val))
+    if kind in ("rotateXYZ", "rotateXZY", "rotateYXZ", "rotateYZX", "rotateZXY", "rotateZYX"):
+        axes = {"X": _rot_x, "Y": _rot_y, "Z": _rot_z}
+        rx, ry, rz = (float(v) for v in val)
+        by_axis = {"X": rx, "Y": ry, "Z": rz}
+        # rotation order D0 D1 D2 means D0 applied first => row vectors: M = D0 @ D1 @ D2
+        order = kind[len("rotate"):]
+        m = np.eye(4)
+        for axis in order:
+            m = m @ axes[axis](by_axis[axis])
+        return m
+    if kind == "orient":  # quaternion (w, x, y, z) in usda "quatf"
+        w, x, y, z = (float(v) for v in val)
+        r = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y + z * w), 2 * (x * z - y * w)],
+            [2 * (x * y - z * w), 1 - 2 * (x * x + z * z), 2 * (y * z + x * w)],
+            [2 * (x * z + y * w), 2 * (y * z - x * w), 1 - 2 * (x * x + y * y)],
+        ])
+        m = np.eye(4)
+        m[:3, :3] = r
+        return m
+    get_logger().warning("unsupported xform op %s", op_name)
+    return np.eye(4)
+
+
+def transform_point(m: np.ndarray, p: np.ndarray) -> np.ndarray:
+    return (np.append(np.asarray(p, np.float64), 1.0) @ m)[:3]
+
+
+def transform_dir(m: np.ndarray, d: np.ndarray) -> np.ndarray:
+    return np.asarray(d, np.float64) @ m[:3, :3]
+
+
+# ---------------------------------------------------------------------------
+# prim converters
+# ---------------------------------------------------------------------------
+
+def _attr_val(prim: Prim, name: str, default: Any = None) -> Any:
+    a = prim.attrs.get(name)
+    return a.value if a is not None and a.value is not None else default
+
+
+def _build_camera(prim: Prim, world: np.ndarray) -> CameraDesc:
+    """Reference: renderPass.cpp:191-228."""
+    position = transform_point(world, [0.0, 0.0, 0.0])
+    forward = transform_dir(world, [0.0, 0.0, -1.0])
+    up = transform_dir(world, [0.0, 1.0, 0.0])
+    forward /= np.linalg.norm(forward)
+    up /= np.linalg.norm(up)
+
+    aperture = float(_attr_val(prim, "verticalAperture", 20.955)) * APERTURE_UNIT
+    focal = float(_attr_val(prim, "focalLength", 50.0)) * FOCAL_LENGTH_UNIT
+    vfov = 2.0 * math.atan(aperture / (2.0 * focal))
+    clip = _attr_val(prim, "clippingRange", (1.0, 1000000.0))
+    return CameraDesc(
+        position=position.astype(np.float32),
+        forward=forward.astype(np.float32),
+        up=up.astype(np.float32),
+        vfov=float(vfov),
+        f_stop=float(_attr_val(prim, "fStop", 0.0)),
+        focus_distance=float(_attr_val(prim, "focusDistance", 0.0)),
+        focal_length=focal,
+        clip_start=float(clip[0]),
+        clip_end=float(clip[1]),
+        exposure=float(_attr_val(prim, "exposure", 0.0)),
+    )
+
+
+def _build_material(prim: Prim, base_dir: str) -> MaterialDesc:
+    nodes: dict[str, ShaderNode] = {}
+    for p in prim.walk():
+        if p.type_name != "Shader":
+            continue
+        shader_id = str(_attr_val(p, "info:id", ""))
+        inputs: dict[str, Any] = {}
+        conns: dict[str, tuple[str, str]] = {}
+        for name, attr in p.attrs.items():
+            if not name.startswith("inputs:"):
+                continue
+            short = name[len("inputs:"):]
+            if attr.connect:
+                target = attr.connect
+                if "." in target:
+                    node_path, out_name = target.rsplit(".", 1)
+                    out_name = out_name[len("outputs:"):] if out_name.startswith("outputs:") else out_name
+                else:
+                    node_path, out_name = target, "out"
+                conns[short] = (node_path, out_name)
+            elif attr.value is not None:
+                inputs[short] = attr.value
+        nodes[p.path] = ShaderNode(path=p.path, shader_id=shader_id, inputs=inputs, input_connections=conns)
+
+    surface_node = None
+    out = prim.attrs.get("outputs:surface")
+    if out is not None and out.connect:
+        surface_node = out.connect.rsplit(".", 1)[0]
+    elif nodes:
+        surface_node = next(iter(nodes))
+    return MaterialDesc(path=prim.path, surface_node=surface_node, nodes=nodes, base_dir=base_dir)
+
+
+_LIGHT_TYPES = {
+    "SphereLight": "sphere",
+    "DistantLight": "distant",
+    "RectLight": "rect",
+    "DiskLight": "disk",
+    "DomeLight": "dome",
+    "DomeLight_1": "dome",
+}
+
+
+def _light_common_params(prim: Prim) -> dict[str, Any]:
+    return {
+        "intensity": float(_attr_val(prim, "inputs:intensity", 1.0)),
+        "exposure": float(_attr_val(prim, "inputs:exposure", 0.0)),
+        "color": np.asarray(_attr_val(prim, "inputs:color", (1.0, 1.0, 1.0)), np.float32),
+        "normalize": bool(_attr_val(prim, "inputs:normalize", False)),
+        "diffuse": float(_attr_val(prim, "inputs:diffuse", 1.0)),
+        "specular": float(_attr_val(prim, "inputs:specular", 1.0)),
+        "enableColorTemperature": bool(_attr_val(prim, "inputs:enableColorTemperature", False)),
+        "colorTemperature": float(_attr_val(prim, "inputs:colorTemperature", 6500.0)),
+    }
+
+
+def _build_light(prim: Prim, world: np.ndarray, base_dir: str) -> LightDesc:
+    lt = _LIGHT_TYPES[prim.type_name]
+    params = _light_common_params(prim)
+    if lt == "sphere":
+        params["radius"] = float(_attr_val(prim, "inputs:radius", 0.5))
+        params["treatAsPoint"] = bool(_attr_val(prim, "inputs:treatAsPoint", False))
+    elif lt == "distant":
+        params["angle"] = float(_attr_val(prim, "inputs:angle", 0.53))
+    elif lt == "rect":
+        params["width"] = float(_attr_val(prim, "inputs:width", 1.0))
+        params["height"] = float(_attr_val(prim, "inputs:height", 1.0))
+    elif lt == "disk":
+        params["radius"] = float(_attr_val(prim, "inputs:radius", 0.5))
+    elif lt == "dome":
+        tex = _attr_val(prim, "inputs:texture:file")
+        params["texture"] = os.path.join(base_dir, str(tex)) if tex else None
+    return LightDesc(path=prim.path, light_type=lt, transform=world, params=params)
+
+
+def _build_mesh(prim: Prim, world: np.ndarray, object_id: int) -> MeshDesc | None:
+    points = _attr_val(prim, "points")
+    counts = _attr_val(prim, "faceVertexCounts")
+    indices = _attr_val(prim, "faceVertexIndices")
+    if points is None or counts is None or indices is None:
+        return None
+    normals_attr = prim.attrs.get("normals") or prim.attrs.get("primvars:normals")
+    normals = normals_attr.value if normals_attr else None
+    n_interp = meshproc.Interpolation.FACE_VARYING
+    if normals_attr and normals_attr.meta.get("interpolation"):
+        n_interp = meshproc.Interpolation(normals_attr.meta["interpolation"])
+    elif normals_attr and not normals_attr.meta:
+        # USD default interpolation for normals is vertex
+        n_interp = meshproc.Interpolation.VERTEX
+
+    uv_attr = None
+    for uv_name in ("primvars:st", "primvars:uv", "primvars:UVMap", "primvars:st0"):
+        if uv_name in prim.attrs:
+            uv_attr = prim.attrs[uv_name]
+            break
+    uvs = uv_attr.value if uv_attr else None
+    uv_interp = meshproc.Interpolation(uv_attr.meta.get("interpolation", "faceVarying")) if uv_attr else meshproc.Interpolation.FACE_VARYING
+    uv_indices = prim.attrs.get(uv_attr and f"{uv_name}:indices" or "")
+    if uv_attr is not None and uv_indices is not None and uv_indices.value is not None:
+        uvs = np.asarray(uvs, np.float32)[np.asarray(uv_indices.value, np.int64)]
+
+    orientation = str(_attr_val(prim, "orientation", "rightHanded"))
+
+    tri = meshproc.build_triangulated_mesh(
+        points=np.asarray(points, np.float32),
+        face_vertex_counts=np.asarray(counts, np.int64),
+        face_vertex_indices=np.asarray(indices, np.int64),
+        normals=(np.asarray(normals, np.float32) if normals is not None else None),
+        normals_interp=n_interp,
+        uvs=(np.asarray(uvs, np.float32) if uvs is not None else None),
+        uvs_interp=uv_interp,
+        left_handed=(orientation == "leftHanded"),
+    )
+    material = None
+    binding = prim.rels.get("material:binding")
+    if binding:
+        material = binding[0]
+    return MeshDesc(
+        path=prim.path,
+        mesh=tri,
+        transform=world,
+        material=material,
+        double_sided=bool(_attr_val(prim, "doubleSided", False)),
+        object_id=object_id,
+    )
+
+
+def build_scene(stage: Stage) -> SceneDesc:
+    """Walk the stage and produce the renderable scene description."""
+    base_dir = os.path.dirname(os.path.abspath(stage.path)) if stage.path else ""
+    scene = SceneDesc(meshes=[], materials={}, lights=[], cameras={},
+                      meters_per_unit=float(stage.meta.get("metersPerUnit", 1.0)))
+
+    def walk(prim: Prim, parent_world: np.ndarray, parent_visible: bool) -> None:
+        world = local_transform(prim) @ parent_world
+        visible = parent_visible and str(_attr_val(prim, "visibility", "inherited")) != "invisible"
+        if prim.type_name == "Mesh" and visible:
+            mesh = _build_mesh(prim, world, object_id=len(scene.meshes))
+            if mesh is not None:
+                scene.meshes.append(mesh)
+        elif prim.type_name == "Camera":
+            scene.cameras[prim.path] = _build_camera(prim, world)
+        elif prim.type_name == "Material":
+            scene.materials[prim.path] = _build_material(prim, base_dir)
+            return  # shaders handled inside
+        elif prim.type_name in _LIGHT_TYPES and visible:
+            scene.lights.append(_build_light(prim, world, base_dir))
+        for child in prim.children.values():
+            walk(child, world, visible)
+
+    for top in stage.root.children.values():
+        walk(top, np.eye(4), True)
+
+    # per-scene render settings (gtl: namespaced tokens, reference main.cpp:191-198)
+    for prim in stage.walk():
+        if prim.type_name == "RenderSettings":
+            for name, attr in prim.attrs.items():
+                if name.startswith("gtl:"):
+                    scene.render_settings[name[4:]] = attr.value
+    return scene
+
+
+def load_scene(path: str | os.PathLike) -> SceneDesc:
+    return build_scene(load_usda(path))
