@@ -1,0 +1,400 @@
+"""Public render-engine API ("gi" layer).
+
+Pythonic mirror of the reference's C API surface
+(reference: src/gi/gtl/gi/Gi.h:199-261 — giInitialize, giCreateScene,
+giCreateMesh, giCreateMaterial*, giCreate*Light, giCreateRenderBuffer,
+giRender) including the dirty-flag engine (Gi.cpp:195-209 GiSceneDirtyFlags,
+_CalcDirtyFlagsForRenderParams:1859-1987) and progressive accumulation
+contract (scene sampleOffset persists across giRender calls and resets on
+framebuffer-invalidating changes, Gi.cpp:2125-2129,2515).
+
+Device-side resources (triangle soup, material table, light tables) are
+rebuilt lazily from the dirty flags at giRender time, the analog of the
+reference's deferred BVH/shader-cache builds (Gi.cpp:2085-2123).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import time
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from gatling_tpu.interface import AOV_CHANNELS, AOV_IS_INT, AovId, aov_bit
+from gatling_tpu.ops.geometry import SceneGeometry, build_geometry
+from gatling_tpu.render.camera import CameraUniforms
+from gatling_tpu.render.integrator import (
+    DomeLightData,
+    RenderConfig,
+    Uniforms,
+    default_dome,
+    render_frame,
+)
+from gatling_tpu.render.lights import build_light_arrays
+from gatling_tpu.render.material import build_material_table, lower_material
+from gatling_tpu.scene.stage import CameraDesc, LightDesc, MaterialDesc, MeshDesc
+from gatling_tpu.utils.config import default_settings
+from gatling_tpu.utils.log import get_logger, init_logging
+from gatling_tpu import imgio
+
+
+class DirtyFlags(enum.IntFlag):
+    """Reference: Gi.cpp:195-209."""
+
+    CLEAN = 0
+    GEOMETRY = 1 << 0  # BVH analog
+    FRAMEBUFFER = 1 << 1
+    MATERIALS = 1 << 2  # ShadersHit analog
+    PIPELINE = 1 << 3
+    LIGHTS = 1 << 4
+    ALL = (1 << 5) - 1
+
+
+class GiRenderBuffer:
+    """Host render target (reference: renderBuffer.cpp, giCreateRenderBuffer)."""
+
+    def __init__(self, width: int, height: int, channels: int = 4, is_int: bool = False):
+        self.width = width
+        self.height = height
+        self.channels = channels
+        dtype = np.int32 if is_int else np.float32
+        self.data = np.zeros((height, width, channels), dtype)
+
+
+@dataclasses.dataclass
+class GiAovBinding:
+    aov_id: AovId
+    render_buffer: GiRenderBuffer
+    clear_value: Any = None
+
+
+@dataclasses.dataclass
+class GiDomeLight:
+    file_path: str | None = None
+    rotation: np.ndarray = dataclasses.field(default_factory=lambda: np.array([0, 0, 0, 1.0], np.float32))
+    base_emission: np.ndarray = dataclasses.field(default_factory=lambda: np.ones(3, np.float32))
+    diffuse: float = 1.0
+    specular: float = 1.0
+
+
+class GiScene:
+    """Mutable scene container (reference: struct GiScene, Gi.cpp:211-232)."""
+
+    def __init__(self) -> None:
+        self.meshes: list[MeshDesc] = []
+        self.materials: dict[str, MaterialDesc] = {}
+        self.lights: list[LightDesc] = []
+        self.dome_light: GiDomeLight | None = None
+        self.sample_offset = 0
+        self.dirty = DirtyFlags.ALL
+        # cached device state
+        self._geom: SceneGeometry | None = None
+        self._material_table = None
+        self._material_index: dict[str | None, int] = {}
+        self._light_arrays = None
+        self._dome_data: DomeLightData | None = None
+        self._aov_state: dict[str, jnp.ndarray] | None = None
+        self._fb_shape: tuple[int, int] | None = None
+        self._last_params_key = None
+
+    # --- mutation API (sets dirty flags like giSetMesh* / giSet*Light) ---
+
+    def add_mesh(self, mesh: MeshDesc) -> MeshDesc:
+        self.meshes.append(mesh)
+        self.dirty |= DirtyFlags.GEOMETRY | DirtyFlags.FRAMEBUFFER
+        return mesh
+
+    def remove_mesh(self, mesh: MeshDesc) -> None:
+        self.meshes.remove(mesh)
+        self.dirty |= DirtyFlags.GEOMETRY | DirtyFlags.FRAMEBUFFER
+
+    def set_mesh_transform(self, mesh: MeshDesc, transform: np.ndarray) -> None:
+        mesh.transform = np.asarray(transform, np.float64)
+        self.dirty |= DirtyFlags.GEOMETRY | DirtyFlags.FRAMEBUFFER
+
+    def set_mesh_material(self, mesh: MeshDesc, material_path: str) -> None:
+        mesh.material = material_path
+        self.dirty |= DirtyFlags.GEOMETRY | DirtyFlags.MATERIALS | DirtyFlags.FRAMEBUFFER
+
+    def add_material(self, mat: MaterialDesc) -> None:
+        self.materials[mat.path] = mat
+        self.dirty |= DirtyFlags.MATERIALS | DirtyFlags.FRAMEBUFFER
+
+    def add_light(self, light: LightDesc) -> None:
+        self.lights.append(light)
+        self.dirty |= DirtyFlags.LIGHTS | DirtyFlags.FRAMEBUFFER
+
+    def remove_light(self, light: LightDesc) -> None:
+        self.lights.remove(light)
+        self.dirty |= DirtyFlags.LIGHTS | DirtyFlags.FRAMEBUFFER
+
+    def set_dome_light(self, dome: GiDomeLight | None) -> None:
+        self.dome_light = dome
+        self.dirty |= DirtyFlags.LIGHTS | DirtyFlags.FRAMEBUFFER
+
+
+@dataclasses.dataclass
+class GiRenderParams:
+    """Reference: struct GiRenderParams (Gi.h)."""
+
+    scene: GiScene
+    camera: CameraDesc
+    aov_bindings: list[GiAovBinding]
+    render_settings: dict[str, Any] = dataclasses.field(default_factory=default_settings)
+    dome_light: GiDomeLight | None = None
+
+
+_initialized = False
+
+
+def gi_initialize() -> None:
+    """giInitialize analog: logging + device warmup (Gi.cpp:362-441)."""
+    global _initialized
+    if _initialized:
+        return
+    init_logging()
+    _initialized = True
+
+
+def gi_terminate() -> None:
+    global _initialized
+    _initialized = False
+
+
+def create_scene() -> GiScene:
+    gi_initialize()
+    return GiScene()
+
+
+# ---------------------------------------------------------------------------
+# giRender
+# ---------------------------------------------------------------------------
+
+def _params_key(params: GiRenderParams, width: int, height: int):
+    """Camera + settings fingerprint for dirty detection
+    (reference: _CalcDirtyFlagsForRenderParams Gi.cpp:1859-1987)."""
+    c = params.camera
+    dome = params.dome_light or params.scene.dome_light
+    return (
+        tuple(np.asarray(c.position, np.float32)), tuple(np.asarray(c.forward, np.float32)),
+        tuple(np.asarray(c.up, np.float32)), c.vfov, c.f_stop, c.focus_distance,
+        c.focal_length, c.clip_start, c.clip_end, c.exposure,
+        tuple(sorted((k, str(v)) for k, v in params.render_settings.items())),
+        width, height,
+        (dome.file_path, tuple(dome.rotation), tuple(dome.base_emission)) if dome else None,
+    )
+
+
+def _build_config(params: GiRenderParams, width: int, height: int, aov_mask: int) -> RenderConfig:
+    s = params.render_settings
+    return RenderConfig(
+        width=width,
+        height=height,
+        spp=int(s.get("spp", 1)),
+        max_bounces=int(s.get("maxBounces", 13)),
+        rr_bounce_offset=int(s.get("rrBounceOffset", 3)),
+        jittered=bool(s.get("jitteredSampling", True)),
+        fis=bool(s.get("filterImportanceSampling", True)),
+        nee=bool(s.get("nextEventEstimation", False)),
+        depth_of_field=bool(s.get("depthOfField", False)),
+        clipping_planes=bool(s.get("clippingPlanes", False)),
+        progressive=bool(s.get("progressiveAccumulation", True)),
+        dome_light_camera_visible=bool(s.get("domeLightCameraVisible", True)),
+        aov_mask=aov_mask,
+        medium_stack_size=int(s.get("mediumStackSize", 0)),
+    )
+
+
+_AOV_KEYS = {
+    AovId.COLOR: "color", AovId.NORMAL: "normal", AovId.NEE: "nee",
+    AovId.BARYCENTRICS: "barycentrics", AovId.TEXCOORDS: "texcoords",
+    AovId.BOUNCES: "bounces", AovId.CLOCK_CYCLES: "clock_cycles",
+    AovId.OPACITY: "opacity", AovId.TANGENTS: "tangents",
+    AovId.BITANGENTS: "bitangents", AovId.THIN_WALLED: "thin_walled",
+    AovId.OBJECT_ID: "object_id", AovId.DEPTH: "depth",
+    AovId.FACE_ID: "face_id", AovId.INSTANCE_ID: "instance_id",
+    AovId.DOUBLE_SIDED: "double_sided", AovId.ALBEDO: "albedo",
+}
+
+
+def _init_aov_state(bindings: list[GiAovBinding], n: int) -> dict[str, jnp.ndarray]:
+    state: dict[str, jnp.ndarray] = {}
+    for b in bindings:
+        key = _AOV_KEYS[b.aov_id]
+        ch = AOV_CHANNELS[b.aov_id]
+        dtype = jnp.int32 if AOV_IS_INT[b.aov_id] else jnp.float32
+        shape = (n,) if ch == 1 else (n, ch)
+        if b.clear_value is not None:
+            cv = np.asarray(b.clear_value).reshape(-1)[: (1 if ch == 1 else ch)]
+            state[key] = jnp.full(shape, cv if ch == 1 else cv, dtype)
+            if ch > 1:
+                state[key] = jnp.broadcast_to(
+                    jnp.asarray(cv, dtype), shape).astype(dtype)
+        else:
+            state[key] = jnp.zeros(shape, dtype)
+    return state
+
+
+def render(params: GiRenderParams) -> None:
+    """giRender analog (reference: Gi.cpp:1989-2524). Resolves dirty state,
+    rebuilds device caches, dispatches the frame, copies AOVs to host."""
+    gi_initialize()
+    log = get_logger()
+    scene = params.scene
+
+    if not params.aov_bindings:
+        raise ValueError("no AOV bindings")
+    width = params.aov_bindings[0].render_buffer.width
+    height = params.aov_bindings[0].render_buffer.height
+    for b in params.aov_bindings:
+        if (b.render_buffer.width, b.render_buffer.height) != (width, height):
+            raise ValueError("all AOV buffers must have identical dimensions")
+    n = width * height
+
+    # dirty-flag resolution (Gi.cpp:2036-2052)
+    key = _params_key(params, width, height)
+    if key != scene._last_params_key:
+        scene.dirty |= DirtyFlags.FRAMEBUFFER
+        scene._last_params_key = key
+
+    aov_mask = 0
+    for b in params.aov_bindings:
+        aov_mask |= aov_bit(b.aov_id)
+
+    if scene.dirty & DirtyFlags.GEOMETRY or scene._geom is None:
+        t0 = time.monotonic()
+        mat_paths = sorted({m.material for m in scene.meshes if m.material} )
+        scene._material_index = {p: i for i, p in enumerate(mat_paths)}
+        scene._material_index[None] = len(mat_paths)
+        scene._geom = build_geometry(scene.meshes, scene._material_index)
+        scene.dirty |= DirtyFlags.MATERIALS
+        log.info("built geometry: %d triangles in %.1f ms",
+                 scene._geom.num_triangles, 1e3 * (time.monotonic() - t0))
+
+    if scene.dirty & DirtyFlags.MATERIALS or scene._material_table is None:
+        rows = [None] * (len(scene._material_index))
+        for path, idx in scene._material_index.items():
+            rows[idx] = lower_material(scene.materials.get(path) if path else None)
+        scene._material_table = build_material_table(rows)
+
+    if scene.dirty & DirtyFlags.LIGHTS or scene._light_arrays is None:
+        scene._light_arrays = build_light_arrays(scene.lights)
+        scene._dome_data = _load_dome(params.dome_light or scene.dome_light)
+
+    if scene.dirty & DirtyFlags.FRAMEBUFFER or scene._fb_shape != (width, height):
+        scene.sample_offset = 0
+        scene._fb_shape = (width, height)
+        scene._aov_state = None
+
+    if scene._aov_state is None or set(scene._aov_state) != {_AOV_KEYS[b.aov_id] for b in params.aov_bindings}:
+        scene._aov_state = _init_aov_state(params.aov_bindings, n)
+
+    scene.dirty = DirtyFlags.CLEAN
+
+    config = _build_config(params, width, height, aov_mask)
+    s = params.render_settings
+    dome_obj = params.dome_light or scene.dome_light
+    cam = params.camera
+    lens_radius = 0.0
+    if config.depth_of_field and cam.f_stop > 0.0:
+        lens_radius = cam.focal_length / (2.0 * cam.f_stop)  # Gi.cpp:2378-2381
+    uniforms = Uniforms(
+        camera=CameraUniforms(
+            position=jnp.asarray(cam.position, jnp.float32),
+            forward=jnp.asarray(cam.forward, jnp.float32),
+            up=jnp.asarray(cam.up, jnp.float32),
+            vfov=jnp.float32(cam.vfov),
+            lens_radius=jnp.float32(lens_radius),
+            focus_distance=jnp.float32(cam.focus_distance),
+            sensor_exposure=jnp.float32(cam.exposure),
+            clip_start=jnp.float32(cam.clip_start),
+            clip_end=jnp.float32(cam.clip_end),
+        ),
+        sample_offset=jnp.int32(scene.sample_offset),
+        inv_total_sample_count=jnp.float32(1.0 / (scene.sample_offset + config.spp)),
+        max_sample_value=jnp.float32(s.get("maxSampleValue", 10.0)),
+        rr_inv_min_term_prob=jnp.float32(s.get("rrInvMinTermProb", 0.95)),
+        light_intensity_multiplier=jnp.float32(s.get("lightIntensityMultiplier", 1.0)),
+        meters_per_scene_unit=jnp.float32(s.get("metersPerSceneUnit", 1.0)),
+        dome_rotation=jnp.asarray(dome_obj.rotation if dome_obj else [0, 0, 0, 1], jnp.float32),
+        dome_emission_multiplier=jnp.asarray(
+            dome_obj.base_emission if dome_obj else [1, 1, 1], jnp.float32),
+        dome_diffuse_specular=jnp.asarray(
+            [dome_obj.diffuse, dome_obj.specular] if dome_obj else [1, 1], jnp.float32),
+    )
+
+    scene._aov_state = render_frame(
+        config, uniforms, scene._geom, scene._material_table,
+        scene._light_arrays, scene._dome_data or default_dome(), scene._aov_state)
+
+    # device -> host AOV copies (Gi.cpp:2439-2502)
+    for b in params.aov_bindings:
+        key2 = _AOV_KEYS[b.aov_id]
+        arr = np.asarray(scene._aov_state[key2])
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        buf = b.render_buffer
+        ch = min(buf.channels, arr.shape[1])
+        out = buf.data.reshape(n, buf.channels)
+        out[:, :ch] = arr[:, :ch].astype(out.dtype)
+        if buf.channels == 4 and arr.shape[1] == 3:
+            out[:, 3] = 1
+    scene.sample_offset += config.spp  # Gi.cpp:2515
+
+
+_dome_cache: dict[str, DomeLightData] = {}
+
+
+def _load_dome(dome: GiDomeLight | None) -> DomeLightData:
+    if dome is None or dome.file_path is None:
+        return default_dome()
+    cached = _dome_cache.get(dome.file_path)
+    if cached is None:
+        try:
+            img = imgio.load_image_file(dome.file_path)
+            tex = img.as_float_rgba()[:, :, :3]
+        except Exception:  # noqa: BLE001
+            get_logger().error("failed to load dome light texture %s", dome.file_path)
+            tex = np.zeros((1, 1, 3), np.float32)
+        cached = DomeLightData(texture=jnp.asarray(tex), fallback=jnp.zeros((1, 1, 3), jnp.float32))
+        _dome_cache[dome.file_path] = cached
+    return cached
+
+
+# ---------------------------------------------------------------------------
+# C-style aliases matching the reference's function surface (Gi.h:199-261)
+# ---------------------------------------------------------------------------
+
+giInitialize = gi_initialize
+giTerminate = gi_terminate
+giCreateScene = create_scene
+giRender = render
+
+
+def giCreateRenderBuffer(width: int, height: int, channels: int = 4, is_int: bool = False) -> GiRenderBuffer:
+    return GiRenderBuffer(width, height, channels, is_int)
+
+
+def giCreateMesh(scene: GiScene, mesh_desc: MeshDesc) -> MeshDesc:
+    return scene.add_mesh(mesh_desc)
+
+
+def giDestroyMesh(scene: GiScene, mesh: MeshDesc) -> None:
+    scene.remove_mesh(mesh)
+
+
+def giSetMeshTransform(scene: GiScene, mesh: MeshDesc, mat: np.ndarray) -> None:
+    scene.set_mesh_transform(mesh, mat)
+
+
+def giSetMeshMaterial(scene: GiScene, mesh: MeshDesc, material_path: str) -> None:
+    scene.set_mesh_material(mesh, material_path)
+
+
+def giCreateDomeLight(scene: GiScene, file_path: str) -> GiDomeLight:
+    dome = GiDomeLight(file_path=file_path)
+    scene.set_dome_light(dome)
+    return dome

@@ -1,0 +1,143 @@
+"""Device geometry buffers: flattened world-space triangle soup.
+
+This is the TPU-native replacement for the reference's BLAS/TLAS + per-mesh
+payload buffers (reference: Gi.cpp:784-1204 _giBuildGeometryStructures,
+CgpuVk.cpp:2695 cgpuCreateBlas): instead of hardware acceleration structures
+with per-instance SBT offsets, every mesh instance is pre-transformed into a
+single struct-of-arrays triangle soup (positions baked to world space,
+per-triangle material/object/face/instance ids). Flat static-shape arrays
+gather-free along the hot path is what XLA tiles best; the hierarchy for
+large scenes lives in ops/bvh.py on top of the same buffers.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gatling_tpu.interface import MESH_FLAG_DOUBLE_SIDED, MESH_FLAG_FLIP_FACING
+
+PAD_MULTIPLE = 128  # lane width; padded triangles are degenerate and never hit
+
+
+class SceneGeometry(NamedTuple):
+    """World-space triangle soup, SoA, padded to a multiple of PAD_MULTIPLE.
+
+    Intersection uses (v0, e1, e2); shading uses the per-corner attributes.
+    Equivalent information to the reference's FVertex + BlasPayload preamble
+    (rp_main.h:62-145) but laid out for vectorized access.
+    """
+
+    # intersection data
+    v0: jnp.ndarray  # [T,3] f32 first vertex
+    e1: jnp.ndarray  # [T,3] f32 v1 - v0
+    e2: jnp.ndarray  # [T,3] f32 v2 - v0
+
+    # shading data (world space)
+    n0: jnp.ndarray  # [T,3] f32 shading normals per corner
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    t0: jnp.ndarray  # [T,3] f32 tangents per corner
+    t1: jnp.ndarray
+    t2: jnp.ndarray
+    bsign: jnp.ndarray  # [T,3] f32 bitangent signs per corner
+    uv0: jnp.ndarray  # [T,2] f32
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+
+    # per-triangle ids
+    material_id: jnp.ndarray  # [T] i32
+    object_id: jnp.ndarray  # [T] i32 (AOV_ID_OBJECT_ID source)
+    face_id: jnp.ndarray  # [T] i32 source polygon index (AOV_ID_FACE_ID)
+    instance_id: jnp.ndarray  # [T] i32 (AOV_ID_INSTANCE_ID)
+    flags: jnp.ndarray  # [T] i32 MESH_FLAG_* bits
+
+    @property
+    def num_triangles(self) -> int:
+        return self.v0.shape[0]
+
+
+def _pad(arr: np.ndarray, t_pad: int) -> np.ndarray:
+    pad = t_pad - arr.shape[0]
+    if pad == 0:
+        return arr
+    return np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)], axis=0)
+
+
+def build_geometry(mesh_descs, material_index: dict[str | None, int]) -> SceneGeometry:
+    """Flatten MeshDescs (scene.stage) into one world-space SceneGeometry.
+
+    `material_index` maps material prim path (or None) -> material table row,
+    the wavefront analog of the reference's SBT hitGroupIndex = matIdx * 2
+    (Gi.cpp:1195).
+    """
+    chunks: dict[str, list[np.ndarray]] = {k: [] for k in (
+        "p0", "p1", "p2", "n0", "n1", "n2", "t0", "t1", "t2",
+        "bs", "uv0", "uv1", "uv2", "mat", "obj", "face", "inst", "flags")}
+
+    instance_counter = 0
+    for mesh_desc in mesh_descs:
+        tm = mesh_desc.mesh
+        transforms = mesh_desc.instance_transforms
+        if transforms is None:
+            transforms = mesh_desc.transform[None]
+        for xform in transforms:
+            m = np.asarray(xform, np.float64)
+            lin = m[:3, :3]
+            # normals transform by inverse-transpose of the linear part
+            try:
+                nrm_m = np.linalg.inv(lin).T
+            except np.linalg.LinAlgError:
+                nrm_m = lin
+            det = np.linalg.det(lin)
+
+            pos = tm.positions @ lin + m[3, :3]
+            p = pos.reshape(-1, 3, 3)
+            # row-vector normal transform: n' = n @ inv(lin)^T
+            nrm = tm.normals @ nrm_m
+            nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
+            tan = tm.tangents @ lin
+            tan /= np.maximum(np.linalg.norm(tan, axis=1, keepdims=True), 1e-20)
+            n = nrm.reshape(-1, 3, 3)
+            t = tan.reshape(-1, 3, 3)
+            uv = tm.uvs.reshape(-1, 3, 2)
+            bs = tm.bitangent_signs.reshape(-1, 3)
+
+            n_tris = tm.num_triangles
+            chunks["p0"].append(p[:, 0]); chunks["p1"].append(p[:, 1]); chunks["p2"].append(p[:, 2])
+            chunks["n0"].append(n[:, 0]); chunks["n1"].append(n[:, 1]); chunks["n2"].append(n[:, 2])
+            chunks["t0"].append(t[:, 0]); chunks["t1"].append(t[:, 1]); chunks["t2"].append(t[:, 2])
+            chunks["bs"].append(bs)
+            chunks["uv0"].append(uv[:, 0]); chunks["uv1"].append(uv[:, 1]); chunks["uv2"].append(uv[:, 2])
+            chunks["mat"].append(np.full(n_tris, material_index.get(mesh_desc.material, 0), np.int32))
+            chunks["obj"].append(np.full(n_tris, mesh_desc.object_id, np.int32))
+            chunks["face"].append(tm.face_ids.astype(np.int32))
+            chunks["inst"].append(np.full(n_tris, instance_counter, np.int32))
+            flags = (MESH_FLAG_DOUBLE_SIDED if mesh_desc.double_sided else 0)
+            # negative determinant flips facing (reference: isLeftHanded flag,
+            # Gi.cpp BLAS_PAYLOAD_BITFLAG_FLIP_FACING)
+            if det < 0:
+                flags |= MESH_FLAG_FLIP_FACING
+            chunks["flags"].append(np.full(n_tris, flags, np.int32))
+            instance_counter += 1
+
+    cat = {k: np.concatenate(v, axis=0) if v else np.zeros((0, 3) if k in ("p0", "p1", "p2", "n0", "n1", "n2", "t0", "t1", "t2", "bs") else ((0, 2) if k.startswith("uv") else (0,)), np.float32) for k, v in chunks.items()}
+    t_count = len(cat["p0"])
+    t_pad = max(PAD_MULTIPLE, -(-t_count // PAD_MULTIPLE) * PAD_MULTIPLE)
+
+    f32 = lambda k: jnp.asarray(_pad(cat[k].astype(np.float32), t_pad))  # noqa: E731
+    i32 = lambda k: jnp.asarray(_pad(cat[k].astype(np.int32), t_pad))  # noqa: E731
+
+    return SceneGeometry(
+        v0=f32("p0"),
+        e1=jnp.asarray(_pad((cat["p1"] - cat["p0"]).astype(np.float32), t_pad)),
+        e2=jnp.asarray(_pad((cat["p2"] - cat["p0"]).astype(np.float32), t_pad)),
+        n0=f32("n0"), n1=f32("n1"), n2=f32("n2"),
+        t0=f32("t0"), t1=f32("t1"), t2=f32("t2"),
+        bsign=f32("bs"),
+        uv0=f32("uv0"), uv1=f32("uv1"), uv2=f32("uv2"),
+        material_id=i32("mat"), object_id=i32("obj"),
+        face_id=i32("face"), instance_id=i32("inst"), flags=i32("flags"),
+    )

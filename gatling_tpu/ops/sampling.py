@@ -205,8 +205,11 @@ def offset_ray_origin(p: jnp.ndarray, geom_normal: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def fis_gauss(xi: jnp.ndarray) -> jnp.ndarray:
-    """Box-Muller sample of a sigma=0.375 Gaussian pixel filter."""
-    u1 = jnp.maximum(1e-38, xi[..., 0])
+    """Box-Muller sample of a sigma=0.375 Gaussian pixel filter.
+
+    The lower clamp must be a NORMAL f32 (the reference's 1e-38 is subnormal
+    and gets flushed to zero on TPU/CPU, turning log() into -inf)."""
+    u1 = jnp.maximum(jnp.float32(1.1754944e-38), xi[..., 0])
     u2 = xi[..., 1]
     sigma = 0.375
     r = sigma * jnp.sqrt(-2.0 * jnp.log(u1))

@@ -1,0 +1,535 @@
+"""Wavefront path-tracing integrator.
+
+The TPU-native reformulation of the reference's ray-tracing megakernel
+(reference: src/gi/shaders/rp_main.rgen main:185-521, rp_main.chit
+main:132-493, rp_main.miss:55-87). The per-pixel divergent `while(true)`
+bounce loop becomes a batched `lax.while_loop` over a fixed ray array:
+every bounce traces all rays (masked), shades them with the parameter-table
+uber-BSDF (one fused vectorized evaluation instead of per-material SBT hit
+shaders), runs the NEE shadow stream, and applies russian roulette. Early
+exit happens when every ray has terminated.
+
+RNG draw order matches the reference shader exactly (pixel jitter -> DoF ->
+bsdf xi4 -> NEE k4 -> russian roulette), so per-pixel sample statistics are
+comparable.
+
+Note on NEE weighting: the reference multiplies the NEE contribution by the
+path throughput *after* the current bounce's bsdf_over_pdf update
+(rp_main.chit:360-389 then :393-444). We reproduce that behavior bit-for-bit
+for image parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gatling_tpu.interface import (
+    AovId,
+    BSDF_EVENT_ABSORB,
+    BSDF_EVENT_DIFFUSE,
+    BSDF_EVENT_GLOSSY,
+    BSDF_EVENT_TRANSMISSION,
+    FLOAT_MAX,
+    LightArrays,
+    MESH_FLAG_DOUBLE_SIDED,
+    MESH_FLAG_FLIP_FACING,
+    aov_bit,
+)
+from gatling_tpu.ops import sampling as smp
+from gatling_tpu.ops.geometry import SceneGeometry
+from gatling_tpu.ops.intersect import intersect_brute, occluded_brute
+from gatling_tpu.render import bsdf as bsdf_mod
+from gatling_tpu.render.camera import CameraUniforms, generate_primary_rays
+from gatling_tpu.render.lights import sample_light
+from gatling_tpu.render.material import MaterialTable, gather_params
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (compile-time) render configuration. Mirrors the structural
+    #defines the reference stitches into its shaders (GlslShaderGen.cpp:79-91:
+    AOV_MASK, NEE, DoF, FIS, jitter, clipping, progressive accumulation)."""
+
+    width: int
+    height: int
+    spp: int = 1
+    max_bounces: int = 13
+    rr_bounce_offset: int = 3
+    jittered: bool = True
+    fis: bool = True
+    nee: bool = False
+    depth_of_field: bool = False
+    clipping_planes: bool = False
+    progressive: bool = True
+    dome_light_camera_visible: bool = True
+    aov_mask: int = aov_bit(AovId.COLOR)
+    medium_stack_size: int = 0
+
+
+class Uniforms(NamedTuple):
+    """Traced per-frame values (UniformData analog, rp_main.h:25-55)."""
+
+    camera: CameraUniforms
+    sample_offset: jnp.ndarray  # [] i32
+    inv_total_sample_count: jnp.ndarray  # [] f32
+    max_sample_value: jnp.ndarray  # [] f32
+    rr_inv_min_term_prob: jnp.ndarray  # [] f32
+    light_intensity_multiplier: jnp.ndarray  # [] f32
+    meters_per_scene_unit: jnp.ndarray  # [] f32
+    dome_rotation: jnp.ndarray  # [4] quat (x,y,z,w)
+    dome_emission_multiplier: jnp.ndarray  # [3]
+    dome_diffuse_specular: jnp.ndarray  # [2]
+
+
+class DomeLightData(NamedTuple):
+    """Equirectangular dome texture + 1x1 fallback
+    (reference: Gi.cpp:2183-2238, rp_main.miss:46-53)."""
+
+    texture: jnp.ndarray  # [H,W,3] f32 (1x1 black when absent)
+    fallback: jnp.ndarray  # [1,1,3] f32 background when dome invisible to camera
+
+
+def default_dome() -> DomeLightData:
+    return DomeLightData(
+        texture=jnp.zeros((1, 1, 3), jnp.float32),
+        fallback=jnp.zeros((1, 1, 3), jnp.float32),
+    )
+
+
+def _quat_rotate(q: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """GLM-style quaternion rotate (reference: rp_main.miss:38-44)."""
+    qv = q[:3]
+    a = jnp.cross(jnp.broadcast_to(qv, d.shape), d)
+    b = jnp.cross(jnp.broadcast_to(qv, a.shape), a)
+    return d + (a * q[3] + b) * 2.0
+
+
+def _sample_equirect(tex: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear equirect lookup (reference: rp_main.miss sampleDomeLight:46-53,
+    GL repeat-wrap sampling of u = (atan(z,x)+pi/2)/2pi, v = 1 - acos(y)/pi)."""
+    h, w = tex.shape[0], tex.shape[1]
+    u = (jnp.arctan2(d[:, 2], d[:, 0]) + 0.5 * jnp.pi) / (2.0 * jnp.pi)
+    v = 1.0 - jnp.arccos(jnp.clip(d[:, 1], -1.0, 1.0)) / jnp.pi
+    x = u * w - 0.5
+    y = (1.0 - v) * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    xi0 = jnp.mod(x0.astype(jnp.int32), w)
+    xi1 = jnp.mod(xi0 + 1, w)
+    yi0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    yi1 = jnp.clip(yi0 + 1, 0, h - 1)
+    c00 = tex[yi0, xi0]
+    c01 = tex[yi0, xi1]
+    c10 = tex[yi1, xi0]
+    c11 = tex[yi1, xi1]
+    return (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy
+
+
+class FirstHitInfo(NamedTuple):
+    """Per-pixel first-bounce data for debug/auxiliary AOVs
+    (written where bounce == 0, rp_main.chit:191-290)."""
+
+    normal: jnp.ndarray  # [N,3]
+    albedo: jnp.ndarray  # [N,3]
+    barycentrics: jnp.ndarray  # [N,3]
+    texcoords: jnp.ndarray  # [N,3]
+    tangents: jnp.ndarray  # [N,3]
+    bitangents: jnp.ndarray  # [N,3]
+    depth: jnp.ndarray  # [N]
+    object_id: jnp.ndarray  # [N] i32
+    face_id: jnp.ndarray  # [N] i32
+    instance_id: jnp.ndarray  # [N] i32
+    thin_walled: jnp.ndarray  # [N,3]
+    double_sided: jnp.ndarray  # [N,3]
+    opacity: jnp.ndarray  # [N,3]
+    nee: jnp.ndarray  # [N,3]
+    hit: jnp.ndarray  # [N] bool
+
+
+class SampleResult(NamedTuple):
+    color: jnp.ndarray  # [N,3]
+    bounces: jnp.ndarray  # [N] i32
+    first: FirstHitInfo
+
+
+def _shading_state(geom: SceneGeometry, hit, ray_dir):
+    """Interpolate hit attributes (mdl_shading_state.glsl:4-98, but on the
+    pre-transformed world-space soup — no object-to-world transforms left)."""
+    tri = jnp.maximum(hit.tri, 0)
+    u, v = hit.u, hit.v
+    w = 1.0 - u - v
+    bc = jnp.stack([w, u, v], axis=-1)
+
+    pos = geom.v0[tri] + u[:, None] * geom.e1[tri] + v[:, None] * geom.e2[tri]
+
+    geom_n = jnp.cross(geom.e1[tri], geom.e2[tri])
+    geom_n = geom_n / jnp.maximum(jnp.linalg.norm(geom_n, axis=-1, keepdims=True), 1e-20)
+    flags = geom.flags[tri]
+    flip = (flags & MESH_FLAG_FLIP_FACING) != 0
+    geom_n = jnp.where(flip[:, None], -geom_n, geom_n)
+
+    nrm = bc[:, 0:1] * geom.n0[tri] + bc[:, 1:2] * geom.n1[tri] + bc[:, 2:3] * geom.n2[tri]
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+
+    front = jnp.sum(geom_n * (-ray_dir), axis=-1) >= 0.0
+    geom_n = jnp.where(front[:, None], geom_n, -geom_n)
+    nrm = jnp.where(front[:, None], nrm, -nrm)
+
+    tan = bc[:, 0:1] * geom.t0[tri] + bc[:, 1:2] * geom.t1[tri] + bc[:, 2:3] * geom.t2[tri]
+    tan = tan - nrm * jnp.sum(tan * nrm, axis=-1, keepdims=True)
+    tan = tan / jnp.maximum(jnp.linalg.norm(tan, axis=-1, keepdims=True), 1e-20)
+    bsign = jnp.sum(bc * geom.bsign[tri], axis=-1)
+    bitan = jnp.cross(nrm, tan) * bsign[:, None]
+
+    uv = bc[:, 0:1] * geom.uv0[tri] + bc[:, 1:2] * geom.uv1[tri] + bc[:, 2:3] * geom.uv2[tri]
+
+    double_sided = (flags & MESH_FLAG_DOUBLE_SIDED) != 0
+    return dict(
+        pos=pos, geom_normal=geom_n, normal=nrm, tangent=tan, bitangent=bitan,
+        uv=uv, bc=bc, front=front, double_sided=double_sided,
+        material_id=geom.material_id[tri], object_id=geom.object_id[tri],
+        face_id=geom.face_id[tri], instance_id=geom.instance_id[tri],
+    )
+
+
+def trace_sample(
+    config: RenderConfig,
+    uniforms: Uniforms,
+    geom: SceneGeometry,
+    materials: MaterialTable,
+    lights: LightArrays,
+    dome: DomeLightData,
+    pixel_index: jnp.ndarray,  # [N] i32
+    sample_index: jnp.ndarray,  # [] i32
+) -> SampleResult:
+    """Trace one sample per pixel through the full bounce loop."""
+    n = pixel_index.shape[0]
+    px = pixel_index % config.width
+    py = pixel_index // config.width
+
+    rng = smp.rng_init(pixel_index.astype(jnp.uint32), sample_index.astype(jnp.uint32))
+    origins, dirs, rng = generate_primary_rays(
+        uniforms.camera, config.width, config.height, px, py, rng,
+        config.jittered, config.fis, config.depth_of_field)
+
+    # clip-plane correction (rp_main.rgen:283-285)
+    cos_cone = jnp.maximum(1e-5, jnp.sum(dirs * uniforms.camera.forward, axis=-1))
+    clip_lo = uniforms.camera.clip_start / cos_cone
+    clip_hi = uniforms.camera.clip_end / cos_cone
+
+    zero3 = jnp.zeros((n, 3), jnp.float32)
+    first = FirstHitInfo(
+        normal=zero3, albedo=zero3, barycentrics=zero3, texcoords=zero3,
+        tangents=zero3, bitangents=zero3,
+        depth=jnp.full((n,), 1.0, jnp.float32),
+        object_id=jnp.full((n,), -1, jnp.int32),
+        face_id=jnp.full((n,), -1, jnp.int32),
+        instance_id=jnp.full((n,), -1, jnp.int32),
+        thin_walled=zero3, double_sided=zero3, opacity=zero3, nee=zero3,
+        hit=jnp.zeros((n,), bool),
+    )
+
+    state = dict(
+        bounce=jnp.int32(0),
+        origin=origins,
+        direction=dirs,
+        throughput=jnp.ones((n, 3), jnp.float32),
+        radiance=jnp.zeros((n, 3), jnp.float32),
+        rng=rng,
+        alive=jnp.ones((n,), bool),
+        bounces=jnp.zeros((n,), jnp.int32),
+        first=first,
+    )
+
+    def cond(s):
+        return (s["bounce"] < config.max_bounces) & jnp.any(s["alive"])
+
+    def body(s):
+        bounce = s["bounce"]
+        alive = s["alive"]
+        rng = s["rng"]
+        throughput = s["throughput"]
+        radiance = s["radiance"]
+
+        if config.clipping_planes:
+            tmin = jnp.where(bounce == 0, clip_lo, jnp.zeros((n,), jnp.float32))
+            tmax = jnp.where(bounce == 0, clip_hi, jnp.full((n,), FLOAT_MAX, jnp.float32))
+        else:
+            tmin = jnp.zeros((n,), jnp.float32)
+            tmax = jnp.full((n,), FLOAT_MAX, jnp.float32)
+        tmax = jnp.where(alive, tmax, 0.0)  # dead rays do no work
+
+        hit = intersect_brute(s["origin"], s["direction"], tmin, tmax, geom)
+        is_hit = (~hit.missed) & alive
+        is_miss = hit.missed & alive
+
+        # ---- miss: dome light (rp_main.miss:55-87) ----
+        sample_dir = _quat_rotate(uniforms.dome_rotation, s["direction"])
+        sample_dir = sample_dir / jnp.maximum(jnp.linalg.norm(sample_dir, axis=-1, keepdims=True), 1e-20)
+        dome_radiance = _sample_equirect(dome.texture, sample_dir) * uniforms.dome_emission_multiplier
+        if not config.dome_light_camera_visible:
+            primary = bounce == 0
+            fallback = jnp.broadcast_to(dome.fallback[0, 0], dome_radiance.shape)
+            dome_radiance = jnp.where(primary, fallback, dome_radiance)
+        radiance = radiance + jnp.where(is_miss[:, None], throughput * dome_radiance, 0.0)
+
+        # ---- hit shading (rp_main.chit) ----
+        st = _shading_state(geom, hit, s["direction"])
+        params = gather_params(materials, st["material_id"])
+
+        # emission (chit:292-343): front face, or any face of double-sided geo
+        emission_ok = st["front"] | st["double_sided"]
+        radiance = radiance + jnp.where(
+            (is_hit & emission_ok)[:, None],
+            throughput * bsdf_mod.edf_emission(params), 0.0)
+
+        # first-bounce AOVs (chit:191-290)
+        if _needs_first_hit(config.aov_mask):
+            fh = s["first"]
+            wr = (bounce == 0) & is_hit  # write mask
+            albedo = bsdf_mod.auxiliary(params, -s["direction"], st["normal"])
+            log_depth = jnp.where(
+                uniforms.camera.clip_start > 0.0,
+                2.0 * jnp.log(jnp.maximum(hit.t, 1e-20) / uniforms.camera.clip_start)
+                / jnp.log(jnp.maximum(uniforms.camera.clip_end / uniforms.camera.clip_start, 1.0 + 1e-6)) - 1.0,
+                hit.t)
+            red = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+            green = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+            fh = FirstHitInfo(
+                normal=jnp.where(wr[:, None], st["normal"], fh.normal),
+                albedo=jnp.where(wr[:, None], albedo, fh.albedo),
+                barycentrics=jnp.where(wr[:, None], st["bc"], fh.barycentrics),
+                texcoords=jnp.where(wr[:, None], jnp.pad(st["uv"], ((0, 0), (0, 1))), fh.texcoords),
+                tangents=jnp.where(wr[:, None], (st["tangent"] + 1.0) * 0.5, fh.tangents),
+                bitangents=jnp.where(wr[:, None], (st["bitangent"] + 1.0) * 0.5, fh.bitangents),
+                depth=jnp.where(wr, log_depth, fh.depth),
+                object_id=jnp.where(wr, st["object_id"], fh.object_id),
+                face_id=jnp.where(wr, st["face_id"], fh.face_id),
+                instance_id=jnp.where(wr, st["instance_id"], fh.instance_id),
+                thin_walled=jnp.where(wr[:, None],
+                                      jnp.where(params.thin_walled[:, None], red, green), fh.thin_walled),
+                double_sided=jnp.where(wr[:, None],
+                                       jnp.where(st["double_sided"][:, None], green, red), fh.double_sided),
+                opacity=jnp.where(wr[:, None],
+                                  bsdf_mod.cutout_opacity(params)[:, None] * jnp.ones((1, 3)), fh.opacity),
+                nee=fh.nee,
+                hit=fh.hit | wr,
+            )
+        else:
+            fh = s["first"]
+
+        # BSDF importance sampling (chit:345-389)
+        rng_after, xi4 = smp.rng_next4f(rng)
+        rng = jnp.where(is_hit, rng_after, rng)
+        k2, bsdf_over_pdf, event, _pdf = bsdf_mod.sample(
+            params, -s["direction"], st["normal"], st["tangent"], st["bitangent"], xi4)
+        new_throughput = throughput * bsdf_over_pdf
+        throughput = jnp.where(is_hit[:, None], new_throughput, throughput)
+        new_dir = jnp.where(is_hit[:, None], k2, s["direction"])
+
+        is_transmission = (event & BSDF_EVENT_TRANSMISSION) != 0
+        offset_n = jnp.where(is_transmission[:, None], -st["geom_normal"], st["geom_normal"])
+        new_origin = jnp.where(
+            is_hit[:, None], smp.offset_ray_origin(st["pos"], offset_n), s["origin"])
+
+        # ---- NEE (chit:393-444 + rgen:397-438) ----
+        if config.nee:
+            nee_able = is_hit & ((event & (BSDF_EVENT_DIFFUSE | BSDF_EVENT_GLOSSY)) != 0)
+            rng_after, k4 = smp.rng_next4f(rng)
+            rng = jnp.where(nee_able, rng_after, rng)
+            dir_to_light, light_dist, light_power, inv_pdf, diff_spec = sample_light(
+                lights, k4, st["pos"],
+                uniforms.light_intensity_multiplier, uniforms.camera.sensor_exposure)
+            nee_valid = nee_able & (light_dist > 0.0) & (
+                jnp.sum(dir_to_light * st["geom_normal"], axis=-1) > 0.0)
+            f_diff, f_glossy, eval_pdf = bsdf_mod.evaluate(
+                params, -s["direction"], dir_to_light,
+                st["normal"], st["tangent"], st["bitangent"])
+            nee_valid = nee_valid & (eval_pdf > 0.0)
+            nee_radiance = light_power * inv_pdf[:, None]
+            # reference quirk: throughput here includes this bounce's
+            # bsdf_over_pdf (see module docstring)
+            weight = throughput * nee_radiance
+            contrib = weight * (f_diff * diff_spec[:, 0:1] + f_glossy * diff_spec[:, 1:2])
+            contrib = jnp.where(nee_valid[:, None], contrib, 0.0)
+
+            do_trace = (smp.luminance(contrib) > 1e-6) & (light_dist > 1e-9)
+            sh_tmin = jnp.where(do_trace, 0.01, 0.0)
+            sh_tmax = jnp.where(do_trace, light_dist, 0.0)
+            shadowed = occluded_brute(new_origin, dir_to_light, sh_tmin, sh_tmax, geom)
+            add = do_trace & ~shadowed
+            radiance = radiance + jnp.where(add[:, None], contrib, 0.0)
+            if config.aov_mask & aov_bit(AovId.NEE):
+                wr0 = (bounce == 0) & is_hit
+                nee_color = jnp.where(shadowed[:, None],
+                                      jnp.array([[1.0, 0.0, 0.0]]), jnp.array([[0.0, 1.0, 0.0]]))
+                fh = fh._replace(nee=jnp.where(wr0[:, None], nee_color, fh.nee))
+
+        # termination (chit:482-486, rgen:440-459)
+        terminate = is_miss | (is_hit & (event == BSDF_EVENT_ABSORB))
+        terminate = terminate | (alive & (jnp.linalg.norm(throughput, axis=-1) < 1e-9))
+
+        if config.max_bounces > config.rr_bounce_offset:
+            do_rr = alive & (bounce > config.rr_bounce_offset)
+            rng_after, k1 = smp.rng_next1f(rng)
+            rng = jnp.where(do_rr, rng_after, rng)
+            max_tp = jnp.max(throughput, axis=-1)
+            p = jnp.minimum(max_tp, uniforms.rr_inv_min_term_prob)
+            rr_kill = do_rr & (k1 > p)
+            throughput = jnp.where((do_rr & ~rr_kill)[:, None],
+                                   throughput / jnp.maximum(p, 1e-20)[:, None], throughput)
+            terminate = terminate | rr_kill
+
+        new_alive = alive & ~terminate
+        return dict(
+            bounce=bounce + 1,
+            origin=new_origin,
+            direction=new_dir,
+            throughput=throughput,
+            radiance=radiance,
+            rng=rng,
+            alive=new_alive,
+            bounces=s["bounces"] + new_alive.astype(jnp.int32) + (alive & terminate).astype(jnp.int32),
+            first=fh,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+
+    # radiance clamp (rgen:488-494)
+    radiance = state["radiance"]
+    max_v = jnp.max(radiance, axis=-1)
+    scale = jnp.where(max_v > uniforms.max_sample_value,
+                      uniforms.max_sample_value / jnp.maximum(max_v, 1e-20), 1.0)
+    color = jnp.maximum(radiance * scale[:, None], 0.0)
+    return SampleResult(color=color, bounces=state["bounces"], first=state["first"])
+
+
+_FIRST_HIT_AOVS = (
+    AovId.NORMAL, AovId.ALBEDO, AovId.BARYCENTRICS, AovId.TEXCOORDS,
+    AovId.TANGENTS, AovId.BITANGENTS, AovId.DEPTH, AovId.OBJECT_ID,
+    AovId.FACE_ID, AovId.INSTANCE_ID, AovId.THIN_WALLED, AovId.DOUBLE_SIDED,
+    AovId.OPACITY, AovId.NEE,
+)
+
+
+def _needs_first_hit(aov_mask: int) -> bool:
+    return any(aov_mask & aov_bit(a) for a in _FIRST_HIT_AOVS)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def render_frame(
+    config: RenderConfig,
+    uniforms: Uniforms,
+    geom: SceneGeometry,
+    materials: MaterialTable,
+    lights: LightArrays,
+    dome: DomeLightData,
+    aovs: dict[str, jnp.ndarray],
+) -> dict[str, jnp.ndarray]:
+    """Render config.spp samples for every pixel and blend into the AOV
+    buffers with progressive accumulation
+    (reference: rp_main.rgen:506-515, Gi.cpp:2125-2129 sampleOffset logic)."""
+    n = config.width * config.height
+    pixel_index = jnp.arange(n, dtype=jnp.int32)
+    inv_spp = 1.0 / config.spp
+
+    def sample_body(s, carry):
+        color_acc, bounce_acc, first_acc = carry
+        res = trace_sample(config, uniforms, geom, materials, lights, dome,
+                           pixel_index, uniforms.sample_offset + s)
+        color_acc = color_acc + res.color * inv_spp
+        bounce_acc = jnp.maximum(bounce_acc, res.bounces)
+        return color_acc, bounce_acc, res.first
+
+    zero3 = jnp.zeros((n, 3), jnp.float32)
+    first0 = FirstHitInfo(
+        normal=zero3, albedo=zero3, barycentrics=zero3, texcoords=zero3,
+        tangents=zero3, bitangents=zero3,
+        depth=jnp.full((n,), 1.0, jnp.float32),
+        object_id=jnp.full((n,), -1, jnp.int32),
+        face_id=jnp.full((n,), -1, jnp.int32),
+        instance_id=jnp.full((n,), -1, jnp.int32),
+        thin_walled=zero3, double_sided=zero3, opacity=zero3, nee=zero3,
+        hit=jnp.zeros((n,), bool),
+    )
+    pixel_color, bounces, first = jax.lax.fori_loop(
+        0, config.spp, sample_body, (zero3, jnp.zeros((n,), jnp.int32), first0))
+
+    out = dict(aovs)
+    offset = uniforms.sample_offset.astype(jnp.float32)
+    spp = jnp.float32(config.spp)
+    inv_total = uniforms.inv_total_sample_count
+
+    def accum(prev, new):
+        """Progressive blend (rgen:506-515)."""
+        if config.progressive:
+            prev_used = jnp.where(offset > 0.0, prev, new)
+        else:
+            prev_used = new
+        return (prev_used * offset + new * spp) * inv_total
+
+    mask = config.aov_mask
+    if mask & aov_bit(AovId.COLOR):
+        rgba = jnp.concatenate([pixel_color, jnp.ones((n, 1), jnp.float32)], axis=-1)
+        out["color"] = accum(aovs["color"], rgba)
+    if mask & aov_bit(AovId.NORMAL):
+        pos_n = (first.normal + 1.0) * 0.5
+        blended = accum(aovs["normal"], pos_n)
+        # renormalize like rgen:517-520
+        ren = blended * 2.0 - 1.0
+        ren = ren / jnp.maximum(jnp.linalg.norm(ren, axis=-1, keepdims=True), 1e-20)
+        out["normal"] = jnp.where(first.hit[:, None], (ren + 1.0) * 0.5, blended)
+    if mask & aov_bit(AovId.ALBEDO):
+        out["albedo"] = accum(aovs["albedo"], first.albedo)
+    if mask & aov_bit(AovId.BARYCENTRICS):
+        out["barycentrics"] = jnp.where(first.hit[:, None], first.barycentrics, aovs["barycentrics"])
+    if mask & aov_bit(AovId.TEXCOORDS):
+        out["texcoords"] = jnp.where(first.hit[:, None], first.texcoords, aovs["texcoords"])
+    if mask & aov_bit(AovId.TANGENTS):
+        out["tangents"] = jnp.where(first.hit[:, None], first.tangents, aovs["tangents"])
+    if mask & aov_bit(AovId.BITANGENTS):
+        out["bitangents"] = jnp.where(first.hit[:, None], first.bitangents, aovs["bitangents"])
+    if mask & aov_bit(AovId.DEPTH):
+        out["depth"] = jnp.where(first.hit, first.depth, aovs["depth"])
+    if mask & aov_bit(AovId.OBJECT_ID):
+        out["object_id"] = jnp.where(first.hit, first.object_id, aovs["object_id"])
+    if mask & aov_bit(AovId.FACE_ID):
+        out["face_id"] = jnp.where(first.hit, first.face_id, aovs["face_id"])
+    if mask & aov_bit(AovId.INSTANCE_ID):
+        out["instance_id"] = jnp.where(first.hit, first.instance_id, aovs["instance_id"])
+    if mask & aov_bit(AovId.THIN_WALLED):
+        out["thin_walled"] = jnp.where(first.hit[:, None], first.thin_walled, aovs["thin_walled"])
+    if mask & aov_bit(AovId.DOUBLE_SIDED):
+        out["double_sided"] = jnp.where(first.hit[:, None], first.double_sided, aovs["double_sided"])
+    if mask & aov_bit(AovId.OPACITY):
+        out["opacity"] = jnp.where(first.hit[:, None], first.opacity, aovs["opacity"])
+    if mask & aov_bit(AovId.NEE):
+        out["nee"] = jnp.where(first.hit[:, None], first.nee, aovs["nee"])
+    if mask & aov_bit(AovId.BOUNCES):
+        out["bounces"] = _inferno(bounces.astype(jnp.float32) / config.max_bounces)
+    if mask & aov_bit(AovId.CLOCK_CYCLES):
+        # no clockARB on TPU: per-pixel path length is the cost proxy
+        # (reference heatmap: rp_main.rgen:187-189, Gi.cpp:327-343)
+        out["clock_cycles"] = bounces
+    return out
+
+
+def _inferno(t: jnp.ndarray) -> jnp.ndarray:
+    """Polynomial fit of the matplotlib inferno colormap
+    (reference: colormap.glsl colormap_inferno)."""
+    t = jnp.clip(t, 0.0, 1.0)[:, None]
+    c0 = jnp.array([0.0002189403, 0.001651004, -0.01948089])
+    c1 = jnp.array([0.1065134, 0.5639564, 3.932712])
+    c2 = jnp.array([11.60249, -3.972853, -15.9424])
+    c3 = jnp.array([-41.70399, 17.43639, 44.35414])
+    c4 = jnp.array([77.162935, -33.40235, -81.80731])
+    c5 = jnp.array([-71.31942, 32.62606, 73.20951])
+    c6 = jnp.array([25.13112, -12.24266, -23.07032])
+    return c0 + t * (c1 + t * (c2 + t * (c3 + t * (c4 + t * (c5 + t * c6)))))
