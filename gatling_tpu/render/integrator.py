@@ -423,30 +423,36 @@ def _needs_first_hit(aov_mask: int) -> bool:
     return any(aov_mask & aov_bit(a) for a in _FIRST_HIT_AOVS)
 
 
-@partial(jax.jit, static_argnames=("config",))
-def render_frame(
+def render_pixels(
     config: RenderConfig,
     uniforms: Uniforms,
     geom: SceneGeometry,
     materials: MaterialTable,
     lights: LightArrays,
     dome: DomeLightData,
-    aovs: dict[str, jnp.ndarray],
-) -> dict[str, jnp.ndarray]:
-    """Render config.spp samples for every pixel and blend into the AOV
-    buffers with progressive accumulation
-    (reference: rp_main.rgen:506-515, Gi.cpp:2125-2129 sampleOffset logic)."""
-    n = config.width * config.height
-    pixel_index = jnp.arange(n, dtype=jnp.int32)
-    inv_spp = 1.0 / config.spp
+    pixel_index: jnp.ndarray,
+    spp: int,
+    sample_offset: jnp.ndarray,
+) -> SampleResult:
+    """Render `spp` samples for the given pixels, returning the mean color,
+    max path length and averaged first-hit info. The reusable core shared by
+    the single-chip path and the shard_map multi-chip path."""
+    n = pixel_index.shape[0]
+    inv_spp = 1.0 / spp
 
     def sample_body(s, carry):
         color_acc, bounce_acc, first_acc = carry
         res = trace_sample(config, uniforms, geom, materials, lights, dome,
-                           pixel_index, uniforms.sample_offset + s)
+                           pixel_index, sample_offset + s)
         color_acc = color_acc + res.color * inv_spp
         bounce_acc = jnp.maximum(bounce_acc, res.bounces)
-        return color_acc, bounce_acc, res.first
+        # average accumulating first-hit channels over samples; keep ids
+        # and flags from the latest sample
+        f = res.first._replace(
+            normal=first_acc.normal + res.first.normal * inv_spp,
+            albedo=first_acc.albedo + res.first.albedo * inv_spp,
+        )
+        return color_acc, bounce_acc, f
 
     zero3 = jnp.zeros((n, 3), jnp.float32)
     first0 = FirstHitInfo(
@@ -460,8 +466,20 @@ def render_frame(
         hit=jnp.zeros((n,), bool),
     )
     pixel_color, bounces, first = jax.lax.fori_loop(
-        0, config.spp, sample_body, (zero3, jnp.zeros((n,), jnp.int32), first0))
+        0, spp, sample_body, (zero3, jnp.zeros((n,), jnp.int32), first0))
+    return SampleResult(color=pixel_color, bounces=bounces, first=first)
 
+
+def blend_aovs(
+    config: RenderConfig,
+    uniforms: Uniforms,
+    aovs: dict[str, jnp.ndarray],
+    result: SampleResult,
+) -> dict[str, jnp.ndarray]:
+    """Blend one frame's result into the AOV buffers with progressive
+    accumulation (reference: rp_main.rgen:506-515)."""
+    pixel_color, bounces, first = result.color, result.bounces, result.first
+    n = pixel_color.shape[0]
     out = dict(aovs)
     offset = uniforms.sample_offset.astype(jnp.float32)
     spp = jnp.float32(config.spp)
@@ -519,6 +537,25 @@ def render_frame(
         # (reference heatmap: rp_main.rgen:187-189, Gi.cpp:327-343)
         out["clock_cycles"] = bounces
     return out
+
+
+@partial(jax.jit, static_argnames=("config",))
+def render_frame(
+    config: RenderConfig,
+    uniforms: Uniforms,
+    geom: SceneGeometry,
+    materials: MaterialTable,
+    lights: LightArrays,
+    dome: DomeLightData,
+    aovs: dict[str, jnp.ndarray],
+) -> dict[str, jnp.ndarray]:
+    """Single-chip frame: the full giRender dispatch analog
+    (reference: Gi.cpp:2437 cgpuCmdTraceRays + progressive accumulation)."""
+    n = config.width * config.height
+    pixel_index = jnp.arange(n, dtype=jnp.int32)
+    res = render_pixels(config, uniforms, geom, materials, lights, dome,
+                        pixel_index, config.spp, uniforms.sample_offset)
+    return blend_aovs(config, uniforms, aovs, res)
 
 
 def _inferno(t: jnp.ndarray) -> jnp.ndarray:

@@ -18,6 +18,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gatling_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
+import jax  # noqa: E402
+
+# The axon sitecustomize force-registers the TPU plugin and overrides
+# jax_platforms; unit tests must run on the virtual-device CPU backend.
+jax.config.update("jax_platforms", "cpu")
+
 import logging  # noqa: E402
 
 import pytest  # noqa: E402
