@@ -79,15 +79,17 @@ def main() -> None:
         "bounces": jnp.zeros((n, 3), jnp.float32),
     }
 
-    # warmup / compile
+    # warmup / compile. NOTE: a host readback (not just block_until_ready) is
+    # used to fence timing — the tunneled TPU backend's block_until_ready
+    # returns before remote execution finishes.
     out = render_frame(config, uniforms, geom, table, lights, default_dome(), aovs)
-    jax.block_until_ready(out)
+    _fence = float(jnp.sum(out["color"]))
 
     runs = 3
     t0 = time.perf_counter()
     for _ in range(runs):
         out = render_frame(config, uniforms, geom, table, lights, default_dome(), aovs)
-        jax.block_until_ready(out)
+        _fence = float(jnp.sum(out["color"]))
     dt = (time.perf_counter() - t0) / runs
 
     # traced segments: path segments per sample recovered from the bounces

@@ -34,7 +34,8 @@ from gatling_tpu.render.integrator import (
     render_frame,
 )
 from gatling_tpu.render.lights import build_light_arrays
-from gatling_tpu.render.material import build_material_table, lower_material
+from gatling_tpu.render.material import build_materials, lower_material
+from gatling_tpu.render.texture import TextureManager, empty_pool
 from gatling_tpu.scene.stage import CameraDesc, LightDesc, MaterialDesc, MeshDesc
 from gatling_tpu.utils.config import default_settings
 from gatling_tpu.utils.log import get_logger, init_logging
@@ -93,6 +94,8 @@ class GiScene:
         # cached device state
         self._geom: SceneGeometry | None = None
         self._material_table = None
+        self._texture_pool = None
+        self._texture_manager = TextureManager()
         self._material_index: dict[str | None, int] = {}
         self._light_arrays = None
         self._dome_data: DomeLightData | None = None
@@ -278,7 +281,8 @@ def render(params: GiRenderParams) -> None:
         rows = [None] * (len(scene._material_index))
         for path, idx in scene._material_index.items():
             rows[idx] = lower_material(scene.materials.get(path) if path else None)
-        scene._material_table = build_material_table(rows)
+        scene._material_table, scene._texture_pool = build_materials(
+            rows, scene._texture_manager)
 
     if scene.dirty & DirtyFlags.LIGHTS or scene._light_arrays is None:
         scene._light_arrays = build_light_arrays(scene.lights)
@@ -328,7 +332,8 @@ def render(params: GiRenderParams) -> None:
 
     scene._aov_state = render_frame(
         config, uniforms, scene._geom, scene._material_table,
-        scene._light_arrays, scene._dome_data or default_dome(), scene._aov_state)
+        scene._light_arrays, scene._dome_data or default_dome(), scene._aov_state,
+        scene._texture_pool or empty_pool())
 
     # device -> host AOV copies (Gi.cpp:2439-2502)
     for b in params.aov_bindings:

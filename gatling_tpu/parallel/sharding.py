@@ -39,6 +39,7 @@ from gatling_tpu.render.integrator import (
     render_pixels,
 )
 from gatling_tpu.render.material import MaterialTable
+from gatling_tpu.render.texture import TexturePool, empty_pool
 
 
 def make_mesh(n_tiles: int | None = None, n_spp: int = 1, devices=None) -> Mesh:
@@ -88,6 +89,7 @@ def render_frame_sharded(
     dome: DomeLightData,
     aovs: dict[str, jnp.ndarray],
     mesh: Mesh,
+    textures: TexturePool | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Multi-chip render step: tiles x spp sharded, psum-merged over ICI.
 
@@ -102,15 +104,17 @@ def render_frame_sharded(
     if config.spp % n_spp_shards != 0:
         raise ValueError(f"spp {config.spp} not divisible by spp axis {n_spp_shards}")
     local_spp = config.spp // n_spp_shards
+    if textures is None:
+        textures = empty_pool()
 
     pixel_index = jnp.arange(n, dtype=jnp.int32)
 
-    def shard_fn(pixel_idx, uniforms, geom, materials, lights, dome, aovs):
+    def shard_fn(pixel_idx, uniforms, geom, materials, lights, dome, textures, aovs):
         spp_rank = jax.lax.axis_index("spp")
         # disjoint sample window per spp shard keeps PCG streams decorrelated
         sample_offset = uniforms.sample_offset + spp_rank * local_spp
         res = render_pixels(config, uniforms, geom, materials, lights, dome,
-                            pixel_idx, local_spp, sample_offset)
+                            pixel_idx, local_spp, sample_offset, textures)
         res = _merge_spp_axis(res, n_spp_shards)
         return blend_aovs(config, uniforms, aovs, res)
 
@@ -118,13 +122,15 @@ def render_frame_sharded(
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P("tiles"), P(), P(), P(), P(), P(), aov_spec),
+        in_specs=(P("tiles"), P(), P(), P(), P(), P(), P(), aov_spec),
         out_specs=aov_spec,
         check_vma=False,
     )
-    return fn(pixel_index, uniforms, geom, materials, lights, dome, aovs)
+    return fn(pixel_index, uniforms, geom, materials, lights, dome, textures, aovs)
 
 
 @partial(jax.jit, static_argnames=("config", "mesh"))
-def render_frame_sharded_jit(config, uniforms, geom, materials, lights, dome, aovs, mesh):
-    return render_frame_sharded(config, uniforms, geom, materials, lights, dome, aovs, mesh)
+def render_frame_sharded_jit(config, uniforms, geom, materials, lights, dome, aovs,
+                             mesh, textures=None):
+    return render_frame_sharded(config, uniforms, geom, materials, lights, dome,
+                                aovs, mesh, textures)

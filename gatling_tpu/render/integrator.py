@@ -46,7 +46,13 @@ from gatling_tpu.ops.intersect import intersect_brute, occluded_brute
 from gatling_tpu.render import bsdf as bsdf_mod
 from gatling_tpu.render.camera import CameraUniforms, generate_primary_rays
 from gatling_tpu.render.lights import sample_light
-from gatling_tpu.render.material import MaterialTable, gather_params
+from gatling_tpu.render.material import (
+    MaterialTable,
+    apply_textures,
+    gather_params,
+    perturb_normal,
+)
+from gatling_tpu.render.texture import TexturePool, empty_pool
 
 
 @dataclasses.dataclass(frozen=True)
@@ -208,8 +214,11 @@ def trace_sample(
     dome: DomeLightData,
     pixel_index: jnp.ndarray,  # [N] i32
     sample_index: jnp.ndarray,  # [] i32
+    textures: TexturePool | None = None,
 ) -> SampleResult:
     """Trace one sample per pixel through the full bounce loop."""
+    if textures is None:
+        textures = empty_pool()
     n = pixel_index.shape[0]
     px = pixel_index % config.width
     py = pixel_index // config.width
@@ -283,6 +292,12 @@ def trace_sample(
         # ---- hit shading (rp_main.chit) ----
         st = _shading_state(geom, hit, s["direction"])
         params = gather_params(materials, st["material_id"])
+        params = apply_textures(materials, textures, params, st["material_id"], st["uv"])
+        st["normal"] = perturb_normal(
+            materials, textures, st["material_id"], st["uv"],
+            st["normal"], st["tangent"], st["bitangent"])
+        st["bitangent"] = jnp.cross(st["normal"], st["tangent"]) * jnp.sign(
+            jnp.sum(jnp.cross(st["normal"], st["tangent"]) * st["bitangent"], axis=-1, keepdims=True) + 1e-20)
 
         # emission (chit:292-343): front face, or any face of double-sided geo
         emission_ok = st["front"] | st["double_sided"]
@@ -433,6 +448,7 @@ def render_pixels(
     pixel_index: jnp.ndarray,
     spp: int,
     sample_offset: jnp.ndarray,
+    textures: TexturePool | None = None,
 ) -> SampleResult:
     """Render `spp` samples for the given pixels, returning the mean color,
     max path length and averaged first-hit info. The reusable core shared by
@@ -443,7 +459,7 @@ def render_pixels(
     def sample_body(s, carry):
         color_acc, bounce_acc, first_acc = carry
         res = trace_sample(config, uniforms, geom, materials, lights, dome,
-                           pixel_index, sample_offset + s)
+                           pixel_index, sample_offset + s, textures)
         color_acc = color_acc + res.color * inv_spp
         bounce_acc = jnp.maximum(bounce_acc, res.bounces)
         # average accumulating first-hit channels over samples; keep ids
@@ -548,13 +564,14 @@ def render_frame(
     lights: LightArrays,
     dome: DomeLightData,
     aovs: dict[str, jnp.ndarray],
+    textures: TexturePool | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Single-chip frame: the full giRender dispatch analog
     (reference: Gi.cpp:2437 cgpuCmdTraceRays + progressive accumulation)."""
     n = config.width * config.height
     pixel_index = jnp.arange(n, dtype=jnp.int32)
     res = render_pixels(config, uniforms, geom, materials, lights, dome,
-                        pixel_index, config.spp, uniforms.sample_offset)
+                        pixel_index, config.spp, uniforms.sample_offset, textures)
     return blend_aovs(config, uniforms, aovs, res)
 
 

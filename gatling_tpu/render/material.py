@@ -16,12 +16,14 @@ gltf_pbr subsets mapped onto the same parameter set.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from gatling_tpu.render.bsdf import BsdfParams
+from gatling_tpu.render.texture import TextureRef
 from gatling_tpu.scene.stage import MaterialDesc, ShaderNode
 from gatling_tpu.utils.log import get_logger
 
@@ -47,6 +49,11 @@ class MaterialTable(NamedTuple):
     roughness_tex: jnp.ndarray  # [M] i32
     opacity_tex: jnp.ndarray  # [M] i32
     normal_tex: jnp.ndarray  # [M] i32
+    # channel index (0..3) for single-channel texture reads (UsdUVTexture
+    # outputs:r/g/b/a), e.g. ORM-packed metallic/roughness maps
+    metallic_tex_ch: jnp.ndarray  # [M] i32
+    roughness_tex_ch: jnp.ndarray  # [M] i32
+    opacity_tex_ch: jnp.ndarray  # [M] i32
 
     @property
     def count(self) -> int:
@@ -68,7 +75,7 @@ class LoweredMaterial:
 
     params: dict
     traits: MaterialTraits
-    textures: dict[str, tuple[str, bool]]  # param -> (file path, is_srgb)
+    textures: dict[str, TextureRef]  # param -> texture request
 
 
 _DEFAULTS = {
@@ -93,10 +100,21 @@ def _vec3(v) -> tuple[float, float, float]:
     return v[:3] if len(v) >= 3 else (v + (0.0,) * 3)[:3]
 
 
-def _resolve_input(desc: MaterialDesc, node: ShaderNode, name: str, default):
+def _vec4(v, default=(1.0, 1.0, 1.0, 1.0)) -> tuple[float, float, float, float]:
+    if v is None:
+        return default
+    if isinstance(v, (int, float)):
+        return (float(v),) * 4
+    v = tuple(float(x) for x in v)
+    return (v + (0.0, 0.0, 0.0, 1.0))[:4]
+
+
+def _resolve_input(desc: MaterialDesc, node: ShaderNode, name: str, default,
+                   color_hint: bool = False):
     """Follow a shader input: constant, or a connected texture/primvar node.
 
-    Returns (value, texture_path_or_None, is_srgb_hint).
+    Returns (value, TextureRef_or_None, is_srgb_hint). Texture file paths
+    are resolved relative to the material's layer directory.
     """
     if name in node.input_connections:
         target_path, out_name = node.input_connections[name]
@@ -108,11 +126,24 @@ def _resolve_input(desc: MaterialDesc, node: ShaderNode, name: str, default):
             tex_file = target.inputs.get("file")
             fallback = target.inputs.get("fallback", default)
             cs = str(target.inputs.get("sourceColorSpace", "auto"))
-            is_srgb = cs in ("sRGB", "auto")
-            if out_name in ("r", "g", "b", "a"):
-                # single-channel read of a texture
-                return fallback, (str(tex_file), is_srgb, out_name) if tex_file else None, is_srgb
-            return fallback, (str(tex_file), is_srgb, "rgb") if tex_file else None, is_srgb
+            # 'auto': color inputs default to sRGB, data inputs to raw
+            # (UsdUVTexture colorspace inference, MtlxDocumentPatcher.cpp:201+)
+            is_srgb = cs == "sRGB" or (cs == "auto" and color_hint)
+            if not tex_file:
+                return fallback, None, is_srgb
+            path = str(tex_file)
+            if desc.base_dir and not os.path.isabs(path):
+                path = os.path.join(desc.base_dir, path)
+            ref = TextureRef(
+                file_path=path,
+                is_srgb=is_srgb,
+                wrap_s=str(target.inputs.get("wrapS", "useMetadata")),
+                wrap_t=str(target.inputs.get("wrapT", "useMetadata")),
+                scale=_vec4(target.inputs.get("scale")),
+                bias=_vec4(target.inputs.get("bias"), (0.0, 0.0, 0.0, 0.0)),
+                channel=out_name if out_name in ("r", "g", "b", "a") else "rgb",
+            )
+            return fallback, ref, is_srgb
         if sid.startswith("UsdPrimvarReader"):
             return target.inputs.get("fallback", default), None, False
         get_logger().debug("unhandled input node %s for %s", sid, name)
@@ -125,7 +156,7 @@ def _resolve_input(desc: MaterialDesc, node: ShaderNode, name: str, default):
 def lower_material(desc: MaterialDesc | None) -> LoweredMaterial:
     """Lower one material network to uber-BSDF parameters."""
     params = dict(_DEFAULTS)
-    textures: dict[str, tuple[str, bool]] = {}
+    textures: dict[str, TextureRef] = {}
     traits = MaterialTraits()
 
     node = None
@@ -135,22 +166,23 @@ def lower_material(desc: MaterialDesc | None) -> LoweredMaterial:
     if node is None:
         return LoweredMaterial(params=params, traits=traits, textures=textures)
 
-    def grab(input_name: str, param: str, conv=float, default=None):
+    def grab(input_name: str, param: str, conv=float, default=None, color=False):
         d = _DEFAULTS[param] if default is None else default
-        val, tex, _srgb = _resolve_input(desc, node, input_name, d)
+        val, tex, _srgb = _resolve_input(desc, node, input_name, d, color_hint=color)
         params[param] = conv(val) if val is not None else d
         if tex is not None:
-            textures[param] = (tex[0], tex[1])
+            textures[param] = tex
 
     sid = node.shader_id
     if sid == "UsdPreviewSurface":
-        grab("diffuseColor", "base_color", _vec3)
+        grab("diffuseColor", "base_color", _vec3, color=True)
+        grab("normal", "normal", _vec3, default=(0.0, 0.0, 1.0))
         grab("metallic", "metallic")
         grab("roughness", "roughness")
         grab("ior", "ior")
         grab("opacity", "opacity")
         grab("opacityThreshold", "opacity_threshold")
-        grab("emissiveColor", "emissive", _vec3)
+        grab("emissiveColor", "emissive", _vec3, color=True)
         grab("useSpecularWorkflow", "use_specular_workflow")
         grab("specularColor", "specular_color", _vec3)
     elif sid in ("ND_standard_surface_surfaceshader", "standard_surface"):
@@ -187,6 +219,13 @@ def lower_material(desc: MaterialDesc | None) -> LoweredMaterial:
     else:
         get_logger().warning("unknown surface shader id %r; using defaults", sid)
 
+    # normal-map scale/bias defaults: authors often omit the required
+    # scale=2 bias=-1 mapping (reference: previewSurfaceNetworkPatcher.cpp)
+    nref = textures.get("normal")
+    if nref is not None and nref.scale == (1.0, 1.0, 1.0, 1.0) and nref.bias == (0.0, 0.0, 0.0, 0.0):
+        textures["normal"] = dataclasses.replace(
+            nref, scale=(2.0, 2.0, 2.0, 1.0), bias=(-1.0, -1.0, -1.0, 0.0), is_srgb=False)
+
     traits.is_emissive = any(c > 0.0 for c in params["emissive"]) or "emissive" in textures
     traits.has_cutout = (
         params["opacity_threshold"] > 0.0
@@ -195,6 +234,36 @@ def lower_material(desc: MaterialDesc | None) -> LoweredMaterial:
     )
     traits.is_thin_walled = bool(params["thin_walled"])
     return LoweredMaterial(params=params, traits=traits, textures=textures)
+
+
+_CH_INDEX = {"r": 0, "g": 1, "b": 2, "a": 3, "rgb": 0}
+
+
+def build_materials(lowered: list[LoweredMaterial], texture_manager=None):
+    """Pack lowered materials into (MaterialTable, TexturePool): dedup the
+    texture requests, load them through the TextureManager, and record the
+    allocated slot per material parameter (the OffsetAllocator-slot analog,
+    Gi.cpp:1446-1490)."""
+    from gatling_tpu.render.texture import TextureManager, empty_pool
+
+    if not lowered:
+        lowered = [lower_material(None)]
+    refs: list[TextureRef] = []
+    ref_slot: dict[TextureRef, int] = {}
+    texture_slots: dict[int, dict[str, int]] = {}
+    for i, m in enumerate(lowered):
+        for param, ref in m.textures.items():
+            if ref not in ref_slot:
+                ref_slot[ref] = len(refs)
+                refs.append(ref)
+            texture_slots.setdefault(i, {})[param] = ref_slot[ref]
+    if refs:
+        tm = texture_manager or TextureManager()
+        pool = tm.build_pool(refs)
+    else:
+        pool = empty_pool()
+    table = build_material_table(lowered, texture_slots)
+    return table, pool
 
 
 def build_material_table(
@@ -216,6 +285,13 @@ def build_material_table(
         return jnp.asarray(np.array(
             [texture_slots.get(i, {}).get(param, -1) for i in range(len(lowered))], np.int32))
 
+    def ch_col(param):
+        out = []
+        for m in lowered:
+            ref = m.textures.get(param)
+            out.append(_CH_INDEX.get(ref.channel, 0) if ref else 0)
+        return jnp.asarray(np.array(out, np.int32))
+
     return MaterialTable(
         base_color=col("base_color", 3),
         metallic=col("metallic"),
@@ -234,6 +310,9 @@ def build_material_table(
         roughness_tex=tex_col("roughness"),
         opacity_tex=tex_col("opacity"),
         normal_tex=tex_col("normal"),
+        metallic_tex_ch=ch_col("metallic"),
+        roughness_tex_ch=ch_col("roughness"),
+        opacity_tex_ch=ch_col("opacity"),
     )
 
 
@@ -253,3 +332,50 @@ def gather_params(table: MaterialTable, material_ids: jnp.ndarray) -> BsdfParams
         transmission=g(table.transmission),
         thin_walled=g(table.thin_walled) > 0,
     )
+
+
+def apply_textures(table: MaterialTable, pool, params: BsdfParams,
+                   material_ids: jnp.ndarray, uv: jnp.ndarray) -> BsdfParams:
+    """Overlay texture lookups on gathered constants where slots are bound
+    (the wavefront analog of the MDL-generated tex_lookup calls,
+    mdl_interface.glsl:8-140). No-op (and free after DCE) when the pool has
+    no real textures."""
+    from gatling_tpu.render.texture import sample_pool
+
+    if int(pool.offset.shape[0]) <= 1 and int(pool.texels.shape[0]) <= 1:
+        return params
+
+    def rgb(slot_col, constant):
+        slot = slot_col[material_ids]
+        val = sample_pool(pool, slot, uv)
+        return jnp.where((slot >= 0)[:, None], val[:, :3], constant)
+
+    def scalar(slot_col, ch_col, constant):
+        slot = slot_col[material_ids]
+        ch = ch_col[material_ids]
+        val = sample_pool(pool, slot, uv)
+        picked = jnp.take_along_axis(val, ch[:, None], axis=1)[:, 0]
+        return jnp.where(slot >= 0, picked, constant)
+
+    return params._replace(
+        base_color=rgb(table.base_color_tex, params.base_color),
+        emissive=rgb(table.emissive_tex, params.emissive),
+        metallic=scalar(table.metallic_tex, table.metallic_tex_ch, params.metallic),
+        roughness=scalar(table.roughness_tex, table.roughness_tex_ch, params.roughness),
+        opacity=scalar(table.opacity_tex, table.opacity_tex_ch, params.opacity),
+    )
+
+
+def perturb_normal(table: MaterialTable, pool, material_ids: jnp.ndarray,
+                   uv: jnp.ndarray, n: jnp.ndarray, t: jnp.ndarray,
+                   b: jnp.ndarray) -> jnp.ndarray:
+    """Tangent-space normal mapping (UsdPreviewSurface `normal` input)."""
+    from gatling_tpu.render.texture import sample_pool
+
+    if int(pool.offset.shape[0]) <= 1 and int(pool.texels.shape[0]) <= 1:
+        return n
+    slot = table.normal_tex[material_ids]
+    nm = sample_pool(pool, slot, uv)[:, :3]
+    mapped = nm[:, 0:1] * t + nm[:, 1:2] * b + jnp.maximum(nm[:, 2:3], 1e-3) * n
+    mapped = mapped / jnp.maximum(jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-20)
+    return jnp.where((slot >= 0)[:, None], mapped, n)
