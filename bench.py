@@ -39,11 +39,14 @@ def main() -> None:
     spp = int(os.environ.get("GATLING_BENCH_SPP", "16"))
     max_bounces = int(os.environ.get("GATLING_BENCH_BOUNCES", "8"))
 
+    from gatling_tpu.gi import _build_accel
+
     desc = load_scene(scene_path)
     mat_paths = sorted({m.material for m in desc.meshes if m.material})
     midx = {p: i for i, p in enumerate(mat_paths)}
     midx[None] = len(mat_paths)
     geom = build_geometry(desc.meshes, midx)
+    tracer, accel, geom = _build_accel(geom)
     rows = [None] * len(midx)
     for p, i in midx.items():
         rows[i] = lower_material(desc.materials.get(p) if p else None)
@@ -53,7 +56,8 @@ def main() -> None:
 
     config = RenderConfig(
         width=width, height=height, spp=spp, max_bounces=max_bounces,
-        rr_bounce_offset=3, aov_mask=aov_bit(AovId.COLOR) | aov_bit(AovId.BOUNCES))
+        rr_bounce_offset=3, aov_mask=aov_bit(AovId.COLOR) | aov_bit(AovId.BOUNCES),
+        tracer=tracer)
     uniforms = Uniforms(
         camera=CameraUniforms(
             position=jnp.asarray(cam.position, jnp.float32),
@@ -82,13 +86,15 @@ def main() -> None:
     # warmup / compile. NOTE: a host readback (not just block_until_ready) is
     # used to fence timing — the tunneled TPU backend's block_until_ready
     # returns before remote execution finishes.
-    out = render_frame(config, uniforms, geom, table, lights, default_dome(), aovs)
+    out = render_frame(config, uniforms, geom, table, lights, default_dome(), aovs,
+                       accel=accel)
     _fence = float(jnp.sum(out["color"]))
 
     runs = 3
     t0 = time.perf_counter()
     for _ in range(runs):
-        out = render_frame(config, uniforms, geom, table, lights, default_dome(), aovs)
+        out = render_frame(config, uniforms, geom, table, lights, default_dome(), aovs,
+                           accel=accel)
         _fence = float(jnp.sum(out["color"]))
     dt = (time.perf_counter() - t0) / runs
 
@@ -98,7 +104,7 @@ def main() -> None:
     # mean path length lower bound: every sample traces at least 1 segment and
     # terminated paths traced `bounce` segments. Use a dedicated count render:
     mean_path_len = estimate_mean_path_length(
-        config, uniforms, geom, table, lights)
+        config, uniforms, geom, table, lights, accel)
     rays = n * spp * mean_path_len
     mrays_per_sec = rays / dt / 1e6
 
@@ -113,13 +119,14 @@ def main() -> None:
             "max_bounces": max_bounces,
             "mean_path_length": round(float(mean_path_len), 3),
             "frame_seconds": round(dt, 4),
+            "tracer": tracer,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },
     }))
 
 
-def estimate_mean_path_length(config, uniforms, geom, table, lights) -> float:
+def estimate_mean_path_length(config, uniforms, geom, table, lights, accel=None) -> float:
     """Re-trace a subsample grid with the bounce counter to get the mean
     number of traced segments per path."""
     from gatling_tpu.render.integrator import trace_sample, default_dome
@@ -130,7 +137,7 @@ def estimate_mean_path_length(config, uniforms, geom, table, lights) -> float:
     n = small.width * small.height
     pix = jnp.arange(n, dtype=jnp.int32)
     res = trace_sample(small, uniforms, geom, table, lights, default_dome(),
-                       pix, jnp.int32(0))
+                       pix, jnp.int32(0), None, accel)
     return float(jnp.mean(res.bounces.astype(jnp.float32)))
 
 

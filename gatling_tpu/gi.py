@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import os
 import time
 from typing import Any
 
@@ -27,12 +28,15 @@ from gatling_tpu.interface import AOV_CHANNELS, AOV_IS_INT, AovId, aov_bit
 from gatling_tpu.ops.geometry import SceneGeometry, build_geometry
 from gatling_tpu.render.camera import CameraUniforms
 from gatling_tpu.render.integrator import (
+    Accel,
     DomeLightData,
     RenderConfig,
     Uniforms,
     default_dome,
     render_frame,
 )
+from gatling_tpu.ops.bvh import build_bvh, reorder_geometry
+from gatling_tpu.ops.pallas_trace import build_trace_tables
 from gatling_tpu.render.lights import build_light_arrays
 from gatling_tpu.render.material import build_materials, lower_material
 from gatling_tpu.render.texture import TextureManager, empty_pool
@@ -93,6 +97,8 @@ class GiScene:
         self.dirty = DirtyFlags.ALL
         # cached device state
         self._geom: SceneGeometry | None = None
+        self._accel: Accel | None = None
+        self._tracer: str = "brute"
         self._material_table = None
         self._texture_pool = None
         self._texture_manager = TextureManager()
@@ -191,6 +197,37 @@ def _params_key(params: GiRenderParams, width: int, height: int):
     )
 
 
+# triangle-count threshold where the MXU brute-force kernel loses to the
+# BVH walk (the whole coefficient table must also fit VMEM)
+PALLAS_BRUTE_MAX_TRIS = 8192
+
+
+def _build_accel(geom) -> tuple[str, Accel, Any]:
+    """Pick the tracer for this scene size/backend and build its
+    acceleration data (the _giCreateBvh analog, Gi.cpp:1206-1315)."""
+    import jax
+
+    forced = os.environ.get("GATLING_TRACER")
+    t = geom.num_triangles
+    on_tpu = jax.default_backend() == "tpu"
+    if forced in ("brute", "pallas", "bvh"):
+        tracer = forced
+    elif on_tpu and t <= PALLAS_BRUTE_MAX_TRIS:
+        tracer = "pallas"
+    elif t > 2048:
+        tracer = "bvh"
+    else:
+        tracer = "brute"
+
+    if tracer == "pallas":
+        return tracer, Accel(tables=build_trace_tables(geom)), geom
+    if tracer == "bvh":
+        bvh, order = build_bvh(geom.v0, geom.e1, geom.e2)
+        geom = reorder_geometry(geom, order)
+        return tracer, Accel(bvh=bvh), geom
+    return tracer, Accel(), geom
+
+
 def _build_config(params: GiRenderParams, width: int, height: int, aov_mask: int) -> RenderConfig:
     s = params.render_settings
     return RenderConfig(
@@ -208,6 +245,7 @@ def _build_config(params: GiRenderParams, width: int, height: int, aov_mask: int
         dome_light_camera_visible=bool(s.get("domeLightCameraVisible", True)),
         aov_mask=aov_mask,
         medium_stack_size=int(s.get("mediumStackSize", 0)),
+        tracer=params.scene._tracer,
     )
 
 
@@ -273,9 +311,11 @@ def render(params: GiRenderParams) -> None:
         scene._material_index = {p: i for i, p in enumerate(mat_paths)}
         scene._material_index[None] = len(mat_paths)
         scene._geom = build_geometry(scene.meshes, scene._material_index)
+        scene._tracer, scene._accel, scene._geom = _build_accel(scene._geom)
         scene.dirty |= DirtyFlags.MATERIALS
-        log.info("built geometry: %d triangles in %.1f ms",
-                 scene._geom.num_triangles, 1e3 * (time.monotonic() - t0))
+        log.info("built geometry: %d triangles, tracer=%s, in %.1f ms",
+                 scene._geom.num_triangles, scene._tracer,
+                 1e3 * (time.monotonic() - t0))
 
     if scene.dirty & DirtyFlags.MATERIALS or scene._material_table is None:
         rows = [None] * (len(scene._material_index))
@@ -333,7 +373,7 @@ def render(params: GiRenderParams) -> None:
     scene._aov_state = render_frame(
         config, uniforms, scene._geom, scene._material_table,
         scene._light_arrays, scene._dome_data or default_dome(), scene._aov_state,
-        scene._texture_pool or empty_pool())
+        scene._texture_pool or empty_pool(), scene._accel)
 
     # device -> host AOV copies (Gi.cpp:2439-2502)
     for b in params.aov_bindings:

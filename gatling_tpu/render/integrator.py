@@ -42,7 +42,9 @@ from gatling_tpu.interface import (
 )
 from gatling_tpu.ops import sampling as smp
 from gatling_tpu.ops.geometry import SceneGeometry
+from gatling_tpu.ops.bvh import BvhArrays, traverse_closest, traverse_occluded
 from gatling_tpu.ops.intersect import intersect_brute, occluded_brute
+from gatling_tpu.ops.pallas_trace import TraceTables, intersect_pallas, occluded_pallas
 from gatling_tpu.render import bsdf as bsdf_mod
 from gatling_tpu.render.camera import CameraUniforms, generate_primary_rays
 from gatling_tpu.render.lights import sample_light
@@ -75,6 +77,33 @@ class RenderConfig:
     dome_light_camera_visible: bool = True
     aov_mask: int = aov_bit(AovId.COLOR)
     medium_stack_size: int = 0
+    # ray-tracing backend: 'brute' (tiled jnp MT), 'pallas' (MXU matmul
+    # kernel, ops/pallas_trace.py), 'bvh' (stackless threaded BVH)
+    tracer: str = "brute"
+
+
+class Accel(NamedTuple):
+    """Acceleration-structure arrays for the configured tracer (the
+    BLAS/TLAS handle analog, Gi.cpp GiBvh). Unused members are None."""
+
+    tables: TraceTables | None = None
+    bvh: BvhArrays | None = None
+
+
+def _trace_closest(config, accel, geom, origins, dirs, tmin, tmax):
+    if config.tracer == "pallas":
+        return intersect_pallas(origins, dirs, tmin, tmax, accel.tables)
+    if config.tracer == "bvh":
+        return traverse_closest(origins, dirs, tmin, tmax, accel.bvh, geom)
+    return intersect_brute(origins, dirs, tmin, tmax, geom)
+
+
+def _trace_occluded(config, accel, geom, origins, dirs, tmin, tmax):
+    if config.tracer == "pallas":
+        return occluded_pallas(origins, dirs, tmin, tmax, accel.tables)
+    if config.tracer == "bvh":
+        return traverse_occluded(origins, dirs, tmin, tmax, accel.bvh, geom)
+    return occluded_brute(origins, dirs, tmin, tmax, geom)
 
 
 class Uniforms(NamedTuple):
@@ -215,10 +244,13 @@ def trace_sample(
     pixel_index: jnp.ndarray,  # [N] i32
     sample_index: jnp.ndarray,  # [] i32
     textures: TexturePool | None = None,
+    accel: Accel | None = None,
 ) -> SampleResult:
     """Trace one sample per pixel through the full bounce loop."""
     if textures is None:
         textures = empty_pool()
+    if accel is None:
+        accel = Accel()
     n = pixel_index.shape[0]
     px = pixel_index % config.width
     py = pixel_index // config.width
@@ -275,7 +307,7 @@ def trace_sample(
             tmax = jnp.full((n,), FLOAT_MAX, jnp.float32)
         tmax = jnp.where(alive, tmax, 0.0)  # dead rays do no work
 
-        hit = intersect_brute(s["origin"], s["direction"], tmin, tmax, geom)
+        hit = _trace_closest(config, accel, geom, s["origin"], s["direction"], tmin, tmax)
         is_hit = (~hit.missed) & alive
         is_miss = hit.missed & alive
 
@@ -378,7 +410,7 @@ def trace_sample(
             do_trace = (smp.luminance(contrib) > 1e-6) & (light_dist > 1e-9)
             sh_tmin = jnp.where(do_trace, 0.01, 0.0)
             sh_tmax = jnp.where(do_trace, light_dist, 0.0)
-            shadowed = occluded_brute(new_origin, dir_to_light, sh_tmin, sh_tmax, geom)
+            shadowed = _trace_occluded(config, accel, geom, new_origin, dir_to_light, sh_tmin, sh_tmax)
             add = do_trace & ~shadowed
             radiance = radiance + jnp.where(add[:, None], contrib, 0.0)
             if config.aov_mask & aov_bit(AovId.NEE):
@@ -449,6 +481,7 @@ def render_pixels(
     spp: int,
     sample_offset: jnp.ndarray,
     textures: TexturePool | None = None,
+    accel: Accel | None = None,
 ) -> SampleResult:
     """Render `spp` samples for the given pixels, returning the mean color,
     max path length and averaged first-hit info. The reusable core shared by
@@ -459,7 +492,7 @@ def render_pixels(
     def sample_body(s, carry):
         color_acc, bounce_acc, first_acc = carry
         res = trace_sample(config, uniforms, geom, materials, lights, dome,
-                           pixel_index, sample_offset + s, textures)
+                           pixel_index, sample_offset + s, textures, accel)
         color_acc = color_acc + res.color * inv_spp
         bounce_acc = jnp.maximum(bounce_acc, res.bounces)
         # average accumulating first-hit channels over samples; keep ids
@@ -565,13 +598,14 @@ def render_frame(
     dome: DomeLightData,
     aovs: dict[str, jnp.ndarray],
     textures: TexturePool | None = None,
+    accel: Accel | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Single-chip frame: the full giRender dispatch analog
     (reference: Gi.cpp:2437 cgpuCmdTraceRays + progressive accumulation)."""
     n = config.width * config.height
     pixel_index = jnp.arange(n, dtype=jnp.int32)
     res = render_pixels(config, uniforms, geom, materials, lights, dome,
-                        pixel_index, config.spp, uniforms.sample_offset, textures)
+                        pixel_index, config.spp, uniforms.sample_offset, textures, accel)
     return blend_aovs(config, uniforms, aovs, res)
 
 
