@@ -259,6 +259,171 @@ def occluded_pallas(origins, dirs, tmin, tmax, tables: TraceTables) -> jnp.ndarr
 
 
 # ---------------------------------------------------------------------------
+# VPU variant: classic elementwise Möller-Trumbore with VMEM blocking.
+# Triangles are laid out [n_tiles, 9, TRI_TILE] (v0.xyz, e1.xyz, e2.xyz along
+# dim 1) so each tile slice broadcasts [1, TRI_TILE] against ray components
+# [RB, 1]. No [R, T] intermediate leaves VMEM. Useful comparison point /
+# fallback when MXU passes cost more than VPU flops (K=16 underutilizes the
+# systolic array).
+# ---------------------------------------------------------------------------
+
+
+class TriTiles(NamedTuple):
+    tris: jnp.ndarray  # [n_tiles, 9, TRI_TILE]
+    n_tris: int
+
+
+def build_tri_tiles(geom: SceneGeometry) -> TriTiles:
+    t = geom.v0.shape[0]
+    assert t % TRI_TILE == 0
+    data = jnp.concatenate([geom.v0, geom.e1, geom.e2], axis=1)  # [T, 9]
+    data = data.reshape(t // TRI_TILE, TRI_TILE, 9)
+    return TriTiles(tris=jnp.transpose(data, (0, 2, 1)), n_tris=t)
+
+
+def _mt_tile(feat, tile, tmin, tmax):
+    """Elementwise MT for [RB] rays x [TRI_TILE] tris. feat is the [RB,16]
+    ray feature block (components sliced out); returns (t, u, v, valid)."""
+    ox, oy, oz = feat[:, 0:1], feat[:, 1:2], feat[:, 2:3]
+    dx, dy, dz = feat[:, 3:4], feat[:, 4:5], feat[:, 5:6]
+    v0x, v0y, v0z = tile[0:1], tile[1:2], tile[2:3]
+    e1x, e1y, e1z = tile[3:4], tile[4:5], tile[5:6]
+    e2x, e2y, e2z = tile[6:7], tile[7:8], tile[8:9]
+
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    ok = jnp.abs(det) > 1e-12
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+    valid = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > tmin) & (t < tmax)
+    return t, u, v, valid
+
+
+def _closest_hit_kernel_vpu(feat_ref, tmin_ref, tmax_ref, tris_ref,
+                            t_out, tri_out, u_out, v_out):
+    feat = feat_ref[:]
+    tmin = tmin_ref[:].reshape(RAY_BLOCK, 1)
+    tmax = tmax_ref[:].reshape(RAY_BLOCK, 1)
+    n_tiles = tris_ref.shape[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (RAY_BLOCK, TRI_TILE), 1)
+
+    def body(j, carry):
+        best_t, best_tri, best_u, best_v = carry
+        t, u, v, valid = _mt_tile(feat, tris_ref[j], tmin, jnp.minimum(tmax, best_t))
+        tm = jnp.where(valid, t, FLOAT_MAX)
+        tile_min = jnp.min(tm, axis=1, keepdims=True)
+        is_min = (tm <= tile_min) & (tile_min < FLOAT_MAX)
+        lane_idx = jnp.min(jnp.where(is_min, lanes, TRI_TILE), axis=1, keepdims=True)
+        pick = lanes == lane_idx
+        sel = lambda x: jnp.sum(jnp.where(pick, x, 0.0), axis=1, keepdims=True)  # noqa: E731
+        better = tile_min < best_t
+        best_tri = jnp.where(better, j * TRI_TILE + lane_idx, best_tri)
+        best_u = jnp.where(better, sel(u), best_u)
+        best_v = jnp.where(better, sel(v), best_v)
+        best_t = jnp.where(better, tile_min, best_t)
+        return best_t, best_tri, best_u, best_v
+
+    init = (
+        jnp.full((RAY_BLOCK, 1), FLOAT_MAX, jnp.float32),
+        jnp.full((RAY_BLOCK, 1), -1, jnp.int32),
+        jnp.zeros((RAY_BLOCK, 1), jnp.float32),
+        jnp.zeros((RAY_BLOCK, 1), jnp.float32),
+    )
+    best_t, best_tri, best_u, best_v = jax.lax.fori_loop(0, n_tiles, body, init)
+    t_out[:] = best_t.reshape(RAY_BLOCK)
+    tri_out[:] = best_tri.reshape(RAY_BLOCK)
+    u_out[:] = best_u.reshape(RAY_BLOCK)
+    v_out[:] = best_v.reshape(RAY_BLOCK)
+
+
+def _occlusion_kernel_vpu(feat_ref, tmin_ref, tmax_ref, tris_ref, hit_out):
+    feat = feat_ref[:]
+    tmin = tmin_ref[:].reshape(RAY_BLOCK, 1)
+    tmax = tmax_ref[:].reshape(RAY_BLOCK, 1)
+    n_tiles = tris_ref.shape[0]
+
+    def body(j, any_hit):
+        _t, _u, _v, valid = _mt_tile(feat, tris_ref[j], tmin, tmax)
+        return any_hit | jnp.any(valid, axis=1, keepdims=True)
+
+    any_hit = jax.lax.fori_loop(0, n_tiles, body,
+                                jnp.zeros((RAY_BLOCK, 1), jnp.bool_))
+    hit_out[:] = any_hit.reshape(RAY_BLOCK).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=())
+def intersect_pallas_vpu(origins, dirs, tmin, tmax, tiles: TriTiles) -> Hit:
+    r = origins.shape[0]
+    r_pad = -(-r // RAY_BLOCK) * RAY_BLOCK
+    feat = _pad_rays(ray_features(origins, dirs), r_pad)
+    tmin_p = _pad_rays(tmin, r_pad)
+    tmax_p = _pad_rays(tmax, r_pad)
+    n_tiles = tiles.tris.shape[0]
+    t, tri, u, v = pl.pallas_call(
+        _closest_hit_kernel_vpu,
+        grid=(r_pad // RAY_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((RAY_BLOCK, N_FEATURES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, 9, TRI_TILE), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r_pad,), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad,), jnp.int32),
+            jax.ShapeDtypeStruct((r_pad,), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad,), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(feat, tmin_p, tmax_p, tiles.tris)
+    return Hit(t=t[:r], tri=tri[:r], u=u[:r], v=v[:r])
+
+
+@partial(jax.jit, static_argnames=())
+def occluded_pallas_vpu(origins, dirs, tmin, tmax, tiles: TriTiles) -> jnp.ndarray:
+    r = origins.shape[0]
+    r_pad = -(-r // RAY_BLOCK) * RAY_BLOCK
+    feat = _pad_rays(ray_features(origins, dirs), r_pad)
+    tmin_p = _pad_rays(tmin, r_pad)
+    tmax_p = _pad_rays(tmax, r_pad)
+    n_tiles = tiles.tris.shape[0]
+    hit = pl.pallas_call(
+        _occlusion_kernel_vpu,
+        grid=(r_pad // RAY_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((RAY_BLOCK, N_FEATURES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, 9, TRI_TILE), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((RAY_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r_pad,), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(feat, tmin_p, tmax_p, tiles.tris)
+    return hit[:r] > 0
+
+
+# ---------------------------------------------------------------------------
 # jnp reference of the feature/coefficient formulation (used by unit tests to
 # validate the math independent of the Pallas lowering)
 # ---------------------------------------------------------------------------
