@@ -335,7 +335,8 @@ def trace_sample(
         emission_ok = st["front"] | st["double_sided"]
         radiance = radiance + jnp.where(
             (is_hit & emission_ok)[:, None],
-            throughput * bsdf_mod.edf_emission(params), 0.0)
+            throughput * bsdf_mod.edf_emission(params)
+            * jnp.exp2(uniforms.camera.sensor_exposure), 0.0)
 
         # first-bounce AOVs (chit:191-290)
         if _needs_first_hit(config.aov_mask):

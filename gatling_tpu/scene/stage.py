@@ -299,6 +299,30 @@ def _build_light(prim: Prim, world: np.ndarray, base_dir: str) -> LightDesc:
     return LightDesc(path=prim.path, light_type=lt, transform=world, params=params)
 
 
+def _filter_triangles(tri: meshproc.TriangulatedMesh, keep: np.ndarray) -> meshproc.TriangulatedMesh:
+    """Select triangles whose source polygon is in `keep` (bool per face id)."""
+    mask = keep[tri.face_ids]
+    corner = np.repeat(mask, 3)
+    return meshproc.TriangulatedMesh(
+        positions=tri.positions[corner], normals=tri.normals[corner],
+        tangents=tri.tangents[corner], bitangent_signs=tri.bitangent_signs[corner],
+        uvs=tri.uvs[corner], face_ids=tri.face_ids[mask])
+
+
+def _display_color_material(prim: Prim) -> MaterialDesc | None:
+    """Fallback material driven by displayColor, mirroring the reference's
+    default displayColor MaterialX material (renderDelegate.cpp:64-78)."""
+    dc = prim.attrs.get("primvars:displayColor")
+    color = (0.5, 0.5, 0.5)
+    if dc is not None and dc.value:
+        v = dc.value[0] if isinstance(dc.value, list) else dc.value
+        color = tuple(float(c) for c in v)[:3]
+    path = prim.path + "/__displayColor"
+    node = ShaderNode(path=path + "/s", shader_id="UsdPreviewSurface",
+                      inputs={"diffuseColor": color}, input_connections={})
+    return MaterialDesc(path=path, surface_node=node.path, nodes={node.path: node})
+
+
 def _build_mesh(prim: Prim, world: np.ndarray, object_id: int) -> MeshDesc | None:
     points = _attr_val(prim, "points")
     counts = _attr_val(prim, "faceVertexCounts")
@@ -351,19 +375,114 @@ def _build_mesh(prim: Prim, world: np.ndarray, object_id: int) -> MeshDesc | Non
     )
 
 
+def _instance_transforms(prim: Prim) -> np.ndarray:
+    """PointInstancer per-instance matrices, row-vector convention:
+    M_i = S_i @ R_i @ T_i (scale, then orient, then translate — the standard
+    UsdGeomPointInstancer op order; reference: instancer.cpp:41-85)."""
+    positions = np.asarray(_attr_val(prim, "positions", []), np.float64)
+    n = len(positions)
+    orientations = _attr_val(prim, "orientations")
+    scales = _attr_val(prim, "scales")
+    mats = np.tile(np.eye(4), (n, 1, 1))
+    if scales is not None:
+        s = np.asarray(scales, np.float64)
+        for k in range(3):
+            mats[:, k, k] = s[:, k]
+    if orientations is not None:
+        q = np.asarray(orientations, np.float64)  # (w, x, y, z) per usda
+        w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        r = np.empty((n, 3, 3))
+        r[:, 0, 0] = 1 - 2 * (y * y + z * z); r[:, 0, 1] = 2 * (x * y + z * w); r[:, 0, 2] = 2 * (x * z - y * w)
+        r[:, 1, 0] = 2 * (x * y - z * w); r[:, 1, 1] = 1 - 2 * (x * x + z * z); r[:, 1, 2] = 2 * (y * z + x * w)
+        r[:, 2, 0] = 2 * (x * z + y * w); r[:, 2, 1] = 2 * (y * z - x * w); r[:, 2, 2] = 1 - 2 * (x * x + y * y)
+        rot = np.tile(np.eye(4), (n, 1, 1))
+        rot[:, :3, :3] = r
+        mats = mats @ rot
+    trans = np.tile(np.eye(4), (n, 1, 1))
+    trans[:, 3, :3] = positions
+    return mats @ trans
+
+
 def build_scene(stage: Stage) -> SceneDesc:
     """Walk the stage and produce the renderable scene description."""
     base_dir = os.path.dirname(os.path.abspath(stage.path)) if stage.path else ""
     scene = SceneDesc(meshes=[], materials={}, lights=[], cameras={},
                       meters_per_unit=float(stage.meta.get("metersPerUnit", 1.0)))
 
+    def add_mesh_prim(prim: Prim, world: np.ndarray,
+                      instance_transforms: np.ndarray | None = None) -> None:
+        mesh = _build_mesh(prim, world, object_id=len(scene.meshes))
+        if mesh is None:
+            return
+        mesh.instance_transforms = instance_transforms
+        # GeomSubsets: per-face material bindings -> one MeshDesc per subset
+        # (reference: mesh.cpp:1036-1137)
+        subsets = [c for c in prim.children.values() if c.type_name == "GeomSubset"
+                   and c.rels.get("material:binding")]
+        if subsets:
+            n_faces = int(mesh.mesh.face_ids.max()) + 1 if mesh.mesh.num_triangles else 0
+            assigned = np.zeros(n_faces, bool)
+            for sub in subsets:
+                idx = np.asarray(_attr_val(sub, "indices", []), np.int64)
+                keep = np.zeros(n_faces, bool)
+                keep[idx[idx < n_faces]] = True
+                assigned |= keep
+                sub_tri = _filter_triangles(mesh.mesh, keep)
+                if sub_tri.num_triangles:
+                    scene.meshes.append(MeshDesc(
+                        path=sub.path, mesh=sub_tri, transform=world,
+                        material=sub.rels["material:binding"][0],
+                        double_sided=mesh.double_sided,
+                        object_id=mesh.object_id,
+                        instance_transforms=instance_transforms))
+            rest = _filter_triangles(mesh.mesh, ~assigned)
+            if rest.num_triangles:
+                mesh.mesh = rest
+                scene.meshes.append(mesh)
+        else:
+            scene.meshes.append(mesh)
+        if mesh.material is None:
+            fallback = _display_color_material(prim)
+            if fallback is not None:
+                scene.materials[fallback.path] = fallback
+                for m in scene.meshes:
+                    if m.path == prim.path and m.material is None:
+                        m.material = fallback.path
+
+    def handle_instancer(prim: Prim, world: np.ndarray) -> None:
+        protos = prim.rels.get("prototypes", [])
+        proto_idx = np.asarray(_attr_val(prim, "protoIndices", []), np.int64)
+        inst_mats = _instance_transforms(prim)
+        for p_i, proto_path in enumerate(protos):
+            proto = stage.find(proto_path)
+            if proto is None:
+                continue
+            sel = inst_mats[proto_idx == p_i]
+            if len(sel) == 0:
+                continue
+
+            def proto_walk(p: Prim, rel: np.ndarray) -> None:
+                rel2 = local_transform(p) @ rel
+                if p.type_name == "Mesh":
+                    xforms = np.stack([rel2 @ m @ world for m in sel])
+                    add_mesh_prim(p, world, instance_transforms=xforms)
+                for c in p.children.values():
+                    proto_walk(c, rel2)
+
+            proto_walk(proto, np.eye(4))
+
     def walk(prim: Prim, parent_world: np.ndarray, parent_visible: bool) -> None:
         world = local_transform(prim) @ parent_world
         visible = parent_visible and str(_attr_val(prim, "visibility", "inherited")) != "invisible"
+        purpose = str(_attr_val(prim, "purpose", "default"))
+        if purpose in ("proxy", "guide"):
+            return
         if prim.type_name == "Mesh" and visible:
-            mesh = _build_mesh(prim, world, object_id=len(scene.meshes))
-            if mesh is not None:
-                scene.meshes.append(mesh)
+            add_mesh_prim(prim, world)
+        elif prim.type_name == "PointInstancer":
+            if visible:
+                handle_instancer(prim, world)
+            return  # prototypes are referenced explicitly, not walked
         elif prim.type_name == "Camera":
             scene.cameras[prim.path] = _build_camera(prim, world)
         elif prim.type_name == "Material":
