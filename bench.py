@@ -73,6 +73,7 @@ def main() -> None:
         rr_inv_min_term_prob=jnp.float32(0.95),
         light_intensity_multiplier=jnp.float32(1.0),
         meters_per_scene_unit=jnp.float32(1.0),
+        max_volume_walk_length=jnp.int32(7),
         dome_rotation=jnp.asarray([0, 0, 0, 1], jnp.float32),
         dome_emission_multiplier=jnp.ones(3, jnp.float32),
         dome_diffuse_specular=jnp.ones(2, jnp.float32),

@@ -100,6 +100,7 @@ class GiScene:
         self._accel: Accel | None = None
         self._tracer: str = "brute"
         self._material_table = None
+        self._has_volumes = False
         self._texture_pool = None
         self._texture_manager = TextureManager()
         self._material_index: dict[str | None, int] = {}
@@ -246,6 +247,7 @@ def _build_config(params: GiRenderParams, width: int, height: int, aov_mask: int
         aov_mask=aov_mask,
         medium_stack_size=int(s.get("mediumStackSize", 0)),
         tracer=params.scene._tracer,
+        has_volumes=params.scene._has_volumes,
     )
 
 
@@ -323,6 +325,9 @@ def render(params: GiRenderParams) -> None:
             rows[idx] = lower_material(scene.materials.get(path) if path else None)
         scene._material_table, scene._texture_pool = build_materials(
             rows, scene._texture_manager)
+        scene._has_volumes = any(
+            any(c > 0.0 for c in r.params["volume_absorption"])
+            or any(c > 0.0 for c in r.params["volume_scattering"]) for r in rows)
 
     if scene.dirty & DirtyFlags.LIGHTS or scene._light_arrays is None:
         scene._light_arrays = build_light_arrays(scene.lights)
@@ -363,6 +368,7 @@ def render(params: GiRenderParams) -> None:
         rr_inv_min_term_prob=jnp.float32(s.get("rrInvMinTermProb", 0.95)),
         light_intensity_multiplier=jnp.float32(s.get("lightIntensityMultiplier", 1.0)),
         meters_per_scene_unit=jnp.float32(s.get("metersPerSceneUnit", 1.0)),
+        max_volume_walk_length=jnp.int32(s.get("maxVolumeWalkLength", 7)),
         dome_rotation=jnp.asarray(dome_obj.rotation if dome_obj else [0, 0, 0, 1], jnp.float32),
         dome_emission_multiplier=jnp.asarray(
             dome_obj.base_emission if dome_obj else [1, 1, 1], jnp.float32),

@@ -152,7 +152,7 @@ def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
 def reorder_geometry(geom: SceneGeometry, order: np.ndarray) -> SceneGeometry:
     """Apply the BVH triangle order to the soup (host-side)."""
     order = jnp.asarray(order)
-    return SceneGeometry(*[arr[order] for arr in geom])
+    return SceneGeometry(*[arr[order] for arr in geom])  # packed rows reorder too
 
 
 def _slab_test(o, inv_d, tmin, tmax, bmin, bmax):

@@ -54,9 +54,34 @@ class SceneGeometry(NamedTuple):
     instance_id: jnp.ndarray  # [T] i32 (AOV_ID_INSTANCE_ID)
     flags: jnp.ndarray  # [T] i32 MESH_FLAG_* bits
 
+    # packed row-gather mirrors: one [T, C] matrix per dtype so the shading
+    # stage does TWO contiguous row gathers per hit instead of ~30 scattered
+    # column gathers (XLA TPU gathers pay per-op, not per-byte)
+    packed_f: jnp.ndarray  # [T, 39] f32: v0 e1 e2 n0 n1 n2 t0 t1 t2 bsign uv0 uv1 uv2
+    packed_i: jnp.ndarray  # [T, 5] i32: material object face instance flags
+
     @property
     def num_triangles(self) -> int:
         return self.v0.shape[0]
+
+
+# column offsets into packed_f
+PF_V0, PF_E1, PF_E2 = 0, 3, 6
+PF_N0, PF_N1, PF_N2 = 9, 12, 15
+PF_T0, PF_T1, PF_T2 = 18, 21, 24
+PF_BSIGN = 27
+PF_UV0, PF_UV1, PF_UV2 = 30, 32, 34
+
+
+def pack_geometry(g: "SceneGeometry") -> "SceneGeometry":
+    """(Re)build the packed gather mirrors from the component arrays."""
+    packed_f = jnp.concatenate([
+        g.v0, g.e1, g.e2, g.n0, g.n1, g.n2, g.t0, g.t1, g.t2,
+        g.bsign, g.uv0, g.uv1, g.uv2,
+    ], axis=1)
+    packed_i = jnp.stack(
+        [g.material_id, g.object_id, g.face_id, g.instance_id, g.flags], axis=1)
+    return g._replace(packed_f=packed_f, packed_i=packed_i)
 
 
 def _pad(arr: np.ndarray, t_pad: int) -> np.ndarray:
@@ -130,7 +155,7 @@ def build_geometry(mesh_descs, material_index: dict[str | None, int]) -> SceneGe
     f32 = lambda k: jnp.asarray(_pad(cat[k].astype(np.float32), t_pad))  # noqa: E731
     i32 = lambda k: jnp.asarray(_pad(cat[k].astype(np.int32), t_pad))  # noqa: E731
 
-    return SceneGeometry(
+    geom = SceneGeometry(
         v0=f32("p0"),
         e1=jnp.asarray(_pad((cat["p1"] - cat["p0"]).astype(np.float32), t_pad)),
         e2=jnp.asarray(_pad((cat["p2"] - cat["p0"]).astype(np.float32), t_pad)),
@@ -140,4 +165,7 @@ def build_geometry(mesh_descs, material_index: dict[str | None, int]) -> SceneGe
         uv0=f32("uv0"), uv1=f32("uv1"), uv2=f32("uv2"),
         material_id=i32("mat"), object_id=i32("obj"),
         face_id=i32("face"), instance_id=i32("inst"), flags=i32("flags"),
+        packed_f=jnp.zeros((t_pad, 39), jnp.float32),
+        packed_i=jnp.zeros((t_pad, 5), jnp.int32),
     )
+    return pack_geometry(geom)

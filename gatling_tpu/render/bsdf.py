@@ -51,6 +51,10 @@ class BsdfParams(NamedTuple):
     # transmission for glass-like OpenPBR materials
     transmission: jnp.ndarray  # [...]
     thin_walled: jnp.ndarray  # [...] bool
+    # volume coefficients (mdl_volume_absorption/scattering_coefficient)
+    volume_absorption: jnp.ndarray  # [...,3] sigma_a
+    volume_scattering: jnp.ndarray  # [...,3] sigma_s
+    volume_bias: jnp.ndarray  # [...] Henyey-Greenstein g (directional bias)
 
 
 MIN_ALPHA = 1e-3  # roughness^2 floor to keep GGX sampleable in fp32
@@ -84,7 +88,8 @@ def _smith_g1(alpha2: jnp.ndarray, nv: jnp.ndarray) -> jnp.ndarray:
 def _lobe_weights(p: BsdfParams, f0: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One-sample-MIS lobe selection probabilities (diffuse, glossy, transmission)."""
     w_d = luminance(p.base_color) * (1.0 - p.metallic) * (1.0 - p.transmission)
-    w_g = jnp.maximum(luminance(f0), 0.04)
+    w_g_raw = luminance(f0)
+    w_g = jnp.where(w_g_raw > 0.0, jnp.maximum(w_g_raw, 0.04), 0.0)
     w_t = p.transmission
     total = w_d + w_g + w_t
     return safe_div(w_d, total), safe_div(w_g, total), safe_div(w_t, total)
@@ -185,9 +190,12 @@ def sample(p: BsdfParams, wo: jnp.ndarray, n: jnp.ndarray, t: jnp.ndarray,
     f_total = f_diffuse + f_glossy
     bsdf_over_pdf = safe_div(f_total, pdf[..., None])
 
-    # transmission lobe is a delta: untinted straight pass-through, weight 1/p_t
+    # transmission lobe is a delta: straight pass-through weighted by the
+    # transmitted Fresnel fraction (energy conservation with the glossy lobe)
+    cos_o_c = jnp.maximum(wo_l[..., 2], 0.0)
+    trans_weight = p.transmission[..., None] * (1.0 - _schlick(f0, cos_o_c[..., None]))
     bsdf_over_pdf = jnp.where(
-        pick_t[..., None], safe_div(jnp.ones_like(p_t), p_t)[..., None] * jnp.ones_like(p.base_color), bsdf_over_pdf
+        pick_t[..., None], safe_div(trans_weight, p_t[..., None]), bsdf_over_pdf
     )
 
     valid = jnp.where(pick_t, p_t > 0.0, (pdf > 1e-12) & (wi_l[..., 2] > 0.0) & (wo_l[..., 2] > 0.0))

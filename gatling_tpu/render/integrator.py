@@ -80,6 +80,9 @@ class RenderConfig:
     # ray-tracing backend: 'brute' (tiled jnp MT), 'pallas' (MXU matmul
     # kernel, ops/pallas_trace.py), 'bvh' (stackless threaded BVH)
     tracer: str = "brute"
+    # volumes: compiled in only when some material has volume coefficients
+    # (the reference compiles volume code per-material via MDL codegen)
+    has_volumes: bool = False
 
 
 class Accel(NamedTuple):
@@ -116,6 +119,7 @@ class Uniforms(NamedTuple):
     rr_inv_min_term_prob: jnp.ndarray  # [] f32
     light_intensity_multiplier: jnp.ndarray  # [] f32
     meters_per_scene_unit: jnp.ndarray  # [] f32
+    max_volume_walk_length: jnp.ndarray  # [] i32
     dome_rotation: jnp.ndarray  # [4] quat (x,y,z,w)
     dome_emission_multiplier: jnp.ndarray  # [3]
     dome_diffuse_specular: jnp.ndarray  # [2]
@@ -196,41 +200,57 @@ class SampleResult(NamedTuple):
 
 def _shading_state(geom: SceneGeometry, hit, ray_dir):
     """Interpolate hit attributes (mdl_shading_state.glsl:4-98, but on the
-    pre-transformed world-space soup — no object-to-world transforms left)."""
+    pre-transformed world-space soup — no object-to-world transforms left).
+
+    All per-triangle data comes from TWO contiguous row gathers of the packed
+    mirrors (ops/geometry.py) — XLA TPU gathers pay per gather op, so this is
+    ~15x cheaper than gathering each attribute column separately."""
+    from gatling_tpu.ops.geometry import (
+        PF_BSIGN, PF_E1, PF_E2, PF_N0, PF_N1, PF_N2,
+        PF_T0, PF_T1, PF_T2, PF_UV0, PF_UV1, PF_UV2, PF_V0,
+    )
+
     tri = jnp.maximum(hit.tri, 0)
     u, v = hit.u, hit.v
     w = 1.0 - u - v
     bc = jnp.stack([w, u, v], axis=-1)
 
-    pos = geom.v0[tri] + u[:, None] * geom.e1[tri] + v[:, None] * geom.e2[tri]
+    pf = geom.packed_f[tri]  # [R, 39]
+    pi = geom.packed_i[tri]  # [R, 5]
+    c3 = lambda off: jax.lax.dynamic_slice_in_dim(pf, off, 3, axis=1)  # noqa: E731
+    c2 = lambda off: jax.lax.dynamic_slice_in_dim(pf, off, 2, axis=1)  # noqa: E731
 
-    geom_n = jnp.cross(geom.e1[tri], geom.e2[tri])
+    e1 = c3(PF_E1)
+    e2 = c3(PF_E2)
+    pos = c3(PF_V0) + u[:, None] * e1 + v[:, None] * e2
+
+    geom_n = jnp.cross(e1, e2)
     geom_n = geom_n / jnp.maximum(jnp.linalg.norm(geom_n, axis=-1, keepdims=True), 1e-20)
-    flags = geom.flags[tri]
+    flags = pi[:, 4]
     flip = (flags & MESH_FLAG_FLIP_FACING) != 0
     geom_n = jnp.where(flip[:, None], -geom_n, geom_n)
 
-    nrm = bc[:, 0:1] * geom.n0[tri] + bc[:, 1:2] * geom.n1[tri] + bc[:, 2:3] * geom.n2[tri]
+    nrm = bc[:, 0:1] * c3(PF_N0) + bc[:, 1:2] * c3(PF_N1) + bc[:, 2:3] * c3(PF_N2)
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
 
     front = jnp.sum(geom_n * (-ray_dir), axis=-1) >= 0.0
     geom_n = jnp.where(front[:, None], geom_n, -geom_n)
     nrm = jnp.where(front[:, None], nrm, -nrm)
 
-    tan = bc[:, 0:1] * geom.t0[tri] + bc[:, 1:2] * geom.t1[tri] + bc[:, 2:3] * geom.t2[tri]
+    tan = bc[:, 0:1] * c3(PF_T0) + bc[:, 1:2] * c3(PF_T1) + bc[:, 2:3] * c3(PF_T2)
     tan = tan - nrm * jnp.sum(tan * nrm, axis=-1, keepdims=True)
     tan = tan / jnp.maximum(jnp.linalg.norm(tan, axis=-1, keepdims=True), 1e-20)
-    bsign = jnp.sum(bc * geom.bsign[tri], axis=-1)
+    bsign = jnp.sum(bc * c3(PF_BSIGN), axis=-1)
     bitan = jnp.cross(nrm, tan) * bsign[:, None]
 
-    uv = bc[:, 0:1] * geom.uv0[tri] + bc[:, 1:2] * geom.uv1[tri] + bc[:, 2:3] * geom.uv2[tri]
+    uv = bc[:, 0:1] * c2(PF_UV0) + bc[:, 1:2] * c2(PF_UV1) + bc[:, 2:3] * c2(PF_UV2)
 
     double_sided = (flags & MESH_FLAG_DOUBLE_SIDED) != 0
     return dict(
         pos=pos, geom_normal=geom_n, normal=nrm, tangent=tan, bitangent=bitan,
         uv=uv, bc=bc, front=front, double_sided=double_sided,
-        material_id=geom.material_id[tri], object_id=geom.object_id[tri],
-        face_id=geom.face_id[tri], instance_id=geom.instance_id[tri],
+        material_id=pi[:, 0], object_id=pi[:, 1],
+        face_id=pi[:, 2], instance_id=pi[:, 3],
     )
 
 
@@ -288,6 +308,15 @@ def trace_sample(
         bounces=jnp.zeros((n,), jnp.int32),
         first=first,
     )
+    stack = config.medium_stack_size
+    if config.has_volumes:
+        # medium stack state (rp_main_payload.glsl Medium / mediumIdx bits)
+        state["medium_idx"] = jnp.zeros((n,), jnp.int32)
+        if stack > 0:
+            state["med_sigma_s"] = jnp.zeros((n, stack, 3), jnp.float32)
+            state["med_sigma_t"] = jnp.zeros((n, stack, 3), jnp.float32)
+            state["med_bias"] = jnp.zeros((n, stack), jnp.float32)
+            state["walk"] = jnp.zeros((n,), jnp.int32)
 
     def cond(s):
         return (s["bounce"] < config.max_bounces) & jnp.any(s["alive"])
@@ -307,9 +336,48 @@ def trace_sample(
             tmax = jnp.full((n,), FLOAT_MAX, jnp.float32)
         tmax = jnp.where(alive, tmax, 0.0)  # dead rays do no work
 
+        # ---- volume free-flight distance sampling (rgen:317-346) ----
+        in_medium = None
+        walk_pdf = jnp.ones((n, 3), jnp.float32)
+        if config.has_volumes:
+            m_idx = s["medium_idx"]
+            in_medium = m_idx > 0
+            if stack > 0:
+                cur = jnp.clip(m_idx - 1, 0, stack - 1)
+                rows = jnp.arange(n)
+                sigma_s_c = s["med_sigma_s"][rows, cur]
+                sigma_t_c = s["med_sigma_t"][rows, cur]
+                has_scat = jnp.any(sigma_s_c > 0.0, axis=-1)
+                do_dist = alive & in_medium & has_scat & (
+                    s["walk"] <= uniforms.max_volume_walk_length)
+                rng_after, xi2 = smp.rng_next2f(rng)
+                rng = jnp.where(do_dist, rng_after, rng)
+                # spectral single-channel MIS select (rgen sampleDistance:49-69)
+                albedo = smp.safe_div(sigma_s_c, sigma_t_c)
+                weights = throughput * albedo
+                wsum = jnp.sum(weights, axis=-1)
+                pdf3 = jnp.where((wsum > 1e-9)[:, None],
+                                 weights / jnp.maximum(wsum, 1e-9)[:, None],
+                                 jnp.full_like(weights, 1.0 / 3.0))
+                x0 = xi2[:, 0]
+                chan = jnp.where(x0 < pdf3[:, 0], 0,
+                                 jnp.where(x0 < pdf3[:, 0] + pdf3[:, 1], 1, 2))
+                sel_sigma = jnp.take_along_axis(sigma_t_c, chan[:, None], axis=1)[:, 0]
+                s_coef = jnp.maximum(sel_sigma * uniforms.meters_per_scene_unit, 1e-20)
+                t_sample = -jnp.log(jnp.maximum(1.0 - xi2[:, 1], 1e-20)) / s_coef
+                tmax = jnp.where(do_dist, t_sample, tmax)
+                walk_pdf = jnp.where(do_dist[:, None], pdf3, walk_pdf)
+
         hit = _trace_closest(config, accel, geom, s["origin"], s["direction"], tmin, tmax)
         is_hit = (~hit.missed) & alive
         is_miss = hit.missed & alive
+
+        # volume walk: misses inside a scattering medium step the walk
+        # instead of hitting the background (rp_main.miss:16-34)
+        vol_miss = jnp.zeros((n,), bool)
+        if config.has_volumes and stack > 0:
+            vol_miss = is_miss & in_medium
+            is_miss = is_miss & ~in_medium
 
         # ---- miss: dome light (rp_main.miss:55-87) ----
         sample_dir = _quat_rotate(uniforms.dome_rotation, s["direction"])
@@ -330,6 +398,18 @@ def trace_sample(
             st["normal"], st["tangent"], st["bitangent"])
         st["bitangent"] = jnp.cross(st["normal"], st["tangent"]) * jnp.sign(
             jnp.sum(jnp.cross(st["normal"], st["tangent"]) * st["bitangent"], axis=-1, keepdims=True) + 1e-20)
+
+        # ---- volume transmittance on surface hit (chit:160-186) ----
+        if config.has_volumes:
+            dist_m = hit.t * uniforms.meters_per_scene_unit
+            if stack > 0:
+                transmittance = jnp.exp(-sigma_t_c * dist_m[:, None])
+            else:
+                # MEDIUM_STACK_SIZE == 0: absorption-only using the hit
+                # material's sigma_a
+                transmittance = jnp.exp(-params.volume_absorption * dist_m[:, None])
+            throughput = jnp.where((is_hit & in_medium)[:, None],
+                                   throughput * transmittance, throughput)
 
         # emission (chit:292-343): front face, or any face of double-sided geo
         emission_ok = st["front"] | st["double_sided"]
@@ -387,6 +467,52 @@ def trace_sample(
         new_origin = jnp.where(
             is_hit[:, None], smp.offset_ray_origin(st["pos"], offset_n), s["origin"])
 
+        # ---- medium stack update on transmission (chit:446-480) ----
+        med_updates = {}
+        if config.has_volumes:
+            med_change = is_hit & is_transmission & ~params.thin_walled
+            if stack == 0:
+                new_m_idx = jnp.where(med_change, 1 - s["medium_idx"], s["medium_idx"])
+                med_updates["medium_idx"] = new_m_idx
+            else:
+                push = med_change & st["front"]
+                pop = med_change & ~st["front"] & (s["medium_idx"] > 0)
+                new_m_idx = s["medium_idx"] + push.astype(jnp.int32) - pop.astype(jnp.int32)
+                slot = jnp.clip(new_m_idx - 1, 0, stack - 1)
+                can_store = push & (new_m_idx <= stack)
+                sigma_t_mat = params.volume_absorption + params.volume_scattering
+                rows = jnp.arange(n)
+                one_hot = (jax.lax.broadcasted_iota(jnp.int32, (n, stack), 1)
+                           == slot[:, None]) & can_store[:, None]
+                med_updates["med_sigma_s"] = jnp.where(
+                    one_hot[:, :, None],
+                    jnp.broadcast_to(params.volume_scattering[:, None, :], (n, stack, 3)),
+                    s["med_sigma_s"])
+                med_updates["med_sigma_t"] = jnp.where(
+                    one_hot[:, :, None],
+                    jnp.broadcast_to(sigma_t_mat[:, None, :], (n, stack, 3)),
+                    s["med_sigma_t"])
+                med_updates["med_bias"] = jnp.where(
+                    one_hot, jnp.broadcast_to(params.volume_bias[:, None], (n, stack)),
+                    s["med_bias"])
+                med_updates["medium_idx"] = new_m_idx
+                # medium change resets the walk (chit:478)
+                med_updates["walk"] = jnp.where(med_change, 0, s["walk"])
+
+            # volume walk step on miss inside medium (rp_main.miss stepVolume)
+            if stack > 0:
+                dist_m2 = tmax * uniforms.meters_per_scene_unit
+                trans = jnp.exp(-sigma_t_c * dist_m2[:, None])
+                density = sigma_t_c * trans
+                pdf_w = jnp.maximum(jnp.sum(walk_pdf * density, axis=-1), 1e-20)
+                vol_tp = sigma_s_c * trans / pdf_w[:, None]
+                throughput = jnp.where(vol_miss[:, None], throughput * vol_tp, throughput)
+                new_origin = jnp.where(
+                    vol_miss[:, None],
+                    s["origin"] + s["direction"] * tmax[:, None], new_origin)
+                med_updates["walk"] = jnp.where(
+                    vol_miss, s["walk"] + 1, med_updates.get("walk", s["walk"]))
+
         # ---- NEE (chit:393-444 + rgen:397-438) ----
         if config.nee:
             nee_able = is_hit & ((event & (BSDF_EVENT_DIFFUSE | BSDF_EVENT_GLOSSY)) != 0)
@@ -420,7 +546,8 @@ def trace_sample(
                                       jnp.array([[1.0, 0.0, 0.0]]), jnp.array([[0.0, 1.0, 0.0]]))
                 fh = fh._replace(nee=jnp.where(wr0[:, None], nee_color, fh.nee))
 
-        # termination (chit:482-486, rgen:440-459)
+        # termination (chit:482-486, rgen:440-459); volume-walk misses
+        # continue scattering instead of terminating
         terminate = is_miss | (is_hit & (event == BSDF_EVENT_ABSORB))
         terminate = terminate | (alive & (jnp.linalg.norm(throughput, axis=-1) < 1e-9))
 
@@ -435,8 +562,29 @@ def trace_sample(
                                    throughput / jnp.maximum(p, 1e-20)[:, None], throughput)
             terminate = terminate | rr_kill
 
+        # volume scattering direction (rgen:461-477: HG phase around the
+        # current direction)
+        if config.has_volumes and stack > 0:
+            rng_after, xi_hg = smp.rng_next2f(rng)
+            rng = jnp.where(vol_miss, rng_after, rng)
+            rows = jnp.arange(n)
+            cur_b = jnp.clip(s["medium_idx"] - 1, 0, stack - 1)
+            g = s["med_bias"][rows, cur_b]
+            # sampleHenyeyGreensteinCos (rgen:71-82)
+            iso = jnp.abs(g) < 1e-3
+            sq = (1.0 - g * g) / jnp.maximum(1.0 - g + 2.0 * g * xi_hg[:, 0], 1e-9)
+            cos_hg = jnp.where(iso, 1.0 - 2.0 * xi_hg[:, 0],
+                               (1.0 + g * g - sq * sq) / jnp.where(iso, 1.0, 2.0 * jnp.where(jnp.abs(g) < 1e-9, 1.0, g)))
+            sin_hg = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_hg * cos_hg))
+            phi = 2.0 * jnp.pi * xi_hg[:, 1]
+            t_b, b_b = smp.orthonormal_basis(new_dir)
+            scattered = (t_b * (sin_hg * jnp.cos(phi))[:, None]
+                         + b_b * (sin_hg * jnp.sin(phi))[:, None]
+                         + new_dir * cos_hg[:, None])
+            new_dir = jnp.where(vol_miss[:, None], scattered, new_dir)
+
         new_alive = alive & ~terminate
-        return dict(
+        out = dict(
             bounce=bounce + 1,
             origin=new_origin,
             direction=new_dir,
@@ -447,6 +595,12 @@ def trace_sample(
             bounces=s["bounces"] + new_alive.astype(jnp.int32) + (alive & terminate).astype(jnp.int32),
             first=fh,
         )
+        if config.has_volumes:
+            out["medium_idx"] = med_updates.get("medium_idx", s["medium_idx"])
+            if stack > 0:
+                for k in ("med_sigma_s", "med_sigma_t", "med_bias", "walk"):
+                    out[k] = med_updates.get(k, s[k])
+        return out
 
     state = jax.lax.while_loop(cond, body, state)
 

@@ -42,6 +42,9 @@ class MaterialTable(NamedTuple):
     specular_color: jnp.ndarray  # [M,3]
     transmission: jnp.ndarray  # [M]
     thin_walled: jnp.ndarray  # [M] int32 0/1
+    volume_absorption: jnp.ndarray  # [M,3]
+    volume_scattering: jnp.ndarray  # [M,3]
+    volume_bias: jnp.ndarray  # [M]
     # texture slot per parameter, -1 = constant (wired by render/texture.py)
     base_color_tex: jnp.ndarray  # [M] i32
     emissive_tex: jnp.ndarray  # [M] i32
@@ -54,10 +57,36 @@ class MaterialTable(NamedTuple):
     metallic_tex_ch: jnp.ndarray  # [M] i32
     roughness_tex_ch: jnp.ndarray  # [M] i32
     opacity_tex_ch: jnp.ndarray  # [M] i32
+    # packed row-gather mirrors (one gather per hit instead of ~14;
+    # see ops/geometry.py packed_f rationale)
+    packed_f: jnp.ndarray  # [M, 23] f32
+    packed_i: jnp.ndarray  # [M, 9] i32
 
     @property
     def count(self) -> int:
         return self.base_color.shape[0]
+
+
+# packed_f column offsets
+MF_BASE, MF_METAL, MF_ROUGH, MF_IOR, MF_OPACITY = 0, 3, 4, 5, 6
+MF_EMISSIVE, MF_USW, MF_SPEC, MF_TRANS, MF_THIN = 7, 10, 11, 14, 15
+MF_VOL_A, MF_VOL_S, MF_VOL_BIAS = 16, 19, 22
+
+
+def _pack_material_table(t: MaterialTable) -> MaterialTable:
+    packed_f = jnp.concatenate([
+        t.base_color, t.metallic[:, None], t.roughness[:, None],
+        t.ior[:, None], t.opacity[:, None], t.emissive,
+        t.use_specular_workflow[:, None], t.specular_color,
+        t.transmission[:, None], t.thin_walled[:, None].astype(jnp.float32),
+        t.volume_absorption, t.volume_scattering, t.volume_bias[:, None],
+    ], axis=1)
+    packed_i = jnp.stack([
+        t.base_color_tex, t.emissive_tex, t.metallic_tex, t.roughness_tex,
+        t.opacity_tex, t.normal_tex, t.metallic_tex_ch, t.roughness_tex_ch,
+        t.opacity_tex_ch,
+    ], axis=1)
+    return t._replace(packed_f=packed_f, packed_i=packed_i)
 
 
 @dataclasses.dataclass
@@ -90,6 +119,9 @@ _DEFAULTS = {
     "specular_color": (0.0, 0.0, 0.0),
     "transmission": 0.0,
     "thin_walled": 0,
+    "volume_absorption": (0.0, 0.0, 0.0),
+    "volume_scattering": (0.0, 0.0, 0.0),
+    "volume_bias": 0.0,
 }
 
 
@@ -292,7 +324,7 @@ def build_material_table(
             out.append(_CH_INDEX.get(ref.channel, 0) if ref else 0)
         return jnp.asarray(np.array(out, np.int32))
 
-    return MaterialTable(
+    table = MaterialTable(
         base_color=col("base_color", 3),
         metallic=col("metallic"),
         roughness=col("roughness"),
@@ -304,6 +336,9 @@ def build_material_table(
         specular_color=col("specular_color", 3),
         transmission=col("transmission"),
         thin_walled=col("thin_walled", dtype=np.int32),
+        volume_absorption=col("volume_absorption", 3),
+        volume_scattering=col("volume_scattering", 3),
+        volume_bias=col("volume_bias"),
         base_color_tex=tex_col("base_color"),
         emissive_tex=tex_col("emissive"),
         metallic_tex=tex_col("metallic"),
@@ -313,24 +348,31 @@ def build_material_table(
         metallic_tex_ch=ch_col("metallic"),
         roughness_tex_ch=ch_col("roughness"),
         opacity_tex_ch=ch_col("opacity"),
+        packed_f=jnp.zeros((len(lowered), 23), jnp.float32),
+        packed_i=jnp.zeros((len(lowered), 9), jnp.int32),
     )
+    return _pack_material_table(table)
 
 
 def gather_params(table: MaterialTable, material_ids: jnp.ndarray) -> BsdfParams:
     """Gather per-ray BSDF parameters from the table (texture lookups are
-    applied on top by the integrator when slots are >= 0)."""
-    g = lambda arr: arr[material_ids]  # noqa: E731
+    applied on top by the integrator when slots are >= 0). One packed row
+    gather + column slices."""
+    pf = table.packed_f[material_ids]  # [R, 23]
     return BsdfParams(
-        base_color=g(table.base_color),
-        metallic=g(table.metallic),
-        roughness=g(table.roughness),
-        ior=g(table.ior),
-        opacity=g(table.opacity),
-        emissive=g(table.emissive),
-        use_specular_workflow=g(table.use_specular_workflow),
-        specular_color=g(table.specular_color),
-        transmission=g(table.transmission),
-        thin_walled=g(table.thin_walled) > 0,
+        base_color=pf[:, MF_BASE:MF_BASE + 3],
+        metallic=pf[:, MF_METAL],
+        roughness=pf[:, MF_ROUGH],
+        ior=pf[:, MF_IOR],
+        opacity=pf[:, MF_OPACITY],
+        emissive=pf[:, MF_EMISSIVE:MF_EMISSIVE + 3],
+        use_specular_workflow=pf[:, MF_USW],
+        specular_color=pf[:, MF_SPEC:MF_SPEC + 3],
+        transmission=pf[:, MF_TRANS],
+        thin_walled=pf[:, MF_THIN] > 0,
+        volume_absorption=pf[:, MF_VOL_A:MF_VOL_A + 3],
+        volume_scattering=pf[:, MF_VOL_S:MF_VOL_S + 3],
+        volume_bias=pf[:, MF_VOL_BIAS],
     )
 
 
@@ -345,24 +387,26 @@ def apply_textures(table: MaterialTable, pool, params: BsdfParams,
     if int(pool.offset.shape[0]) <= 1 and int(pool.texels.shape[0]) <= 1:
         return params
 
-    def rgb(slot_col, constant):
-        slot = slot_col[material_ids]
+    pi = table.packed_i[material_ids]  # [R, 9]: slots + channels
+
+    def rgb(col, constant):
+        slot = pi[:, col]
         val = sample_pool(pool, slot, uv)
         return jnp.where((slot >= 0)[:, None], val[:, :3], constant)
 
-    def scalar(slot_col, ch_col, constant):
-        slot = slot_col[material_ids]
-        ch = ch_col[material_ids]
+    def scalar(col, ch_col, constant):
+        slot = pi[:, col]
+        ch = pi[:, ch_col]
         val = sample_pool(pool, slot, uv)
         picked = jnp.take_along_axis(val, ch[:, None], axis=1)[:, 0]
         return jnp.where(slot >= 0, picked, constant)
 
     return params._replace(
-        base_color=rgb(table.base_color_tex, params.base_color),
-        emissive=rgb(table.emissive_tex, params.emissive),
-        metallic=scalar(table.metallic_tex, table.metallic_tex_ch, params.metallic),
-        roughness=scalar(table.roughness_tex, table.roughness_tex_ch, params.roughness),
-        opacity=scalar(table.opacity_tex, table.opacity_tex_ch, params.opacity),
+        base_color=rgb(0, params.base_color),
+        emissive=rgb(1, params.emissive),
+        metallic=scalar(2, 6, params.metallic),
+        roughness=scalar(3, 7, params.roughness),
+        opacity=scalar(4, 8, params.opacity),
     )
 
 
@@ -374,7 +418,7 @@ def perturb_normal(table: MaterialTable, pool, material_ids: jnp.ndarray,
 
     if int(pool.offset.shape[0]) <= 1 and int(pool.texels.shape[0]) <= 1:
         return n
-    slot = table.normal_tex[material_ids]
+    slot = table.packed_i[material_ids][:, 5]
     nm = sample_pool(pool, slot, uv)[:, :3]
     mapped = nm[:, 0:1] * t + nm[:, 1:2] * b + jnp.maximum(nm[:, 2:3], 1e-3) * n
     mapped = mapped / jnp.maximum(jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-20)

@@ -19,14 +19,18 @@ def _random_geom(n_tris=128, seed=0):
     v0 = rng.uniform(-2, 2, (n_tris, 3)).astype(np.float32)
     e1 = rng.uniform(-1, 1, (n_tris, 3)).astype(np.float32)
     e2 = rng.uniform(-1, 1, (n_tris, 3)).astype(np.float32)
+    from gatling_tpu.ops.geometry import pack_geometry
+
     z3 = jnp.zeros((n_tris, 3), jnp.float32)
     z2 = jnp.zeros((n_tris, 2), jnp.float32)
     zi = jnp.zeros((n_tris,), jnp.int32)
-    return SceneGeometry(
+    return pack_geometry(SceneGeometry(
         v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
         n0=z3, n1=z3, n2=z3, t0=z3, t1=z3, t2=z3, bsign=z3,
         uv0=z2, uv1=z2, uv2=z2,
-        material_id=zi, object_id=zi, face_id=zi, instance_id=zi, flags=zi)
+        material_id=zi, object_id=zi, face_id=zi, instance_id=zi, flags=zi,
+        packed_f=jnp.zeros((n_tris, 39), jnp.float32),
+        packed_i=jnp.zeros((n_tris, 5), jnp.int32)))
 
 
 def _random_rays(n_rays=256, seed=1):
