@@ -449,3 +449,37 @@ def giCreateDomeLight(scene: GiScene, file_path: str) -> GiDomeLight:
     dome = GiDomeLight(file_path=file_path)
     scene.set_dome_light(dome)
     return dome
+
+
+def giCreateMaterialFromMtlxStr(scene: GiScene, name: str, mtlx_src: str):
+    """Reference: Gi.h giCreateMaterialFromMtlxStr."""
+    from gatling_tpu.render.mtlx import parse_mtlx
+
+    mat = parse_mtlx(mtlx_src, name=name)
+    scene.add_material(mat)
+    return mat
+
+
+def giCreateMaterialFromMtlxDoc(scene: GiScene, name: str, path: str):
+    """Reference: Gi.h giCreateMaterialFromMtlxDoc (document == file here)."""
+    from gatling_tpu.render.mtlx import load_mtlx
+
+    mat = load_mtlx(path)
+    scene.add_material(mat)
+    return mat
+
+
+def giCreateMaterialFromMdlFile(scene: GiScene, name: str, file_path: str,
+                                sub_identifier: str | None = None,
+                                params: dict | None = None):
+    """Reference: Gi.h giCreateMaterialFromMdlFile."""
+    from gatling_tpu.render.mdl import load_mdl_material
+
+    mat = load_mdl_material(file_path, sub_identifier, params, name=name)
+    scene.add_material(mat)
+    return mat
+
+
+def giDestroyMaterial(scene: GiScene, mat) -> None:
+    scene.materials.pop(mat.path, None)
+    scene.dirty |= DirtyFlags.MATERIALS | DirtyFlags.FRAMEBUFFER

@@ -176,7 +176,31 @@ def _resolve_input(desc: MaterialDesc, node: ShaderNode, name: str, default,
                 channel=out_name if out_name in ("r", "g", "b", "a") else "rgb",
             )
             return fallback, ref, is_srgb
-        if sid.startswith("UsdPrimvarReader"):
+        if sid in ("image", "tiledimage"):
+            # MaterialX image node (render/mtlx.py front end)
+            tex_file = target.inputs.get("file")
+            fallback = target.inputs.get("default", default)
+            if not tex_file:
+                return fallback, None, color_hint
+            path = str(tex_file)
+            if desc.base_dir and not os.path.isabs(path):
+                path = os.path.join(desc.base_dir, path)
+            wrap_map = {"periodic": "repeat", "clamp": "clamp",
+                        "mirror": "mirror", "constant": "black"}
+            ref = TextureRef(
+                file_path=path,
+                is_srgb=color_hint,
+                wrap_s=wrap_map.get(str(target.inputs.get("uaddressmode", "periodic")), "repeat"),
+                wrap_t=wrap_map.get(str(target.inputs.get("vaddressmode", "periodic")), "repeat"),
+                channel=out_name if out_name in ("r", "g", "b", "a") else "rgb",
+            )
+            return fallback, ref, color_hint
+        if sid == "constant":
+            return target.inputs.get("value", default), None, False
+        if sid in ("multiply", "mix", "add") and "in1" in target.inputs:
+            # shallow graph folding: take the first constant operand
+            return target.inputs.get("in1", default), None, False
+        if sid.startswith("UsdPrimvarReader") or sid in ("texcoord", "geompropvalue"):
             return target.inputs.get("fallback", default), None, False
         get_logger().debug("unhandled input node %s for %s", sid, name)
         return default, None, False
@@ -206,7 +230,21 @@ def lower_material(desc: MaterialDesc | None) -> LoweredMaterial:
             textures[param] = tex
 
     sid = node.shader_id
-    if sid == "UsdPreviewSurface":
+    if sid == "gatling_uber":
+        # pre-mapped parameter set (MDL front end, render/mdl.py)
+        for k, v in node.inputs.items():
+            if k.endswith("_texture"):
+                param = k[: -len("_texture")]
+                is_color = param in ("base_color", "emissive")
+                ref = TextureRef(file_path=str(v), is_srgb=is_color)
+                if param == "normal":
+                    ref = dataclasses.replace(
+                        ref, scale=(2.0, 2.0, 2.0, 1.0), bias=(-1.0, -1.0, -1.0, 0.0))
+                textures[param] = ref
+            elif k in _DEFAULTS:
+                d = _DEFAULTS[k]
+                params[k] = _vec3(v) if isinstance(d, tuple) else type(d)(v) if not isinstance(v, tuple) else float(v[0])
+    elif sid == "UsdPreviewSurface":
         grab("diffuseColor", "base_color", _vec3, color=True)
         grab("normal", "normal", _vec3, default=(0.0, 0.0, 1.0))
         grab("metallic", "metallic")
@@ -218,7 +256,7 @@ def lower_material(desc: MaterialDesc | None) -> LoweredMaterial:
         grab("useSpecularWorkflow", "use_specular_workflow")
         grab("specularColor", "specular_color", _vec3)
     elif sid in ("ND_standard_surface_surfaceshader", "standard_surface"):
-        grab("base_color", "base_color", _vec3)
+        grab("base_color", "base_color", _vec3, color=True)
         grab("metalness", "metallic")
         grab("specular_roughness", "roughness")
         grab("specular_IOR", "ior")
@@ -229,7 +267,7 @@ def lower_material(desc: MaterialDesc | None) -> LoweredMaterial:
         params["emissive"] = tuple(float(emission_scale) * c for c in _vec3(val))
         params["thin_walled"] = int(bool(node.inputs.get("thin_walled", False)))
     elif sid in ("ND_open_pbr_surface_surfaceshader", "open_pbr_surface"):
-        grab("base_color", "base_color", _vec3)
+        grab("base_color", "base_color", _vec3, color=True)
         grab("base_metalness", "metallic")
         grab("specular_roughness", "roughness")
         grab("specular_ior", "ior")
@@ -240,7 +278,7 @@ def lower_material(desc: MaterialDesc | None) -> LoweredMaterial:
         params["emissive"] = tuple(float(lum) * c for c in _vec3(val))
         params["thin_walled"] = int(bool(node.inputs.get("geometry_thin_walled", False)))
     elif sid in ("ND_gltf_pbr_surfaceshader", "gltf_pbr"):
-        grab("base_color", "base_color", _vec3)
+        grab("base_color", "base_color", _vec3, color=True)
         grab("metallic", "metallic")
         grab("roughness", "roughness")
         grab("transmission", "transmission")

@@ -1,0 +1,113 @@
+"""MaterialX and MDL front-end tests (mc-layer analogs)."""
+
+import numpy as np
+
+from gatling_tpu.render.material import lower_material
+from gatling_tpu.render.mdl import load_mdl_material
+from gatling_tpu.render.mtlx import parse_mtlx
+
+
+MTLX_STANDARD_SURFACE = """<?xml version="1.0"?>
+<materialx version="1.38">
+  <standard_surface name="SR_brass" type="surfaceshader">
+    <input name="base" type="float" value="1.0" />
+    <input name="base_color" type="color3" value="0.9, 0.75, 0.35" />
+    <input name="metalness" type="float" value="1.0" />
+    <input name="specular_roughness" type="float" value="0.25" />
+  </standard_surface>
+  <surfacematerial name="Brass" type="material">
+    <input name="surfaceshader" type="surfaceshader" nodename="SR_brass" />
+  </surfacematerial>
+</materialx>
+"""
+
+MTLX_TEXTURED = """<?xml version="1.0"?>
+<materialx version="1.38">
+  <nodegraph name="NG">
+    <image name="diff" type="color3">
+      <input name="file" type="filename" value="base.png" />
+      <input name="uaddressmode" type="string" value="clamp" />
+    </image>
+    <output name="out" type="color3" nodename="diff" />
+  </nodegraph>
+  <open_pbr_surface name="SR" type="surfaceshader">
+    <input name="base_color" type="color3" nodegraph="NG" output="out" />
+    <input name="specular_roughness" type="float" value="0.4" />
+  </open_pbr_surface>
+  <surfacematerial name="M" type="material">
+    <input name="surfaceshader" type="surfaceshader" nodename="SR" />
+  </surfacematerial>
+</materialx>
+"""
+
+MDL_OMNI_STYLE = """mdl 1.6;
+import ::OmniPBR::OmniPBR;
+
+export material MyMat(
+    uniform color diffuse_color_constant = color(0.2, 0.5, 0.8),
+    uniform float reflection_roughness_constant = 0.35,
+    uniform float metallic_constant = 0.0,
+    uniform bool enable_emission = true,
+    uniform color emissive_color = color(1.0, 0.5, 0.0),
+    uniform float emissive_intensity = 2.0,
+    uniform texture_2d diffuse_texture = texture_2d("./albedo.png", ::tex::gamma_srgb)
+) = ::OmniPBR::OmniPBR(
+    diffuse_color_constant: diffuse_color_constant
+);
+"""
+
+
+def test_mtlx_standard_surface():
+    desc = parse_mtlx(MTLX_STANDARD_SURFACE, name="brass")
+    lowered = lower_material(desc)
+    np.testing.assert_allclose(lowered.params["base_color"], (0.9, 0.75, 0.35))
+    assert lowered.params["metallic"] == 1.0
+    assert lowered.params["roughness"] == 0.25
+
+
+def test_mtlx_nodegraph_texture():
+    desc = parse_mtlx(MTLX_TEXTURED, name="tex")
+    lowered = lower_material(desc)
+    assert "base_color" in lowered.textures
+    ref = lowered.textures["base_color"]
+    assert ref.file_path.endswith("base.png")
+    assert ref.wrap_s == "clamp"
+    assert ref.is_srgb  # color input -> srgb inference
+    assert lowered.params["roughness"] == 0.4
+
+
+def test_mdl_parameter_extraction(tmp_path):
+    p = tmp_path / "mymat.mdl"
+    p.write_text(MDL_OMNI_STYLE)
+    desc = load_mdl_material(p, "MyMat")
+    lowered = lower_material(desc)
+    np.testing.assert_allclose(lowered.params["base_color"], (0.2, 0.5, 0.8))
+    assert lowered.params["roughness"] == 0.35
+    np.testing.assert_allclose(lowered.params["emissive"], (2.0, 1.0, 0.0))
+    assert lowered.traits.is_emissive
+    assert "base_color" in lowered.textures
+    assert lowered.textures["base_color"].file_path.endswith("albedo.png")
+
+
+def test_mdl_user_param_overrides(tmp_path):
+    p = tmp_path / "mymat.mdl"
+    p.write_text(MDL_OMNI_STYLE)
+    desc = load_mdl_material(p, "MyMat", {"diffuse_color_constant": (1.0, 0.0, 0.0)})
+    lowered = lower_material(desc)
+    np.testing.assert_allclose(lowered.params["base_color"], (1.0, 0.0, 0.0))
+
+
+def test_mdl_missing_file_falls_back():
+    desc = load_mdl_material("/nonexistent/foo.mdl", "X")
+    lowered = lower_material(desc)
+    assert lowered.params["base_color"] == (0.18, 0.18, 0.18)
+
+
+def test_gi_material_api():
+    from gatling_tpu import gi
+
+    scene = gi.create_scene()
+    mat = gi.giCreateMaterialFromMtlxStr(scene, "brass", MTLX_STANDARD_SURFACE)
+    assert mat.path in scene.materials
+    gi.giDestroyMaterial(scene, mat)
+    assert mat.path not in scene.materials
