@@ -70,7 +70,10 @@ def _morton3(x: np.ndarray) -> np.ndarray:
 def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
               leaf_size: int = LEAF_SIZE) -> tuple[BvhArrays, np.ndarray]:
     """Build the threaded BVH. Returns (arrays, triangle_order) where
-    triangle_order reorders the original soup so leaves are contiguous."""
+    triangle_order reorders the original soup so leaves are contiguous.
+
+    Uses the native C++ builder (gatling_tpu/native.py) when available —
+    same output contract — and falls back to the NumPy implementation."""
     v0 = np.asarray(v0, np.float32)
     e1 = np.asarray(e1, np.float32)
     e2 = np.asarray(e2, np.float32)
@@ -79,6 +82,18 @@ def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
     p2 = v0 + e2
     tri_min = np.minimum(np.minimum(v0, p1), p2)
     tri_max = np.maximum(np.maximum(v0, p1), p2)
+
+    from gatling_tpu.native import native_build_bvh
+
+    native = native_build_bvh(tri_min, tri_max, leaf_size)
+    if native is not None:
+        bbox_min_n, bbox_max_n, skip_n, leaf_start_n, leaf_count_n, order_n = native
+        arrays = BvhArrays(
+            bbox_min=jnp.asarray(bbox_min_n), bbox_max=jnp.asarray(bbox_max_n),
+            skip=jnp.asarray(skip_n), leaf_start=jnp.asarray(leaf_start_n),
+            leaf_count=jnp.asarray(leaf_count_n))
+        return arrays, order_n
+
     centroid = (tri_min + tri_max) * 0.5
 
     lo = centroid.min(axis=0)

@@ -1,0 +1,62 @@
+"""Native C++ geometry library tests: builds with the system toolchain and
+must agree with the NumPy implementations."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gatling_tpu import native
+from gatling_tpu.interface import FLOAT_MAX
+from gatling_tpu.ops import bvh as bvh_mod
+from gatling_tpu.ops.intersect import intersect_brute
+from tests.test_pallas_trace import _random_geom, _random_rays
+
+requires_native = pytest.mark.skipif(
+    native.get_library() is None, reason="native library unavailable")
+
+
+@requires_native
+def test_native_builds():
+    assert native.get_library() is not None
+
+
+@requires_native
+def test_native_bvh_matches_brute():
+    geom = _random_geom(n_tris=500, seed=21)
+    v0 = np.asarray(geom.v0)
+    e1 = np.asarray(geom.e1)
+    e2 = np.asarray(geom.e2)
+    tri_min = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+    tri_max = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+    out = native.native_build_bvh(tri_min, tri_max, 4)
+    assert out is not None
+    bbox_min, bbox_max, skip, leaf_start, leaf_count, order = out
+    n = len(skip)
+    assert (skip > np.arange(n)).all()
+    # leaves cover all tris
+    tris = []
+    for s, c in zip(leaf_start[leaf_count > 0], leaf_count[leaf_count > 0]):
+        tris.extend(range(s, s + c))
+    assert sorted(tris) == list(range(500))
+
+    bvh = bvh_mod.BvhArrays(
+        bbox_min=jnp.asarray(bbox_min), bbox_max=jnp.asarray(bbox_max),
+        skip=jnp.asarray(skip), leaf_start=jnp.asarray(leaf_start),
+        leaf_count=jnp.asarray(leaf_count))
+    rgeom = bvh_mod.reorder_geometry(geom, order)
+    o, d = _random_rays(512, seed=22)
+    tmin = jnp.zeros(512)
+    tmax = jnp.full((512,), FLOAT_MAX)
+    brute = intersect_brute(o, d, tmin, tmax, rgeom)
+    tr = bvh_mod.traverse_closest(o, d, tmin, tmax, bvh, rgeom)
+    assert (np.asarray(brute.tri) == np.asarray(tr.tri)).mean() > 0.995
+
+
+@requires_native
+def test_native_dedup():
+    rows = np.array([[1, 2, 3], [4, 5, 6], [1, 2, 3], [7, 8, 9], [4, 5, 6]], np.float32)
+    remap, unique = native.native_dedup(rows)
+    assert unique == 3
+    assert remap[0] == remap[2]
+    assert remap[1] == remap[4]
+    assert len(set(remap.tolist())) == 3
