@@ -57,7 +57,8 @@ def main() -> None:
     config = RenderConfig(
         width=width, height=height, spp=spp, max_bounces=max_bounces,
         rr_bounce_offset=3, aov_mask=aov_bit(AovId.COLOR) | aov_bit(AovId.BOUNCES),
-        tracer=tracer)
+        tracer=tracer,
+        has_dome=any(l.light_type == "dome" for l in desc.lights))
     uniforms = Uniforms(
         camera=CameraUniforms(
             position=jnp.asarray(cam.position, jnp.float32),

@@ -248,6 +248,7 @@ def _build_config(params: GiRenderParams, width: int, height: int, aov_mask: int
         medium_stack_size=int(s.get("mediumStackSize", 0)),
         tracer=params.scene._tracer,
         has_volumes=params.scene._has_volumes,
+        has_dome=(params.dome_light or params.scene.dome_light) is not None,
     )
 
 

@@ -77,6 +77,9 @@ class RenderConfig:
     dome_light_camera_visible: bool = True
     aov_mask: int = aov_bit(AovId.COLOR)
     medium_stack_size: int = 0
+    # dome-light texture present? (False skips the equirect transcendentals
+    # entirely — the miss shader's analog of not binding a dome texture)
+    has_dome: bool = True
     # ray-tracing backend: 'brute' (tiled jnp MT), 'pallas' (MXU matmul
     # kernel, ops/pallas_trace.py), 'bvh' (stackless threaded BVH)
     tracer: str = "brute"
@@ -380,14 +383,15 @@ def trace_sample(
             is_miss = is_miss & ~in_medium
 
         # ---- miss: dome light (rp_main.miss:55-87) ----
-        sample_dir = _quat_rotate(uniforms.dome_rotation, s["direction"])
-        sample_dir = sample_dir / jnp.maximum(jnp.linalg.norm(sample_dir, axis=-1, keepdims=True), 1e-20)
-        dome_radiance = _sample_equirect(dome.texture, sample_dir) * uniforms.dome_emission_multiplier
-        if not config.dome_light_camera_visible:
-            primary = bounce == 0
-            fallback = jnp.broadcast_to(dome.fallback[0, 0], dome_radiance.shape)
-            dome_radiance = jnp.where(primary, fallback, dome_radiance)
-        radiance = radiance + jnp.where(is_miss[:, None], throughput * dome_radiance, 0.0)
+        if config.has_dome:
+            sample_dir = _quat_rotate(uniforms.dome_rotation, s["direction"])
+            sample_dir = sample_dir / jnp.maximum(jnp.linalg.norm(sample_dir, axis=-1, keepdims=True), 1e-20)
+            dome_radiance = _sample_equirect(dome.texture, sample_dir) * uniforms.dome_emission_multiplier
+            if not config.dome_light_camera_visible:
+                primary = bounce == 0
+                fallback = jnp.broadcast_to(dome.fallback[0, 0], dome_radiance.shape)
+                dome_radiance = jnp.where(primary, fallback, dome_radiance)
+            radiance = radiance + jnp.where(is_miss[:, None], throughput * dome_radiance, 0.0)
 
         # ---- hit shading (rp_main.chit) ----
         st = _shading_state(geom, hit, s["direction"])
