@@ -92,13 +92,17 @@ def main() -> None:
                        accel=accel)
     _fence = float(jnp.sum(out["color"]))
 
-    runs = 3
-    t0 = time.perf_counter()
+    # min-of-N: the tunneled TPU pool is shared, so per-run contention
+    # noise is large; the minimum is the honest throughput estimate
+    runs = 4
+    times = []
     for _ in range(runs):
+        t0 = time.perf_counter()
         out = render_frame(config, uniforms, geom, table, lights, default_dome(), aovs,
                            accel=accel)
         _fence = float(jnp.sum(out["color"]))
-    dt = (time.perf_counter() - t0) / runs
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
 
     # traced segments: path segments per sample recovered from the bounces
     # heatmap is approximate; count conservatively from the mean path length
