@@ -101,6 +101,7 @@ class GiScene:
         self._tracer: str = "brute"
         self._material_table = None
         self._has_volumes = False
+        self._has_cutout = False
         self._texture_pool = None
         self._texture_manager = TextureManager()
         self._material_index: dict[str | None, int] = {}
@@ -248,6 +249,7 @@ def _build_config(params: GiRenderParams, width: int, height: int, aov_mask: int
         medium_stack_size=int(s.get("mediumStackSize", 0)),
         tracer=params.scene._tracer,
         has_volumes=params.scene._has_volumes,
+        has_cutout=params.scene._has_cutout,
         has_dome=(params.dome_light or params.scene.dome_light) is not None,
     )
 
@@ -329,6 +331,7 @@ def render(params: GiRenderParams) -> None:
         scene._has_volumes = any(
             any(c > 0.0 for c in r.params["volume_absorption"])
             or any(c > 0.0 for c in r.params["volume_scattering"]) for r in rows)
+        scene._has_cutout = any(r.traits.has_cutout for r in rows)
 
     if scene.dirty & DirtyFlags.LIGHTS or scene._light_arrays is None:
         scene._light_arrays = build_light_arrays(scene.lights)

@@ -44,6 +44,7 @@ class BsdfParams(NamedTuple):
     roughness: jnp.ndarray  # [...]
     ior: jnp.ndarray  # [...]
     opacity: jnp.ndarray  # [...] coverage
+    opacity_threshold: jnp.ndarray  # [...] cutout threshold (0 = blend)
     emissive: jnp.ndarray  # [...,3] emitted radiance
     # specular workflow (UsdPreviewSurface useSpecularWorkflow=1)
     use_specular_workflow: jnp.ndarray  # [...] 0/1
@@ -225,5 +226,8 @@ def edf_emission(p: BsdfParams) -> jnp.ndarray:
 
 
 def cutout_opacity(p: BsdfParams) -> jnp.ndarray:
-    """mdl_cutout_opacity analog."""
-    return p.opacity
+    """mdl_cutout_opacity analog. With a positive opacityThreshold the
+    cutout is binary (UsdPreviewSurface spec); otherwise the opacity value
+    itself is the stochastic pass probability (rp_main.ahit:35-61)."""
+    binary = (p.opacity >= p.opacity_threshold).astype(jnp.float32)
+    return jnp.where(p.opacity_threshold > 0.0, binary, p.opacity)

@@ -86,6 +86,10 @@ class RenderConfig:
     # volumes: compiled in only when some material has volume coefficients
     # (the reference compiles volume code per-material via MDL codegen)
     has_volumes: bool = False
+    # cutout transparency: compiled in only when some material has cutout
+    # (the reference compiles any-hit shaders per cutout material,
+    # Gi.cpp:1110 opaque flag)
+    has_cutout: bool = False
 
 
 class Accel(NamedTuple):
@@ -403,6 +407,17 @@ def trace_sample(
         st["bitangent"] = jnp.cross(st["normal"], st["tangent"]) * jnp.sign(
             jnp.sum(jnp.cross(st["normal"], st["tangent"]) * st["bitangent"], axis=-1, keepdims=True) + 1e-20)
 
+        # ---- stochastic cutout (rp_main.ahit:35-61) ----
+        # the reference ignores cutout intersections during traversal; the
+        # wavefront analog passes the ray straight through the surface and
+        # skips shading for this hit
+        cut = jnp.zeros((n,), bool)
+        if config.has_cutout:
+            rng_after, xi_c = smp.rng_next1f(rng)
+            rng = jnp.where(is_hit, rng_after, rng)
+            cut = is_hit & (xi_c >= bsdf_mod.cutout_opacity(params))
+            is_hit = is_hit & ~cut
+
         # ---- volume transmittance on surface hit (chit:160-186) ----
         if config.has_volumes:
             dist_m = hit.t * uniforms.meters_per_scene_unit
@@ -470,6 +485,11 @@ def trace_sample(
         offset_n = jnp.where(is_transmission[:, None], -st["geom_normal"], st["geom_normal"])
         new_origin = jnp.where(
             is_hit[:, None], smp.offset_ray_origin(st["pos"], offset_n), s["origin"])
+        if config.has_cutout:
+            # cutout pass-through: continue from just past the surface
+            new_origin = jnp.where(
+                cut[:, None], smp.offset_ray_origin(st["pos"], -st["geom_normal"]),
+                new_origin)
 
         # ---- medium stack update on transmission (chit:446-480) ----
         med_updates = {}

@@ -59,7 +59,7 @@ class MaterialTable(NamedTuple):
     opacity_tex_ch: jnp.ndarray  # [M] i32
     # packed row-gather mirrors (one gather per hit instead of ~14;
     # see ops/geometry.py packed_f rationale)
-    packed_f: jnp.ndarray  # [M, 23] f32
+    packed_f: jnp.ndarray  # [M, 24] f32
     packed_i: jnp.ndarray  # [M, 9] i32
 
     @property
@@ -70,7 +70,7 @@ class MaterialTable(NamedTuple):
 # packed_f column offsets
 MF_BASE, MF_METAL, MF_ROUGH, MF_IOR, MF_OPACITY = 0, 3, 4, 5, 6
 MF_EMISSIVE, MF_USW, MF_SPEC, MF_TRANS, MF_THIN = 7, 10, 11, 14, 15
-MF_VOL_A, MF_VOL_S, MF_VOL_BIAS = 16, 19, 22
+MF_VOL_A, MF_VOL_S, MF_VOL_BIAS, MF_OPACITY_THRESH = 16, 19, 22, 23
 
 
 def _pack_material_table(t: MaterialTable) -> MaterialTable:
@@ -80,6 +80,7 @@ def _pack_material_table(t: MaterialTable) -> MaterialTable:
         t.use_specular_workflow[:, None], t.specular_color,
         t.transmission[:, None], t.thin_walled[:, None].astype(jnp.float32),
         t.volume_absorption, t.volume_scattering, t.volume_bias[:, None],
+        t.opacity_threshold[:, None],
     ], axis=1)
     packed_i = jnp.stack([
         t.base_color_tex, t.emissive_tex, t.metallic_tex, t.roughness_tex,
@@ -386,7 +387,7 @@ def build_material_table(
         metallic_tex_ch=ch_col("metallic"),
         roughness_tex_ch=ch_col("roughness"),
         opacity_tex_ch=ch_col("opacity"),
-        packed_f=jnp.zeros((len(lowered), 23), jnp.float32),
+        packed_f=jnp.zeros((len(lowered), 24), jnp.float32),
         packed_i=jnp.zeros((len(lowered), 9), jnp.int32),
     )
     return _pack_material_table(table)
@@ -403,6 +404,7 @@ def gather_params(table: MaterialTable, material_ids: jnp.ndarray) -> BsdfParams
         roughness=pf[:, MF_ROUGH],
         ior=pf[:, MF_IOR],
         opacity=pf[:, MF_OPACITY],
+        opacity_threshold=pf[:, MF_OPACITY_THRESH],
         emissive=pf[:, MF_EMISSIVE:MF_EMISSIVE + 3],
         use_specular_workflow=pf[:, MF_USW],
         specular_color=pf[:, MF_SPEC:MF_SPEC + 3],
