@@ -41,7 +41,13 @@ def main() -> None:
 
     from gatling_tpu.gi import _build_accel
 
-    desc = load_scene(scene_path)
+    if scene_path == "sphere_field":
+        # Junk-Shop-class procedural stand-in (~290k triangles, BVH tracer)
+        from gatling_tpu.scene.examples import sphere_field
+
+        desc = sphere_field()
+    else:
+        desc = load_scene(scene_path)
     mat_paths = sorted({m.material for m in desc.meshes if m.material})
     midx = {p: i for i, p in enumerate(mat_paths)}
     midx[None] = len(mat_paths)
@@ -116,7 +122,7 @@ def main() -> None:
 
     target = 100.0  # Mray/s/chip (BASELINE.json north star)
     print(json.dumps({
-        "metric": "cornell_1200sq_trace_shade",
+        "metric": ("cornell_1200sq_trace_shade" if "cornell" in scene_path else f"{os.path.basename(scene_path)}_trace_shade"),
         "value": round(mrays_per_sec, 2),
         "unit": "Mray/s/chip",
         "vs_baseline": round(mrays_per_sec / target, 3),

@@ -41,6 +41,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=[a.name.lower() for a in AovId])
     p.add_argument("--gamma-correction", action=argparse.BooleanOptionalAction, default=True,
                    help="encode output as sRGB (main.cpp:84-92)")
+    p.add_argument("--watch", action="store_true",
+                   help="re-render whenever the scene file changes (the "
+                        "shader hot-reload analog, Gi.cpp:261-285)")
     # render settings auto-generated from descriptors
     for d in SETTING_DESCRIPTORS:
         flag = "--" + _kebab(d.name)
@@ -126,16 +129,7 @@ def render_scene_file(
     return buf.data, scene
 
 
-def main(argv: list[str] | None = None) -> int:
-    init_logging()
-    args = build_arg_parser().parse_args(argv)
-    settings = {d.name: getattr(args, d.name) for d in SETTING_DESCRIPTORS}
-    aov = AovId[args.aov.upper()]
-
-    img, _scene = render_scene_file(
-        args.scene, args.image_width, args.image_height, settings, aov,
-        args.camera_path)
-
+def _write_output(img, args, aov):
     out = img[::-1]  # flip vertically for image convention (main.cpp:224-249)
     if out.dtype == np.int32:
         out = out.astype(np.float32) / max(1.0, out.max())
@@ -147,6 +141,39 @@ def main(argv: list[str] | None = None) -> int:
     else:
         imgio.write_image_file(args.output, out.astype(np.float32))
     get_logger().info("wrote %s", args.output)
+
+
+def main(argv: list[str] | None = None) -> int:
+    init_logging()
+    args = build_arg_parser().parse_args(argv)
+    settings = {d.name: getattr(args, d.name) for d in SETTING_DESCRIPTORS}
+    aov = AovId[args.aov.upper()]
+
+    img, _scene = render_scene_file(
+        args.scene, args.image_width, args.image_height, settings, aov,
+        args.camera_path)
+
+    if args.watch:
+        # scene-file watcher: the efsw shader hot-reload analog
+        _write_output(img, args, aov)
+        import os as _os
+
+        last = _os.path.getmtime(args.scene)
+        get_logger().info("watching %s for changes (ctrl-c to stop)", args.scene)
+        try:
+            while True:
+                time.sleep(0.5)
+                mtime = _os.path.getmtime(args.scene)
+                if mtime != last:
+                    last = mtime
+                    img, _scene = render_scene_file(
+                        args.scene, args.image_width, args.image_height,
+                        settings, aov, args.camera_path)
+                    _write_output(img, args, aov)
+        except KeyboardInterrupt:
+            return 0
+
+    _write_output(img, args, aov)
     return 0
 
 

@@ -392,12 +392,28 @@ def render(params: GiRenderParams) -> None:
         if arr.ndim == 1:
             arr = arr[:, None]
         buf = b.render_buffer
+        if b.aov_id == AovId.CLOCK_CYCLES and buf.channels >= 3:
+            # per-pixel cost heatmap (Gi.cpp:327-343 Turbo encode)
+            arr = _turbo_heatmap(arr[:, 0])
         ch = min(buf.channels, arr.shape[1])
         out = buf.data.reshape(n, buf.channels)
         out[:, :ch] = arr[:, :ch].astype(out.dtype)
         if buf.channels == 4 and arr.shape[1] == 3:
             out[:, 3] = 1
     scene.sample_offset += config.spp  # Gi.cpp:2515
+
+
+def _turbo_heatmap(values: np.ndarray) -> np.ndarray:
+    """Normalize per-pixel costs and map through the Turbo colormap
+    (reference: src/gi/impl/Turbo.h + _EncodeRenderBufferAsHeatmap)."""
+    v = values.astype(np.float64)
+    vmax = v.max()
+    t = (v / vmax if vmax > 0 else v).clip(0.0, 1.0)
+    # polynomial approximation of Google's Turbo colormap
+    r = np.polyval([-3.8268, 9.6180, -8.2527, 2.1903, 0.9967, 0.1357][::-1], t)
+    g = np.polyval([-5.9311, 11.6060, -8.5590, 2.7747, 0.2484, 0.0914][::-1], t)
+    bl = np.polyval([13.6217, -34.5806, 28.8827, -9.0252, 1.2897, 0.1067][::-1], t)
+    return np.clip(np.stack([r, g, bl], axis=1), 0.0, 1.0).astype(np.float32)
 
 
 _dome_cache: dict[str, DomeLightData] = {}
@@ -427,6 +443,8 @@ giInitialize = gi_initialize
 giTerminate = gi_terminate
 giCreateScene = create_scene
 giRender = render
+
+from gatling_tpu.render.assets import gi_register_asset_reader as giRegisterAssetReader  # noqa: E402,F401
 
 
 def giCreateRenderBuffer(width: int, height: int, channels: int = 4, is_int: bool = False) -> GiRenderBuffer:

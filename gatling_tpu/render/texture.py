@@ -100,7 +100,12 @@ class TextureManager:
         if cached is not None:
             return cached
         try:
-            img = imgio.load_image_file(ref.file_path)
+            from gatling_tpu.render.assets import read_asset
+
+            raw = read_asset(ref.file_path)
+            if raw is None:
+                raise FileNotFoundError(ref.file_path)
+            img = imgio.load_image(raw)
             rgba = img.as_float_rgba()
             if ref.is_srgb and not img.is_hdr:
                 rgba = np.concatenate(
