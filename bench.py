@@ -62,7 +62,7 @@ def main() -> None:
 
     config = RenderConfig(
         width=width, height=height, spp=spp, max_bounces=max_bounces,
-        rr_bounce_offset=3, aov_mask=aov_bit(AovId.COLOR) | aov_bit(AovId.BOUNCES),
+        rr_bounce_offset=3, aov_mask=aov_bit(AovId.COLOR),
         tracer=tracer,
         has_dome=any(l.light_type == "dome" for l in desc.lights))
     uniforms = Uniforms(
@@ -91,11 +91,31 @@ def main() -> None:
         "bounces": jnp.zeros((n, 3), jnp.float32),
     }
 
+    # fused megakernel fast path when the config allows it (PERF.md)
+    from gatling_tpu.render.fused import render_pixels_fused, supports_fused
+
+    use_fused = (jax.default_backend() == "tpu" and supports_fused(config, False)
+                 and geom.num_triangles <= 4096
+                 and os.environ.get("GATLING_FUSED", "1") != "0")
+    if use_fused:
+        from gatling_tpu.ops.pallas_bounce import build_fused_scene
+
+        fs = build_fused_scene(geom, table)
+        pix = jnp.arange(n, dtype=jnp.int32)
+
+        def render_once():
+            return {"color": render_pixels_fused(
+                config, uniforms, fs, pix, spp, jnp.int32(0),
+                n_tris=fs.n_tris, n_mats=int(fs.mats.shape[0]))}
+    else:
+        def render_once():
+            return render_frame(config, uniforms, geom, table, lights,
+                                default_dome(), aovs, accel=accel)
+
     # warmup / compile. NOTE: a host readback (not just block_until_ready) is
     # used to fence timing — the tunneled TPU backend's block_until_ready
     # returns before remote execution finishes.
-    out = render_frame(config, uniforms, geom, table, lights, default_dome(), aovs,
-                       accel=accel)
+    out = render_once()
     _fence = float(jnp.sum(out["color"]))
 
     # min-of-N: the tunneled TPU pool is shared, so per-run contention
@@ -104,8 +124,7 @@ def main() -> None:
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        out = render_frame(config, uniforms, geom, table, lights, default_dome(), aovs,
-                           accel=accel)
+        out = render_once()
         _fence = float(jnp.sum(out["color"]))
         times.append(time.perf_counter() - t0)
     dt = min(times)
@@ -131,7 +150,7 @@ def main() -> None:
             "max_bounces": max_bounces,
             "mean_path_length": round(float(mean_path_len), 3),
             "frame_seconds": round(dt, 4),
-            "tracer": tracer,
+            "tracer": ("fused" if use_fused else tracer),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },

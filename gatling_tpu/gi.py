@@ -102,6 +102,7 @@ class GiScene:
         self._material_table = None
         self._has_volumes = False
         self._has_cutout = False
+        self._fused_scene = None
         self._texture_pool = None
         self._texture_manager = TextureManager()
         self._material_index: dict[str | None, int] = {}
@@ -317,6 +318,7 @@ def render(params: GiRenderParams) -> None:
         scene._material_index[None] = len(mat_paths)
         scene._geom = build_geometry(scene.meshes, scene._material_index)
         scene._tracer, scene._accel, scene._geom = _build_accel(scene._geom)
+        scene._fused_scene = None
         scene.dirty |= DirtyFlags.MATERIALS
         log.info("built geometry: %d triangles, tracer=%s, in %.1f ms",
                  scene._geom.num_triangles, scene._tracer,
@@ -380,10 +382,47 @@ def render(params: GiRenderParams) -> None:
             [dome_obj.diffuse, dome_obj.specular] if dome_obj else [1, 1], jnp.float32),
     )
 
-    scene._aov_state = render_frame(
-        config, uniforms, scene._geom, scene._material_table,
-        scene._light_arrays, scene._dome_data or default_dome(), scene._aov_state,
-        scene._texture_pool or empty_pool(), scene._accel)
+    # fused-megakernel fast path (ops/pallas_bounce.py) when the config
+    # qualifies and we are on TPU; env GATLING_FUSED=0 disables
+    use_fused = False
+    if os.environ.get("GATLING_FUSED", "1") != "0":
+        import jax as _jax
+
+        from gatling_tpu.render.fused import supports_fused
+
+        has_textures = scene._texture_pool is not None and int(
+            scene._texture_pool.texels.shape[0]) > 1
+        use_fused = (_jax.default_backend() == "tpu"
+                     and supports_fused(config, has_textures)
+                     and scene._geom.num_triangles <= 4096)
+    if use_fused:
+        from gatling_tpu.ops.pallas_bounce import build_fused_scene
+        from gatling_tpu.render.fused import render_pixels_fused
+        from gatling_tpu.render.integrator import SampleResult, FirstHitInfo, blend_aovs
+
+        if getattr(scene, "_fused_scene", None) is None:
+            scene._fused_scene = build_fused_scene(scene._geom, scene._material_table)
+        fs = scene._fused_scene
+        pix = jnp.arange(n, dtype=jnp.int32)
+        color = render_pixels_fused(
+            config, uniforms, fs, pix, config.spp, uniforms.sample_offset,
+            n_tris=fs.n_tris, n_mats=int(fs.mats.shape[0]))
+        zero3 = jnp.zeros((n, 3), jnp.float32)
+        first = FirstHitInfo(
+            normal=zero3, albedo=zero3, barycentrics=zero3, texcoords=zero3,
+            tangents=zero3, bitangents=zero3, depth=jnp.ones((n,), jnp.float32),
+            object_id=jnp.full((n,), -1, jnp.int32),
+            face_id=jnp.full((n,), -1, jnp.int32),
+            instance_id=jnp.full((n,), -1, jnp.int32),
+            thin_walled=zero3, double_sided=zero3, opacity=zero3, nee=zero3,
+            hit=jnp.zeros((n,), bool))
+        res = SampleResult(color=color, bounces=jnp.zeros((n,), jnp.int32), first=first)
+        scene._aov_state = blend_aovs(config, uniforms, scene._aov_state, res)
+    else:
+        scene._aov_state = render_frame(
+            config, uniforms, scene._geom, scene._material_table,
+            scene._light_arrays, scene._dome_data or default_dome(), scene._aov_state,
+            scene._texture_pool or empty_pool(), scene._accel)
 
     # device -> host AOV copies (Gi.cpp:2439-2502)
     for b in params.aov_bindings:

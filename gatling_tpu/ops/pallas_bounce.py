@@ -334,7 +334,9 @@ def _bounce_kernel(params_ref, tri_ref, attr_ref, mat_ref, state_ref, out_ref,
     bop_g = jnp.where(pick_t, transm * (1.0 - (f0g + (1.0 - f0g) * tr5)) * inv_pt, bop_g)
     bop_b = jnp.where(pick_t, transm * (1.0 - (f0b + (1.0 - f0b) * tr5)) * inv_pt, bop_b)
 
-    valid = jnp.where(pick_t, p_t > 0.0, (pdf > 1e-12) & (cos_i > 0.0) & (cos_o > 0.0))
+    # (no jnp.where on booleans: Mosaic lacks i1 select)
+    valid = (pick_t & (p_t > 0.0)) | (
+        ~pick_t & (pdf > 1e-12) & (cos_i > 0.0) & (cos_o > 0.0))
     bop_r = jnp.where(valid, bop_r, 0.0)
     bop_g = jnp.where(valid, bop_g, 0.0)
     bop_b = jnp.where(valid, bop_b, 0.0)
@@ -437,9 +439,12 @@ def bounce_step(params, scene: FusedScene, state, *, n_tris: int, n_mats: int):
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(scene.tris.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(scene.attrs.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, mc), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            # triangle/attribute/material tables live in SMEM: the kernel
+            # reads them as per-triangle SCALARS broadcast against the whole
+            # ray block, and only SMEM supports dynamic scalar indexing
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((STATE_ROWS, BLOCK_ROWS, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
