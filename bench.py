@@ -129,11 +129,7 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
-    # traced segments: path segments per sample recovered from the bounces
-    # heatmap is approximate; count conservatively from the mean path length
-    bounces_rgb = np.asarray(out["bounces"])  # inferno-encoded; recompute instead:
-    # mean path length lower bound: every sample traces at least 1 segment and
-    # terminated paths traced `bounce` segments. Use a dedicated count render:
+    # traced segments per sample: measured with a dedicated count render
     mean_path_len = estimate_mean_path_length(
         config, uniforms, geom, table, lights, accel)
     rays = n * spp * mean_path_len

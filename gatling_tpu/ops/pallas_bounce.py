@@ -114,6 +114,22 @@ def _pcg_next(state_u32):
 
 def _bounce_kernel(params_ref, tri_ref, attr_ref, mat_ref, state_ref, out_ref,
                    *, n_tris: int, n_mats: int):
+    # dead-block early out: later bounces have mostly-terminated blocks and
+    # skip the whole triangle loop (the SIMT analog: warp-level exit)
+    any_alive = jnp.max(state_ref[13]) > 0.5
+
+    @pl.when(jnp.logical_not(any_alive))
+    def _():
+        out_ref[...] = state_ref[...]
+
+    @pl.when(any_alive)
+    def _():
+        _bounce_body(params_ref, tri_ref, attr_ref, mat_ref, state_ref, out_ref,
+                     n_tris=n_tris, n_mats=n_mats)
+
+
+def _bounce_body(params_ref, tri_ref, attr_ref, mat_ref, state_ref, out_ref,
+                 *, n_tris: int, n_mats: int):
     s = lambda c: state_ref[c]  # [8,128]  # noqa: E731
 
     ox, oy, oz = s(0), s(1), s(2)
