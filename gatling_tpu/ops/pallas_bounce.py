@@ -77,6 +77,14 @@ class FusedScene(NamedTuple):
 
 
 def build_fused_scene(geom: SceneGeometry, table: MaterialTable) -> FusedScene:
+    # drop lane-padding triangles: the serial loop needs no 128-alignment,
+    # and e.g. the Cornell box is 46 real tris inside a 128 pad
+    e1_all = np.asarray(geom.e1)
+    e2_all = np.asarray(geom.e2)
+    real = (np.abs(e1_all).sum(axis=1) > 0) | (np.abs(e2_all).sum(axis=1) > 0)
+    n_real = int(np.max(np.nonzero(real)[0])) + 1 if real.any() else 0
+    geom = SceneGeometry(*[arr[:n_real] for arr in geom])
+
     v0 = np.asarray(geom.v0).T
     e1 = np.asarray(geom.e1).T
     e2 = np.asarray(geom.e2).T
