@@ -35,9 +35,14 @@ def main() -> None:
     from gatling_tpu.interface import AovId, aov_bit
 
     scene_path = os.environ.get("GATLING_BENCH_SCENE", "/root/reference/cornell.usda")
-    width = height = int(os.environ.get("GATLING_BENCH_RES", "1200"))
-    spp = int(os.environ.get("GATLING_BENCH_SPP", "16"))
-    max_bounces = int(os.environ.get("GATLING_BENCH_BOUNCES", "8"))
+    # sphere_field (290k tris, clustered tracer) defaults to a smaller config:
+    # a 1200sq/16spp frame is a single multi-second XLA execution, which the
+    # shared TPU worker's watchdog can kill (PERF.md "Known issues")
+    big_scene = scene_path == "sphere_field"
+    width = height = int(os.environ.get("GATLING_BENCH_RES", "512" if big_scene else "1200"))
+    spp = int(os.environ.get("GATLING_BENCH_SPP", "4" if big_scene else "16"))
+    max_bounces = int(os.environ.get("GATLING_BENCH_BOUNCES", "6" if big_scene else "8"))
+    use_nee = os.environ.get("GATLING_BENCH_NEE", "0") == "1"
 
     from gatling_tpu.gi import _build_accel
 
@@ -57,13 +62,30 @@ def main() -> None:
     for p, i in midx.items():
         rows[i] = lower_material(desc.materials.get(p) if p else None)
     table = build_material_table(rows)
-    lights = build_light_arrays([l for l in desc.lights if l.light_type != "dome"])
+    scene_lights = [l for l in desc.lights if l.light_type != "dome"]
+    if use_nee and not scene_lights:
+        # NEE bench config: a ceiling rect light (UsdLux default -Z emission;
+        # the cornell room is [-1,1]^3 z-up)
+        import numpy as _np
+
+        from gatling_tpu.scene.stage import LightDesc
+
+        xf = _np.eye(4)
+        xf[3, :3] = [0.0, 0.0, 0.9]
+        scene_lights = [LightDesc(
+            path="/benchlight", light_type="rect", transform=xf,
+            params=dict(intensity=4.0, exposure=0.0,
+                        color=_np.array([1.0, 0.9, 0.8], _np.float32),
+                        normalize=False, diffuse=1.0, specular=1.0,
+                        enableColorTemperature=False, colorTemperature=6500.0,
+                        width=0.8, height=0.6))]
+    lights = build_light_arrays(scene_lights)
     cam = desc.first_camera()
 
     config = RenderConfig(
         width=width, height=height, spp=spp, max_bounces=max_bounces,
         rr_bounce_offset=3, aov_mask=aov_bit(AovId.COLOR),
-        tracer=tracer,
+        tracer=tracer, nee=use_nee,
         has_dome=any(l.light_type == "dome" for l in desc.lights))
     uniforms = Uniforms(
         camera=CameraUniforms(
@@ -95,18 +117,18 @@ def main() -> None:
     from gatling_tpu.render.fused import render_pixels_fused, supports_fused
 
     use_fused = (jax.default_backend() == "tpu" and supports_fused(config, False)
-                 and geom.num_triangles <= 4096
                  and os.environ.get("GATLING_FUSED", "1") != "0")
     if use_fused:
         from gatling_tpu.ops.pallas_bounce import build_fused_scene
 
-        fs = build_fused_scene(geom, table)
+        fs, fstatic = build_fused_scene(geom, table, lights)
         pix = jnp.arange(n, dtype=jnp.int32)
 
         def render_once():
-            return {"color": render_pixels_fused(
-                config, uniforms, fs, pix, spp, jnp.int32(0),
-                n_tris=fs.n_tris, n_mats=int(fs.mats.shape[0]))}
+            color, segs = render_pixels_fused(
+                config, uniforms, fs, default_dome(), pix, spp, jnp.int32(0),
+                static=fstatic, with_stats=True)
+            return {"color": color, "segments": segs}
     else:
         def render_once():
             return render_frame(config, uniforms, geom, table, lights,
@@ -129,15 +151,20 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
-    # traced segments per sample: measured with a dedicated count render
-    mean_path_len = estimate_mean_path_length(
-        config, uniforms, geom, table, lights, accel)
+    # traced segments per sample (path segments + NEE shadow rays)
+    if use_fused:
+        mean_path_len = float(jnp.mean(out["segments"]))
+    else:
+        mean_path_len = estimate_mean_path_length(
+            config, uniforms, geom, table, lights, accel)
     rays = n * spp * mean_path_len
     mrays_per_sec = rays / dt / 1e6
 
     target = 100.0  # Mray/s/chip (BASELINE.json north star)
     print(json.dumps({
-        "metric": ("cornell_1200sq_trace_shade" if "cornell" in scene_path else f"{os.path.basename(scene_path)}_trace_shade"),
+        "metric": (("cornell_1200sq_trace_shade" if "cornell" in scene_path
+                    else f"{os.path.basename(scene_path)}_trace_shade")
+                   + ("_nee" if use_nee else "")),
         "value": round(mrays_per_sec, 2),
         "unit": "Mray/s/chip",
         "vs_baseline": round(mrays_per_sec / target, 3),

@@ -330,6 +330,7 @@ def render(params: GiRenderParams) -> None:
             rows[idx] = lower_material(scene.materials.get(path) if path else None)
         scene._material_table, scene._texture_pool = build_materials(
             rows, scene._texture_manager)
+        scene._fused_scene = None  # kernel material table must follow
         scene._has_volumes = any(
             any(c > 0.0 for c in r.params["volume_absorption"])
             or any(c > 0.0 for c in r.params["volume_scattering"]) for r in rows)
@@ -338,6 +339,7 @@ def render(params: GiRenderParams) -> None:
     if scene.dirty & DirtyFlags.LIGHTS or scene._light_arrays is None:
         scene._light_arrays = build_light_arrays(scene.lights)
         scene._dome_data = _load_dome(params.dome_light or scene.dome_light)
+        scene._fused_scene = None  # kernel light table must follow
 
     if scene.dirty & DirtyFlags.FRAMEBUFFER or scene._fb_shape != (width, height):
         scene.sample_offset = 0
@@ -393,20 +395,20 @@ def render(params: GiRenderParams) -> None:
         has_textures = scene._texture_pool is not None and int(
             scene._texture_pool.texels.shape[0]) > 1
         use_fused = (_jax.default_backend() == "tpu"
-                     and supports_fused(config, has_textures)
-                     and scene._geom.num_triangles <= 4096)
+                     and supports_fused(config, has_textures))
     if use_fused:
         from gatling_tpu.ops.pallas_bounce import build_fused_scene
         from gatling_tpu.render.fused import render_pixels_fused
         from gatling_tpu.render.integrator import SampleResult, FirstHitInfo, blend_aovs
 
         if getattr(scene, "_fused_scene", None) is None:
-            scene._fused_scene = build_fused_scene(scene._geom, scene._material_table)
-        fs = scene._fused_scene
+            scene._fused_scene = build_fused_scene(
+                scene._geom, scene._material_table, scene._light_arrays)
+        fs, fstatic = scene._fused_scene
         pix = jnp.arange(n, dtype=jnp.int32)
         color = render_pixels_fused(
-            config, uniforms, fs, pix, config.spp, uniforms.sample_offset,
-            n_tris=fs.n_tris, n_mats=int(fs.mats.shape[0]))
+            config, uniforms, fs, scene._dome_data or default_dome(), pix,
+            config.spp, uniforms.sample_offset, static=fstatic)
         zero3 = jnp.zeros((n, 3), jnp.float32)
         first = FirstHitInfo(
             normal=zero3, albedo=zero3, barycentrics=zero3, texcoords=zero3,

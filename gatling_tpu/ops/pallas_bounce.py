@@ -1,39 +1,56 @@
-"""Fused Pallas bounce megakernel.
+"""Fused Pallas bounce megakernel (round 2).
 
 Why this exists: the XLA wavefront integrator moves ~86 KB of HBM traffic
 per ray per frame (measured via compiled cost analysis, see PERF.md) because
 every intermediate between fusion islands is a [N,*] HBM buffer. This kernel
 fuses an ENTIRE path-tracing bounce — closest-hit search, shading-state
-interpolation, emission, uber-BSDF importance sampling, RNG advance, russian
-roulette — into one Pallas program whose only HBM traffic is the packed ray
-state (16 f32 per ray, aliased in/out) plus tiny scene tables resident in
-VMEM. It is the true TPU analog of the reference's ray-tracing megakernel
-(rp_main.rgen + rp_main.chit + rp_main.miss in one dispatch).
+interpolation, emission, uber-BSDF importance sampling, NEE light sampling +
+shadow occlusion, RNG advance, russian roulette — into one Pallas program
+whose only HBM traffic is the packed ray state (16 f32 per ray, aliased
+in/out) plus scene tables resident in SMEM. It is the true TPU analog of the
+reference's ray-tracing megakernel (rp_main.rgen + rp_main.chit +
+rp_main.ahit + rp_main.miss in one dispatch, including the NEE shadow
+traceRayEXT of rp_main.rgen:397-438).
 
 Layouts (the whole point):
 * ray state: [16, R/128, 128] — component-major, so every per-ray quantity
   is a fully-packed [8,128] vreg tile inside the kernel (rays on sublanes x
   lanes); no [N,3] minor-dim hazards exist anywhere,
-* triangles: [12, T] scalar-broadcast tables (v0,e1,e2, precomputed geometric
-  normal) walked by a fori loop — each triangle tests against all 1024 rays
-  of the block in ~50 vreg ops,
-* shading attributes: [11, T] (corner normals, material id, flags) selected
-  during the same loop when a triangle becomes the closest hit,
-* materials: [M,24] packed rows resolved by a small select loop.
+* triangles: [32, T] scalar-broadcast tables (Baldwin-Weber precomputed
+  plane + barycentric rows — ~20% fewer ops than Moller-Trumbore) walked by
+  a fori loop — each triangle tests against all 1024 rays of the block,
+* materials: [M,24] packed rows resolved by a small select loop,
+* lights: [L,20] packed rows; NEE code is generated per static light list
+  (the analog of the reference's per-scene shader specialization),
+* large scenes (clustered mode): triangles live in HBM as [C,32,128]
+  Morton-ordered clusters; two-level cluster AABBs in SMEM cull the walk
+  per ray block, intersected clusters are DMA'd HBM->SMEM on demand. This
+  replaces the reference's hardware BVH (CgpuVk.cpp:2695-2854) with a
+  TPU-native bounded-depth hierarchy: AABB slab tests are uniform vector
+  work, and only surviving clusters pay DMA + triangle loops.
 
-Fast-path scope (round 1): constant-parameter materials (no textures), no
-NEE, no volumes, no cutout; selected automatically for qualifying configs.
+Dome lighting: the kernel records the bounce at which a ray missed
+(state row 14); the equirect dome lookup runs as a vectorized XLA pass after
+the bounce loop (render/fused.py) — per-ray texture gathers are impossible
+inside a Mosaic kernel, and a path can miss at most once so the post-pass is
+exact, not an approximation.
+
+Fast-path scope (round 2): constant-parameter materials (no textures), no
+volumes, no cutout; NEE, dome and arbitrary triangle counts ARE supported.
 The RNG stream matches the general integrator (pcg32, same draw order), but
 the shading frame uses the Duff ONB of the shading normal instead of mesh
 tangents, so individual samples differ by an azimuthal rotation while the
 estimator's distribution is identical.
 
 State rows: 0-2 origin, 3-5 dir, 6-8 throughput, 9-11 radiance,
-12 rng (bitcast u32), 13 alive flag, 14-15 unused.
+12 rng (bitcast u32), 13 alive flag, 14 miss record (0 = none, else
+1 + bounce index at which the ray missed), 15 traced-segment counter
+(path segments + NEE shadow rays; the Mray/s accounting source).
 """
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import NamedTuple
 
@@ -45,6 +62,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gatling_tpu.interface import (
     FLOAT_MAX,
+    LightArrays,
     MESH_FLAG_DOUBLE_SIDED,
     MESH_FLAG_FLIP_FACING,
 )
@@ -57,6 +75,29 @@ STATE_ROWS = 16
 PI = 3.14159265358979
 MIN_ALPHA = 1e-3
 
+# triangle table rows (resident: [TRI_ROWS, T] SMEM; clustered: [C, TRI_ROWS, 128]
+# HBM, DMA'd per cluster). TRI_ROWS must be a multiple of 8: the TPU DMA engine
+# faults on non-8-multiple sublane extents (measured; see memory notes).
+TR_N = 0      # 0-2: plane normal = cross(e1,e2), unnormalized, no flip
+TR_D0 = 3     # plane offset: -dot(n, v0)
+TR_R1 = 4     # 4-7: barycentric u row: r1.xyz, c1  (u = dot(r1,p)+c1)
+TR_R2 = 8     # 8-11: barycentric v row
+TR_GN = 12    # 12-14: geometric normal (normalized, flip-facing applied)
+TR_N0 = 15    # 15-17, 18-20, 21-23: shading normals per corner
+TR_N1 = 18
+TR_N2 = 21
+TR_MAT = 24
+TR_DS = 25
+TR_UV = 26    # 26-31: uv0.xy uv1.xy uv2.xy (reserved for the textured path)
+TRI_ROWS = 32
+
+CLUSTER_SIZE = 128
+L1_FAN = 16  # clusters per level-1 AABB group
+
+# light table columns ([L, LIGHT_COLS] SMEM; layout per type, see builder)
+LIGHT_COLS = 20
+LT_SPHERE, LT_DISTANT, LT_RECT, LT_DISK = 0, 1, 2, 3
+
 # params vector (SMEM) indices
 P_BG_R, P_BG_G, P_BG_B = 0, 1, 2
 P_RR_INV_MIN = 3
@@ -64,51 +105,268 @@ P_RR_OFFSET = 4
 P_BOUNCE = 5
 P_EXP2_EXPOSURE = 6
 P_TMIN = 7
-PARAMS_LEN = 8
+P_LIGHT_MULT = 8
+PARAMS_LEN = 9
+
+SHADOW_TMIN = 0.01  # reference: rgen:397-438 shadow ray tMin
 
 
 class FusedScene(NamedTuple):
-    """VMEM-resident scene tables for the bounce kernel."""
+    """Device-resident scene tables for the bounce kernel (arrays only —
+    static shape info lives in FusedStatic)."""
 
-    tris: jnp.ndarray  # [12, T]: v0(3) e1(3) e2(3) gn(3) (gn = normalized cross, flip applied)
-    attrs: jnp.ndarray  # [11, T]: n0(3) n1(3) n2(3) mat_id double_sided
-    mats: jnp.ndarray  # [M, 24] packed material rows (MaterialTable.packed_f)
+    tris: jnp.ndarray    # resident: [TRI_ROWS, T]; clustered: [C_pad, TRI_ROWS, 128]
+    mats: jnp.ndarray    # [M, 24] packed material rows (MaterialTable.packed_f)
+    lights: jnp.ndarray  # [max(L,1), LIGHT_COLS]
+    l1_aabbs: jnp.ndarray  # [8, n_l1] (rows 0-5: min xyz / max xyz); dummy in resident
+    l2_aabbs: jnp.ndarray  # [8, n_l1 * L1_FAN]
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedStatic:
+    """Compile-time scene shape info (jit static argument)."""
+
     n_tris: int
+    n_mats: int
+    n_clusters: int  # 0 => resident (all tris in SMEM)
+    n_l1: int
+    light_types: tuple[int, ...]  # per-slot LT_* ids, type-major order
+
+    @property
+    def clustered(self) -> bool:
+        return self.n_clusters > 0
 
 
-def build_fused_scene(geom: SceneGeometry, table: MaterialTable) -> FusedScene:
-    # drop lane-padding triangles: the serial loop needs no 128-alignment,
-    # and e.g. the Cornell box is 46 real tris inside a 128 pad
+# ---------------------------------------------------------------------------
+# host-side builders
+# ---------------------------------------------------------------------------
+
+def _duff_onb_np(n: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Duff et al. ONB, numpy mirror of ops.sampling.orthonormal_basis."""
+    x, y, z = float(n[0]), float(n[1]), float(n[2])
+    s = 1.0 if z >= 0.0 else -1.0
+    a = -1.0 / (s + z)
+    b = x * y * a
+    b1 = np.array([1.0 + s * x * x * a, s * b, -s * x], np.float32)
+    b2 = np.array([b, s + y * y * a, -y], np.float32)
+    return b1, b2
+
+
+def build_fused_lights(arrays: LightArrays) -> tuple[np.ndarray, tuple[int, ...]]:
+    """Pack LightArrays into the kernel light table + static type list.
+
+    Slot order is type-major (spheres, distants, rects, disks) to match the
+    pick arithmetic of render/lights.py sample_light — the fused NEE must
+    consume the SAME rng mapping as the general integrator.
+
+    Unified columns: emission 14-16, diffuse/specular 17-18. Per type:
+    sphere: pos 0-2, radii 3-5, area 9. distant: -dir 0-2, onb_t1 3-5,
+    onb_t2 6-8, angle 9, inv_pdf 10. rect: origin 0-2, t0 3-5, t1 6-8,
+    size 9-10, normal 11-13. disk: origin 0-2, t0 3-5, t1 6-8,
+    radii 9-10, normal 11-13.
+    """
+    rows: list[np.ndarray] = []
+    types: list[int] = []
+
+    def emit(t: int) -> np.ndarray:
+        row = np.zeros(LIGHT_COLS, np.float32)
+        rows.append(row)
+        types.append(t)
+        return row
+
+    for i in range(int(arrays.sphere_count)):
+        r = emit(LT_SPHERE)
+        r[0:3] = np.asarray(arrays.sphere_pos[i])
+        r[3:6] = np.asarray(arrays.sphere_radius[i])
+        r[9] = float(arrays.sphere_area[i])
+        r[14:17] = np.asarray(arrays.sphere_emission[i])
+        r[17:19] = np.asarray(arrays.sphere_diff_spec[i])
+    for i in range(int(arrays.distant_count)):
+        r = emit(LT_DISTANT)
+        dir0 = -np.asarray(arrays.distant_dir[i], np.float32)
+        t1b, t2b = _duff_onb_np(dir0)
+        r[0:3] = dir0
+        r[3:6] = t1b
+        r[6:9] = t2b
+        r[9] = float(arrays.distant_angle[i])
+        r[10] = float(arrays.distant_inv_pdf[i])
+        r[14:17] = np.asarray(arrays.distant_emission[i])
+        r[17:19] = np.asarray(arrays.distant_diff_spec[i])
+    for i in range(int(arrays.rect_count)):
+        r = emit(LT_RECT)
+        t0 = np.asarray(arrays.rect_t0[i], np.float32)
+        t1 = np.asarray(arrays.rect_t1[i], np.float32)
+        r[0:3] = np.asarray(arrays.rect_origin[i])
+        r[3:6] = t0
+        r[6:9] = t1
+        r[9:11] = np.asarray(arrays.rect_size[i])
+        r[11:14] = np.cross(t1, t0)  # UsdLux forward is -Z (lights.py:239)
+        r[14:17] = np.asarray(arrays.rect_emission[i])
+        r[17:19] = np.asarray(arrays.rect_diff_spec[i])
+    for i in range(int(arrays.disk_count)):
+        r = emit(LT_DISK)
+        t0 = np.asarray(arrays.disk_t0[i], np.float32)
+        t1 = np.asarray(arrays.disk_t1[i], np.float32)
+        r[0:3] = np.asarray(arrays.disk_origin[i])
+        r[3:6] = t0
+        r[6:9] = t1
+        r[9:11] = np.asarray(arrays.disk_radius[i])
+        r[11:14] = np.cross(t1, t0)
+        r[14:17] = np.asarray(arrays.disk_emission[i])
+        r[17:19] = np.asarray(arrays.disk_diff_spec[i])
+
+    table = np.stack(rows) if rows else np.zeros((1, LIGHT_COLS), np.float32)
+    return table.astype(np.float32), tuple(types)
+
+
+def _tri_rows(geom: SceneGeometry) -> np.ndarray:
+    """Per-triangle kernel rows [T, TRI_ROWS] (Baldwin-Weber precompute)."""
+    v0 = np.asarray(geom.v0, np.float64)
+    e1 = np.asarray(geom.e1, np.float64)
+    e2 = np.asarray(geom.e2, np.float64)
+    n = np.cross(e1, e2)
+    nn = np.maximum((n * n).sum(axis=1, keepdims=True), 1e-30)
+    d0 = -(n * v0).sum(axis=1)
+    r1 = np.cross(e2, n) / nn
+    c1 = -(r1 * v0).sum(axis=1)
+    r2 = np.cross(n, e1) / nn
+    c2 = -(r2 * v0).sum(axis=1)
+
+    gn = n / np.sqrt(nn)
+    flags = np.asarray(geom.flags)
+    flip = (flags & MESH_FLAG_FLIP_FACING) != 0
+    gn = np.where(flip[:, None], -gn, gn)
+
+    # fully degenerate (padding) triangles must never hit: n == 0 => ndotd == 0
+    degen = (np.abs(n).sum(axis=1) == 0.0)
+    n = np.where(degen[:, None], 0.0, n)
+
+    t = v0.shape[0]
+    rows = np.zeros((t, TRI_ROWS), np.float32)
+    rows[:, TR_N:TR_N + 3] = n
+    rows[:, TR_D0] = d0
+    rows[:, TR_R1:TR_R1 + 3] = r1
+    rows[:, TR_R1 + 3] = c1
+    rows[:, TR_R2:TR_R2 + 3] = r2
+    rows[:, TR_R2 + 3] = c2
+    rows[:, TR_GN:TR_GN + 3] = gn
+    rows[:, TR_N0:TR_N0 + 3] = np.asarray(geom.n0)
+    rows[:, TR_N1:TR_N1 + 3] = np.asarray(geom.n1)
+    rows[:, TR_N2:TR_N2 + 3] = np.asarray(geom.n2)
+    rows[:, TR_MAT] = np.asarray(geom.material_id).astype(np.float32)
+    rows[:, TR_DS] = ((flags & MESH_FLAG_DOUBLE_SIDED) != 0).astype(np.float32)
+    rows[:, TR_UV:TR_UV + 2] = np.asarray(geom.uv0)
+    rows[:, TR_UV + 2:TR_UV + 4] = np.asarray(geom.uv1)
+    rows[:, TR_UV + 4:TR_UV + 6] = np.asarray(geom.uv2)
+    return rows
+
+
+def _morton_order(geom: SceneGeometry, n_real: int) -> np.ndarray:
+    """Spatial (Morton) triangle order over centroids."""
+    v0 = np.asarray(geom.v0[:n_real], np.float64)
+    e1 = np.asarray(geom.e1[:n_real], np.float64)
+    e2 = np.asarray(geom.e2[:n_real], np.float64)
+    c = v0 + (e1 + e2) / 3.0
+    lo = c.min(axis=0)
+    span = np.maximum(c.max(axis=0) - lo, 1e-12)
+    q = np.clip(((c - lo) / span * 1023.0), 0, 1023).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (spread(q[:, 2]) << np.uint64(2))
+    return np.argsort(code, kind="stable")
+
+
+def build_fused_scene(
+    geom: SceneGeometry,
+    table: MaterialTable,
+    light_arrays: LightArrays | None = None,
+    resident_max: int = 4096,
+) -> tuple[FusedScene, FusedStatic]:
+    """Build kernel scene tables. Scenes up to resident_max real triangles
+    keep the whole table in SMEM; larger scenes get Morton-ordered 128-tri
+    clusters in HBM with two-level SMEM AABBs."""
+    # drop lane-padding triangles: the serial loop needs no 128-alignment
     e1_all = np.asarray(geom.e1)
     e2_all = np.asarray(geom.e2)
     real = (np.abs(e1_all).sum(axis=1) > 0) | (np.abs(e2_all).sum(axis=1) > 0)
     n_real = int(np.max(np.nonzero(real)[0])) + 1 if real.any() else 0
     geom = SceneGeometry(*[arr[:n_real] for arr in geom])
 
-    v0 = np.asarray(geom.v0).T
-    e1 = np.asarray(geom.e1).T
-    e2 = np.asarray(geom.e2).T
-    gn = np.cross(np.asarray(geom.e1), np.asarray(geom.e2))
-    lens = np.maximum(np.linalg.norm(gn, axis=1, keepdims=True), 1e-20)
-    gn = gn / lens
-    flags = np.asarray(geom.flags)
-    flip = (flags & MESH_FLAG_FLIP_FACING) != 0
-    gn = np.where(flip[:, None], -gn, gn).T.astype(np.float32)
-    tris = np.concatenate([v0, e1, e2, gn], axis=0).astype(np.float32)
+    if light_arrays is not None:
+        light_table, light_types = build_fused_lights(light_arrays)
+    else:
+        light_table = np.zeros((1, LIGHT_COLS), np.float32)
+        light_types = ()
 
-    attrs = np.concatenate([
-        np.asarray(geom.n0).T, np.asarray(geom.n1).T, np.asarray(geom.n2).T,
-        np.asarray(geom.material_id)[None].astype(np.float32),
-        ((flags & MESH_FLAG_DOUBLE_SIDED) != 0)[None].astype(np.float32),
-    ], axis=0).astype(np.float32)
+    if n_real <= resident_max:
+        rows = _tri_rows(geom)  # [T, TRI_ROWS]
+        static = FusedStatic(n_tris=n_real, n_mats=int(table.packed_f.shape[0]),
+                             n_clusters=0, n_l1=1, light_types=light_types)
+        scene = FusedScene(
+            tris=jnp.asarray(rows.T.copy()),  # [TRI_ROWS, T]
+            mats=jnp.asarray(table.packed_f),
+            lights=jnp.asarray(light_table),
+            l1_aabbs=jnp.zeros((8, 1), jnp.float32),
+            l2_aabbs=jnp.zeros((8, 1), jnp.float32),
+        )
+        return scene, static
 
-    return FusedScene(
+    # ---- clustered mode ----
+    order = _morton_order(geom, n_real)
+    geom = SceneGeometry(*[np.asarray(arr)[order] for arr in geom])
+    rows = _tri_rows(geom)  # [T, TRI_ROWS]
+
+    n_clusters = -(-n_real // CLUSTER_SIZE)
+    n_l1 = -(-n_clusters // L1_FAN)
+    c_pad = n_l1 * L1_FAN
+    t_pad = c_pad * CLUSTER_SIZE
+    rows_p = np.zeros((t_pad, TRI_ROWS), np.float32)
+    rows_p[:n_real] = rows
+    tris = rows_p.reshape(c_pad, CLUSTER_SIZE, TRI_ROWS).transpose(0, 2, 1).copy()
+
+    # cluster AABBs over the real triangles only
+    v0 = np.asarray(geom.v0, np.float64)
+    v1 = v0 + np.asarray(geom.e1, np.float64)
+    v2 = v0 + np.asarray(geom.e2, np.float64)
+    tmin = np.minimum(np.minimum(v0, v1), v2)
+    tmax = np.maximum(np.maximum(v0, v1), v2)
+
+    l2 = np.zeros((8, c_pad), np.float32)
+    l2[0:3, :] = FLOAT_MAX
+    l2[3:6, :] = -FLOAT_MAX
+    for c in range(n_clusters):
+        a, b = c * CLUSTER_SIZE, min((c + 1) * CLUSTER_SIZE, n_real)
+        l2[0:3, c] = tmin[a:b].min(axis=0)
+        l2[3:6, c] = tmax[a:b].max(axis=0)
+    l1 = np.zeros((8, n_l1), np.float32)
+    l1[0:3, :] = FLOAT_MAX
+    l1[3:6, :] = -FLOAT_MAX
+    for g in range(n_l1):
+        a, b = g * L1_FAN, min((g + 1) * L1_FAN, n_clusters)
+        l1[0:3, g] = l2[0:3, a:b].min(axis=1)
+        l1[3:6, g] = l2[3:6, a:b].max(axis=1)
+
+    static = FusedStatic(n_tris=n_real, n_mats=int(table.packed_f.shape[0]),
+                         n_clusters=n_clusters, n_l1=n_l1, light_types=light_types)
+    scene = FusedScene(
         tris=jnp.asarray(tris),
-        attrs=jnp.asarray(attrs),
         mats=jnp.asarray(table.packed_f),
-        n_tris=v0.shape[1],
+        lights=jnp.asarray(light_table),
+        l1_aabbs=jnp.asarray(l1),
+        l2_aabbs=jnp.asarray(l2),
     )
+    return scene, static
 
+
+# ---------------------------------------------------------------------------
+# kernel helpers
+# ---------------------------------------------------------------------------
 
 def _pcg_next(state_u32):
     """[8,128] pcg32 step -> (new_state, float in [0,1))."""
@@ -120,8 +378,249 @@ def _pcg_next(state_u32):
     return ns, jax.lax.bitcast_convert_type(bits, jnp.float32) - 1.0
 
 
-def _bounce_kernel(params_ref, tri_ref, attr_ref, mat_ref, state_ref, out_ref,
-                   *, n_tris: int, n_mats: int):
+def _tri_hit_test(tread, t, ox, oy, oz, dx, dy, dz, tmin):
+    """Baldwin-Weber plane + barycentric test of triangle `t` against the
+    whole ray block. tread(row, t) reads a per-triangle scalar. Returns
+    (valid_hit_closer_than(tt_cap) predicate factory pieces): (tt, u, v, ok)."""
+    nx = tread(TR_N + 0, t)
+    ny = tread(TR_N + 1, t)
+    nz = tread(TR_N + 2, t)
+    d0 = tread(TR_D0, t)
+    ndotd = nx * dx + ny * dy + nz * dz
+    ok = jnp.abs(ndotd) > 1e-12
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, ndotd, 1.0), 0.0)
+    tt = -(nx * ox + ny * oy + nz * oz + d0) * inv
+    px = ox + tt * dx
+    py = oy + tt * dy
+    pz = oz + tt * dz
+    u = tread(TR_R1 + 0, t) * px + tread(TR_R1 + 1, t) * py + tread(TR_R1 + 2, t) * pz + tread(TR_R1 + 3, t)
+    v = tread(TR_R2 + 0, t) * px + tread(TR_R2 + 1, t) * py + tread(TR_R2 + 2, t) * pz + tread(TR_R2 + 3, t)
+    ok = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (tt > tmin)
+    return tt, u, v, ok
+
+
+# closest-hit carry: best_t, u, v, gn(3), n0(3), n1(3), n2(3), mat, dsided
+HIT_CARRY = 17
+# clustered-mode accumulator: best_t, u, v, win_idx + the 14 attrs above
+CLU_ACC_ROWS = 18
+
+
+def _closest_body_factory(tread, ox, oy, oz, dx, dy, dz, tmin):
+    def body(t, carry):
+        (best_t, bu, bv,
+         gnx, gny, gnz, n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z,
+         mat, ds) = carry
+        tt, u, v, ok = _tri_hit_test(tread, t, ox, oy, oz, dx, dy, dz, tmin)
+        better = ok & (tt < best_t)
+
+        def sel(cur, row):
+            return jnp.where(better, tread(row, t), cur)
+
+        return (
+            jnp.where(better, tt, best_t),
+            jnp.where(better, u, bu), jnp.where(better, v, bv),
+            sel(gnx, TR_GN + 0), sel(gny, TR_GN + 1), sel(gnz, TR_GN + 2),
+            sel(n0x, TR_N0 + 0), sel(n0y, TR_N0 + 1), sel(n0z, TR_N0 + 2),
+            sel(n1x, TR_N1 + 0), sel(n1y, TR_N1 + 1), sel(n1z, TR_N1 + 2),
+            sel(n2x, TR_N2 + 0), sel(n2y, TR_N2 + 1), sel(n2z, TR_N2 + 2),
+            sel(mat, TR_MAT), sel(ds, TR_DS),
+        )
+    return body
+
+
+def _hit_carry_init():
+    z = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
+    return (jnp.full((BLOCK_ROWS, 128), FLOAT_MAX, jnp.float32), z, z,
+            z, z, z, z, z, z, z, z, z, z, z, z, z, z)
+
+
+def _slab_test(aabb_ref, idx, ox, oy, oz, ivx, ivy, ivz, tmin, tcap):
+    """Ray/AABB slab test of one SMEM box against the whole block."""
+    bx0 = aabb_ref[0, idx]; by0 = aabb_ref[1, idx]; bz0 = aabb_ref[2, idx]
+    bx1 = aabb_ref[3, idx]; by1 = aabb_ref[4, idx]; bz1 = aabb_ref[5, idx]
+    tx0 = (bx0 - ox) * ivx; tx1 = (bx1 - ox) * ivx
+    ty0 = (by0 - oy) * ivy; ty1 = (by1 - oy) * ivy
+    tz0 = (bz0 - oz) * ivz; tz1 = (bz1 - oz) * ivz
+    tenter = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                         jnp.maximum(jnp.minimum(tz0, tz1), tmin))
+    texit = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                        jnp.minimum(jnp.maximum(tz0, tz1), tcap))
+    return tenter <= texit
+
+
+def _safe_inv(d):
+    tiny = jnp.abs(d) < 1e-20
+    return 1.0 / jnp.where(tiny, jnp.where(d >= 0.0, 1e-20, -1e-20), d)
+
+
+def _trace_clustered_closest(tri_hbm, l1_ref, l2_ref, scratch, sem, acc,
+                             ox, oy, oz, dx, dy, dz, tmin, alive_f, *, n_l1):
+    """Two-level culled closest-hit walk; result accumulates in the VMEM
+    scratch `acc` ([CLU_ACC_ROWS, 8, 128]).
+
+    Two passes keep the hot loop lean: pass 1 walks every intersected
+    cluster carrying only (best_t, u, v, winning tri index) — ~12 SMEM
+    scalar reads per triangle instead of ~26 — and pass 2 re-visits only
+    the WINNING clusters (typically far fewer than intersected ones) to
+    fetch the 14 shading attributes by index match.
+
+    acc rows: 0 best_t, 1 u, 2 v, 3 win_idx (global tri id as f32),
+    4-6 gn, 7-15 n0/n1/n2, 16 mat, 17 dsided.
+    """
+    acc[0] = jnp.full((BLOCK_ROWS, 128), FLOAT_MAX, jnp.float32)
+    for i in range(1, CLU_ACC_ROWS):
+        acc[i] = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
+    acc[3] = jnp.full((BLOCK_ROWS, 128), -1.0, jnp.float32)
+    ivx, ivy, ivz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    # dead rays must not drag clusters in: give them an empty interval
+    tmin_r = jnp.where(alive_f > 0.5, tmin, FLOAT_MAX)
+
+    def tread(row, t):
+        return scratch[row, t]
+
+    # ---- pass 1: closest hit as (t, u, v, index) ----
+    def l1_body(g, _):
+        hit1 = _slab_test(l1_ref, g, ox, oy, oz, ivx, ivy, ivz, tmin_r, acc[0])
+        any1 = jnp.max(hit1.astype(jnp.float32)) > 0.5
+
+        @pl.when(any1)
+        def _():
+            def l2_body(b, __):
+                c = g * L1_FAN + b
+                hit2 = _slab_test(l2_ref, c, ox, oy, oz, ivx, ivy, ivz, tmin_r, acc[0])
+                any2 = jnp.max(hit2.astype(jnp.float32)) > 0.5
+
+                @pl.when(any2)
+                def _():
+                    cp = pltpu.make_async_copy(tri_hbm.at[c], scratch, sem)
+                    cp.start()
+                    cp.wait()
+                    base = (c * CLUSTER_SIZE).astype(jnp.float32)
+
+                    def body(t, carry):
+                        best_t, bu, bv, bidx = carry
+                        tt, u, v, ok = _tri_hit_test(
+                            tread, t, ox, oy, oz, dx, dy, dz, tmin)
+                        better = ok & (tt < best_t)
+                        return (jnp.where(better, tt, best_t),
+                                jnp.where(better, u, bu),
+                                jnp.where(better, v, bv),
+                                jnp.where(better, base + t, bidx))
+
+                    out = jax.lax.fori_loop(
+                        0, CLUSTER_SIZE, body,
+                        (acc[0], acc[1], acc[2], acc[3]))
+                    acc[0], acc[1], acc[2], acc[3] = out
+                return 0
+
+            jax.lax.fori_loop(0, L1_FAN, l2_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_l1, l1_body, 0)
+
+    # ---- pass 2: attribute fetch from the winning clusters ----
+    win_idx = acc[3]
+    win_cluster = jnp.floor(win_idx * (1.0 / CLUSTER_SIZE))
+    hit_any = win_idx >= 0.0
+
+    def a1_body(g, _):
+        in_g = hit_any & (jnp.floor(win_cluster * (1.0 / L1_FAN)) == g)
+        any1 = jnp.max(in_g.astype(jnp.float32)) > 0.5
+
+        @pl.when(any1)
+        def _():
+            def a2_body(b, __):
+                c = g * L1_FAN + b
+                in_c = hit_any & (win_cluster == c)
+                any2 = jnp.max(in_c.astype(jnp.float32)) > 0.5
+
+                @pl.when(any2)
+                def _():
+                    cp = pltpu.make_async_copy(tri_hbm.at[c], scratch, sem)
+                    cp.start()
+                    cp.wait()
+                    base = (c * CLUSTER_SIZE).astype(jnp.float32)
+                    rows = (TR_GN, TR_GN + 1, TR_GN + 2,
+                            TR_N0, TR_N0 + 1, TR_N0 + 2,
+                            TR_N1, TR_N1 + 1, TR_N1 + 2,
+                            TR_N2, TR_N2 + 1, TR_N2 + 2,
+                            TR_MAT, TR_DS)
+
+                    def body(t, carry):
+                        match = win_idx == (base + t)
+                        return tuple(
+                            jnp.where(match, scratch[row, t], cur)
+                            for row, cur in zip(rows, carry))
+
+                    out = jax.lax.fori_loop(
+                        0, CLUSTER_SIZE, body,
+                        tuple(acc[4 + i] for i in range(14)))
+                    for i in range(14):
+                        acc[4 + i] = out[i]
+                return 0
+
+            jax.lax.fori_loop(0, L1_FAN, a2_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_l1, a1_body, 0)
+
+
+def _trace_clustered_occluded(tri_hbm, l1_ref, l2_ref, scratch, sem, acc,
+                              ox, oy, oz, dx, dy, dz, dist, active, *, n_l1):
+    """Occlusion walk: acc[0] accumulates the occluded flag (f32 0/1)."""
+    acc[0] = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
+    ivx, ivy, ivz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    tmin_r = jnp.where(active, SHADOW_TMIN, FLOAT_MAX)
+    tcap = jnp.where(active, dist, -FLOAT_MAX)
+
+    def tread(row, t):
+        return scratch[row, t]
+
+    def l1_body(g, _):
+        # unresolved = active & not occluded; resolved rays prune the walk
+        open_r = active & (acc[0] < 0.5)
+        tmin_w = jnp.where(open_r, tmin_r, FLOAT_MAX)
+        hit1 = _slab_test(l1_ref, g, ox, oy, oz, ivx, ivy, ivz, tmin_w, tcap)
+        any1 = jnp.max(hit1.astype(jnp.float32)) > 0.5
+
+        @pl.when(any1)
+        def _():
+            def l2_body(b, __):
+                c = g * L1_FAN + b
+                open2 = active & (acc[0] < 0.5)
+                tmin_w2 = jnp.where(open2, tmin_r, FLOAT_MAX)
+                hit2 = _slab_test(l2_ref, c, ox, oy, oz, ivx, ivy, ivz, tmin_w2, tcap)
+                any2 = jnp.max(hit2.astype(jnp.float32)) > 0.5
+
+                @pl.when(any2)
+                def _():
+                    cp = pltpu.make_async_copy(tri_hbm.at[c], scratch, sem)
+                    cp.start()
+                    cp.wait()
+
+                    # f32 0/1 carry: Mosaic cannot legalize i1 vector
+                    # loop carries (scf.for legalization failure)
+                    def body(t, occ):
+                        tt, _u, _v, ok = _tri_hit_test(
+                            tread, t, ox, oy, oz, dx, dy, dz, SHADOW_TMIN)
+                        return jnp.maximum(
+                            occ, (ok & (tt < dist)).astype(jnp.float32))
+
+                    acc[0] = jax.lax.fori_loop(0, CLUSTER_SIZE, body, acc[0])
+                return 0
+
+            jax.lax.fori_loop(0, L1_FAN, l2_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_l1, l1_body, 0)
+
+
+# ---------------------------------------------------------------------------
+# the bounce kernel
+# ---------------------------------------------------------------------------
+
+def _bounce_kernel(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
+                   state_ref, out_ref, *scratch, static: FusedStatic, nee: bool):
     # dead-block early out: later bounces have mostly-terminated blocks and
     # skip the whole triangle loop (the SIMT analog: warp-level exit)
     any_alive = jnp.max(state_ref[13]) > 0.5
@@ -132,12 +631,12 @@ def _bounce_kernel(params_ref, tri_ref, attr_ref, mat_ref, state_ref, out_ref,
 
     @pl.when(any_alive)
     def _():
-        _bounce_body(params_ref, tri_ref, attr_ref, mat_ref, state_ref, out_ref,
-                     n_tris=n_tris, n_mats=n_mats)
+        _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
+                     state_ref, out_ref, scratch, static=static, nee=nee)
 
 
-def _bounce_body(params_ref, tri_ref, attr_ref, mat_ref, state_ref, out_ref,
-                 *, n_tris: int, n_mats: int):
+def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
+                 state_ref, out_ref, scratch, *, static: FusedStatic, nee: bool):
     s = lambda c: state_ref[c]  # [8,128]  # noqa: E731
 
     ox, oy, oz = s(0), s(1), s(2)
@@ -146,63 +645,39 @@ def _bounce_body(params_ref, tri_ref, attr_ref, mat_ref, state_ref, out_ref,
     radx, rady, radz = s(9), s(10), s(11)
     rng = jax.lax.bitcast_convert_type(s(12), jnp.uint32)
     alive = s(13) > 0.5
+    alive_f = s(13)
 
     tmin = params_ref[P_TMIN]
 
-    # ---- closest-hit search: serial triangle loop, all rays per step ----
-    def tri_body(t, carry):
-        (best_t, bu, bv,
-         a_n0x, a_n0y, a_n0z, a_n1x, a_n1y, a_n1z, a_n2x, a_n2y, a_n2z,
-         a_gnx, a_gny, a_gnz, a_mat, a_ds) = carry
-        v0x = tri_ref[0, t]; v0y = tri_ref[1, t]; v0z = tri_ref[2, t]
-        e1x = tri_ref[3, t]; e1y = tri_ref[4, t]; e1z = tri_ref[5, t]
-        e2x = tri_ref[6, t]; e2y = tri_ref[7, t]; e2z = tri_ref[8, t]
+    # ---- closest-hit search ----
+    if static.clustered:
+        tri_scratch, sem, acc = scratch
+        _trace_clustered_closest(
+            tri_ref, l1_ref, l2_ref, tri_scratch, sem, acc,
+            ox, oy, oz, dx, dy, dz, tmin, alive_f, n_l1=static.n_l1)
+        best_t, u, v = acc[0], acc[1], acc[2]
+        (gnx, gny, gnz, n0x, n0y, n0z,
+         n1x, n1y, n1z, n2x, n2y, n2z, mat_f, dsided) = tuple(
+            acc[4 + i] for i in range(14))
+    else:
+        def tread(row, t):
+            return tri_ref[row, t]
 
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        ok = jnp.abs(det) > 1e-12
-        inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-        tx = ox - v0x
-        ty = oy - v0y
-        tz = oz - v0z
-        u = (tx * px + ty * py + tz * pz) * inv
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv
-        tt = (e2x * qx + e2y * qy + e2z * qz) * inv
-        better = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                  & (tt > tmin) & (tt < best_t))
-
-        def sel(cur, ref, row):
-            return jnp.where(better, ref[row, t], cur)
-
-        return (
-            jnp.where(better, tt, best_t),
-            jnp.where(better, u, bu), jnp.where(better, v, bv),
-            sel(a_n0x, attr_ref, 0), sel(a_n0y, attr_ref, 1), sel(a_n0z, attr_ref, 2),
-            sel(a_n1x, attr_ref, 3), sel(a_n1y, attr_ref, 4), sel(a_n1z, attr_ref, 5),
-            sel(a_n2x, attr_ref, 6), sel(a_n2y, attr_ref, 7), sel(a_n2z, attr_ref, 8),
-            sel(a_gnx, tri_ref, 9), sel(a_gny, tri_ref, 10), sel(a_gnz, tri_ref, 11),
-            sel(a_mat, attr_ref, 9), sel(a_ds, attr_ref, 10),
-        )
-
-    z = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
-    init = (jnp.full((BLOCK_ROWS, 128), FLOAT_MAX, jnp.float32), z, z,
-            z, z, z, z, z, z, z, z, z, z, z, z, z, z)
-    (best_t, u, v,
-     n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z,
-     gnx, gny, gnz, mat_f, dsided) = jax.lax.fori_loop(0, n_tris, tri_body, init)
+        body = _closest_body_factory(tread, ox, oy, oz, dx, dy, dz, tmin)
+        (best_t, u, v, gnx, gny, gnz, n0x, n0y, n0z,
+         n1x, n1y, n1z, n2x, n2y, n2z, mat_f, dsided) = jax.lax.fori_loop(
+            0, static.n_tris, body, _hit_carry_init())
 
     hit = alive & (best_t < FLOAT_MAX)
     miss = alive & ~hit
 
-    # ---- miss: constant background (fast path has no dome texture) ----
+    # ---- miss: constant background; dome radiance is applied by the XLA
+    # post-pass from the row-14 miss record (see module docstring) ----
     radx = radx + jnp.where(miss, tpx * params_ref[P_BG_R], 0.0)
     rady = rady + jnp.where(miss, tpy * params_ref[P_BG_G], 0.0)
     radz = radz + jnp.where(miss, tpz * params_ref[P_BG_B], 0.0)
+    bounce = params_ref[P_BOUNCE]
+    miss_rec = jnp.where(miss, bounce + 1.0, s(14))
 
     # ---- shading state ----
     posx = ox + best_t * dx
@@ -226,7 +701,7 @@ def _bounce_body(params_ref, tri_ref, attr_ref, mat_ref, state_ref, out_ref,
     # columns of MaterialTable.packed_f used here
     # 0-2 base_color, 3 metallic, 4 roughness, 5 ior, 7-9 emissive, 14 transmission
     cols = (0, 1, 2, 3, 4, 5, 7, 8, 9, 14, 15)
-    for mm in range(n_mats):
+    for mm in range(static.n_mats):
         is_m = m_id == mm
         for k, col in enumerate(cols):
             mp[k] = jnp.where(is_m, mat_ref[mm, col], mp[k])
@@ -281,6 +756,9 @@ def _bounce_body(params_ref, tri_ref, attr_ref, mat_ref, state_ref, out_ref,
     pick_g = (~pick_d) & (xi0 < p_d + p_g)
     pick_t = (~pick_d) & (~pick_g)
 
+    alpha = jnp.maximum(roughness * roughness, MIN_ALPHA)
+    alpha2 = alpha * alpha
+
     # diffuse: cosine hemisphere
     ra = jnp.sqrt(jnp.clip(xi1, 0.0, 1.0))
     phi_d = 2.0 * PI * xi2
@@ -289,8 +767,6 @@ def _bounce_body(params_ref, tri_ref, attr_ref, mat_ref, state_ref, out_ref,
     wdz = jnp.sqrt(jnp.maximum(0.0, 1.0 - xi1))
 
     # glossy: GGX NDF half-vector sample + reflect
-    alpha = jnp.maximum(roughness * roughness, MIN_ALPHA)
-    alpha2 = alpha * alpha
     c2h = (1.0 - xi1) / jnp.maximum(1.0 + (alpha2 - 1.0) * xi1, 1e-12)
     ch = jnp.sqrt(jnp.clip(c2h, 0.0, 1.0))
     sh = jnp.sqrt(jnp.maximum(0.0, 1.0 - c2h))
@@ -309,48 +785,57 @@ def _bounce_body(params_ref, tri_ref, attr_ref, mat_ref, state_ref, out_ref,
     wiy = jnp.where(pick_t, -woy, wiy)
     wiz = jnp.where(pick_t, -woz, wiz)
 
-    # ---- evaluate reflection lobes at wi (render/bsdf.py _eval_lobes) ----
-    cos_o = woz
+    def eval_lobes(wix_, wiy_, wiz_):
+        """Diffuse/glossy reflection lobes at local wi (render/bsdf.py
+        _eval_lobes). Returns per-channel diffuse, glossy, and the pdf."""
+        cos_i_ = wiz_
+        refl_ = (woz > 0.0) & (cos_i_ > 0.0)
+        cos_i_c_ = jnp.maximum(cos_i_, 0.0)
+        hxs = wox + wix_
+        hys = woy + wiy_
+        hzs = woz + wiz_
+        hinv = jax.lax.rsqrt(jnp.maximum(hxs * hxs + hys * hys + hzs * hzs, 1e-24))
+        hxs, hys, hzs = hxs * hinv, hys * hinv, hzs * hinv
+        nh = jnp.abs(hzs)
+        oh = jnp.maximum(wox * hxs + woy * hys + woz * hzs, 1e-6)
+        dd = nh * nh * (alpha2 - 1.0) + 1.0
+        ggx_d = alpha2 / jnp.maximum(PI * dd * dd, 1e-12)
+        nvo = jnp.maximum(woz, 1e-6)
+        nvi = jnp.maximum(cos_i_c_, 1e-6)
+        g1o = 2.0 * nvo / (nvo + jnp.sqrt(alpha2 + (1.0 - alpha2) * nvo * nvo))
+        g1i = 2.0 * nvi / (nvi + jnp.sqrt(alpha2 + (1.0 - alpha2) * nvi * nvi))
+        gg = g1o * g1i
+        mfres = jnp.clip(1.0 - oh, 0.0, 1.0)
+        fres5 = (mfres * mfres) ** 2 * mfres
+        fr_r = f0r + (1.0 - f0r) * fres5
+        fr_g = f0g + (1.0 - f0g) * fres5
+        fr_b = f0b + (1.0 - f0b) * fres5
+        spec_core = ggx_d * gg / jnp.maximum(4.0 * woz * cos_i_c_, 1e-9) * cos_i_c_
+        diff_core = (1.0 - metallic) * (1.0 - transm) * cos_i_c_ / PI
+        zero = jnp.zeros_like(spec_core)
+        fd_r = jnp.where(refl_, base_r * diff_core, zero)
+        fd_g = jnp.where(refl_, base_g * diff_core, zero)
+        fd_b = jnp.where(refl_, base_b * diff_core, zero)
+        fg_r = jnp.where(refl_, fr_r * spec_core, zero)
+        fg_g = jnp.where(refl_, fr_g * spec_core, zero)
+        fg_b = jnp.where(refl_, fr_b * spec_core, zero)
+        pdf_ = jnp.where(refl_, p_d * cos_i_c_ / PI
+                         + p_g * ggx_d * nh / jnp.maximum(4.0 * oh, 1e-9), zero)
+        return fd_r, fd_g, fd_b, fg_r, fg_g, fg_b, pdf_
+
+    fd_r, fd_g, fd_b, fg_r, fg_g, fg_b, pdf = eval_lobes(wix, wiy, wiz)
+    f_r = fd_r + fg_r
+    f_g = fd_g + fg_g
+    f_b = fd_b + fg_b
     cos_i = wiz
-    refl = (cos_o > 0.0) & (cos_i > 0.0)
-    cos_i_c = jnp.maximum(cos_i, 0.0)
-    hxs = wox + wix
-    hys = woy + wiy
-    hzs = woz + wiz
-    hinv = jax.lax.rsqrt(jnp.maximum(hxs * hxs + hys * hys + hzs * hzs, 1e-24))
-    hxs, hys, hzs = hxs * hinv, hys * hinv, hzs * hinv
-    nh = jnp.abs(hzs)
-    oh = jnp.maximum(wox * hxs + woy * hys + woz * hzs, 1e-6)
 
-    dd = nh * nh * (alpha2 - 1.0) + 1.0
-    ggx_d = alpha2 / jnp.maximum(PI * dd * dd, 1e-12)
-    nvo = jnp.maximum(cos_o, 1e-6)
-    nvi = jnp.maximum(cos_i_c, 1e-6)
-    g1o = 2.0 * nvo / (nvo + jnp.sqrt(alpha2 + (1.0 - alpha2) * nvo * nvo))
-    g1i = 2.0 * nvi / (nvi + jnp.sqrt(alpha2 + (1.0 - alpha2) * nvi * nvi))
-    gg = g1o * g1i
-    mfres = jnp.clip(1.0 - oh, 0.0, 1.0)
-    fres5 = (mfres * mfres) ** 2 * mfres
-    fr_r = f0r + (1.0 - f0r) * fres5
-    fr_g = f0g + (1.0 - f0g) * fres5
-    fr_b = f0b + (1.0 - f0b) * fres5
-
-    spec_core = ggx_d * gg / jnp.maximum(4.0 * cos_o * cos_i_c, 1e-9) * cos_i_c
-    diff_core = (1.0 - metallic) * (1.0 - transm) * cos_i_c / PI
-    f_r = jnp.where(refl, fr_r * spec_core + base_r * diff_core, 0.0)
-    f_g = jnp.where(refl, fr_g * spec_core + base_g * diff_core, 0.0)
-    f_b = jnp.where(refl, fr_b * spec_core + base_b * diff_core, 0.0)
-
-    pdf_diff = cos_i_c / PI
-    pdf_spec = ggx_d * nh / jnp.maximum(4.0 * oh, 1e-9)
-    pdf = jnp.where(refl, p_d * pdf_diff + p_g * pdf_spec, 0.0)
     inv_pdf = jnp.where(pdf > 1e-12, 1.0 / jnp.maximum(pdf, 1e-12), 0.0)
     bop_r = f_r * inv_pdf
     bop_g = f_g * inv_pdf
     bop_b = f_b * inv_pdf
 
     # transmission: straight through, Fresnel-weighted (render/bsdf.py)
-    cos_o_c = jnp.maximum(cos_o, 0.0)
+    cos_o_c = jnp.maximum(woz, 0.0)
     mtr = jnp.clip(1.0 - cos_o_c, 0.0, 1.0)
     tr5 = (mtr * mtr) ** 2 * mtr
     inv_pt = jnp.where(p_t > 1e-12, 1.0 / jnp.maximum(p_t, 1e-12), 0.0)
@@ -360,7 +845,7 @@ def _bounce_body(params_ref, tri_ref, attr_ref, mat_ref, state_ref, out_ref,
 
     # (no jnp.where on booleans: Mosaic lacks i1 select)
     valid = (pick_t & (p_t > 0.0)) | (
-        ~pick_t & (pdf > 1e-12) & (cos_i > 0.0) & (cos_o > 0.0))
+        ~pick_t & (pdf > 1e-12) & (cos_i > 0.0) & (woz > 0.0))
     bop_r = jnp.where(valid, bop_r, 0.0)
     bop_g = jnp.where(valid, bop_g, 0.0)
     bop_b = jnp.where(valid, bop_b, 0.0)
@@ -388,19 +873,88 @@ def _bounce_body(params_ref, tri_ref, attr_ref, mat_ref, state_ref, out_ref,
     dy = jnp.where(hit, k2y, dy)
     dz = jnp.where(hit, k2z, dz)
 
+    # ---- NEE (rp_main.chit sampleLight:30-129 + rgen:397-438) ----
+    shadow_count = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
+    if nee:
+        nee_able = hit & valid & ~pick_t
+        rng_n1, k0 = _pcg_next(rng)
+        rng_n2, k1 = _pcg_next(rng_n1)
+        rng_n3, k2l = _pcg_next(rng_n2)
+        rng_n4, k3 = _pcg_next(rng_n3)
+        rng = jnp.where(nee_able, rng_n4, rng)
+
+        if static.light_types:
+            (ldx, ldy, ldz, ldist, pw_r, pw_g, pw_b, ipdf_l, ds0, ds1) = \
+                _sample_lights_fused(light_ref, static.light_types,
+                                     k0, k1, k2l, k3, posx, posy, posz)
+            pw_scale = params_ref[P_LIGHT_MULT] * params_ref[P_EXP2_EXPOSURE]
+            pw_r = pw_r * pw_scale
+            pw_g = pw_g * pw_scale
+            pw_b = pw_b * pw_scale
+            ipdf_l = ipdf_l * float(len(static.light_types))
+
+            # evaluate the BSDF toward the light (local frame)
+            lwx = ldx * t1x + ldy * t1y + ldz * t1z
+            lwy = ldx * t2x + ldy * t2y + ldz * t2z
+            lwz = ldx * nx + ldy * ny + ldz * nz
+            efd_r, efd_g, efd_b, efg_r, efg_g, efg_b, epdf = eval_lobes(lwx, lwy, lwz)
+
+            gdot = ldx * gnx + ldy * gny + ldz * gnz
+            nee_valid = nee_able & (ldist > 0.0) & (gdot > 0.0) & (epdf > 0.0)
+
+            # reference quirk: throughput here includes this bounce's
+            # bsdf_over_pdf (rp_main.chit:360-389 then :393-444)
+            c_r = tpx * pw_r * ipdf_l * (efd_r * ds0 + efg_r * ds1)
+            c_g = tpy * pw_g * ipdf_l * (efd_g * ds0 + efg_g * ds1)
+            c_b = tpz * pw_b * ipdf_l * (efd_b * ds0 + efg_b * ds1)
+            c_r = jnp.where(nee_valid, c_r, 0.0)
+            c_g = jnp.where(nee_valid, c_g, 0.0)
+            c_b = jnp.where(nee_valid, c_b, 0.0)
+            lum_c = 0.2126 * c_r + 0.7152 * c_g + 0.0722 * c_b
+            do_trace = (lum_c > 1e-6) & (ldist > 1e-9)
+
+            # shadow occlusion from the offset origin toward the light
+            if static.clustered:
+                tri_scratch, sem, acc = scratch
+                _trace_clustered_occluded(
+                    tri_ref, l1_ref, l2_ref, tri_scratch, sem, acc,
+                    ox, oy, oz, ldx, ldy, ldz, ldist, do_trace, n_l1=static.n_l1)
+                occluded = acc[0] > 0.5
+            else:
+                def tread2(row, t):
+                    return tri_ref[row, t]
+
+                # f32 0/1 carry: Mosaic cannot legalize i1 vector loop carries
+                def occl_body(t, occ):
+                    tt, _u, _v, ok = _tri_hit_test(
+                        tread2, t, ox, oy, oz, ldx, ldy, ldz, SHADOW_TMIN)
+                    return jnp.maximum(occ, (ok & (tt < ldist)).astype(jnp.float32))
+
+                occluded = jax.lax.fori_loop(
+                    0, static.n_tris, occl_body,
+                    jnp.zeros((BLOCK_ROWS, 128), jnp.float32)) > 0.5
+
+            add = do_trace & ~occluded
+            radx = radx + jnp.where(add, c_r, 0.0)
+            rady = rady + jnp.where(add, c_g, 0.0)
+            radz = radz + jnp.where(add, c_b, 0.0)
+            shadow_count = do_trace.astype(jnp.float32)
+
     # ---- termination: miss, absorb, throughput cutoff, russian roulette ----
     terminate = miss | (hit & ~valid)
     tp_len2 = tpx * tpx + tpy * tpy + tpz * tpz
     terminate = terminate | (alive & (tp_len2 < 1e-18))
 
-    bounce = params_ref[P_BOUNCE]
     do_rr = alive & (bounce > params_ref[P_RR_OFFSET])
-    rng_rr, k1 = _pcg_next(rng)
+    rng_rr, krr = _pcg_next(rng)
     rng = jnp.where(do_rr, rng_rr, rng)
     max_tp = jnp.maximum(tpx, jnp.maximum(tpy, tpz))
     p_rr = jnp.minimum(max_tp, params_ref[P_RR_INV_MIN])
-    rr_kill = do_rr & (k1 > p_rr)
-    rr_scale = jnp.where(do_rr & ~rr_kill, 1.0 / jnp.maximum(p_rr, 1e-20), 1.0)
+    rr_kill = do_rr & (krr > p_rr)
+    # the ~miss guard keeps the throughput rows equal to the AT-MISS value,
+    # which the XLA dome post-pass multiplies into the dome radiance; the
+    # general integrator applies the dome before RR for the same effect
+    rr_scale = jnp.where(do_rr & ~rr_kill & ~miss, 1.0 / jnp.maximum(p_rr, 1e-20), 1.0)
     tpx, tpy, tpz = tpx * rr_scale, tpy * rr_scale, tpz * rr_scale
     terminate = terminate | rr_kill
 
@@ -420,9 +974,143 @@ def _bounce_body(params_ref, tri_ref, attr_ref, mat_ref, state_ref, out_ref,
     out_ref[11] = radz
     out_ref[12] = jax.lax.bitcast_convert_type(rng, jnp.float32)
     out_ref[13] = new_alive.astype(jnp.float32)
-    out_ref[14] = state_ref[14]
-    out_ref[15] = state_ref[15]
+    out_ref[14] = miss_rec
+    out_ref[15] = s(15) + alive_f + shadow_count
 
+
+def _sample_lights_fused(light_ref, light_types, k0, k1, k2, k3,
+                         posx, posy, posz):
+    """Per-slot light sampling, generated from the static type list.
+
+    Reproduces render/lights.py sample_light slot-for-slot: the type is
+    chosen by k0 against the cumulative type counts, the slot within the
+    type by k1 — with every slot evaluated and masked (uniform control
+    flow). Returns (dir xyz, dist, power rgb, inv_pdf, ds0, ds1); the caller
+    applies the intensity multiplier, exposure and the *total-count factor.
+    """
+    counts = [0, 0, 0, 0]
+    for t in light_types:
+        counts[t] += 1
+    total = float(len(light_types))
+    cs = float(counts[LT_SPHERE])
+    cd = float(counts[LT_DISTANT])
+    cr = float(counts[LT_RECT])
+
+    pick = k0 * total
+    is_sph = pick <= cs
+    is_dst = (~is_sph) & (pick <= cs + cd)
+    is_rct = (~is_sph) & (~is_dst) & (pick <= cs + cd + cr)
+    is_dsk = (~is_sph) & (~is_dst) & (~is_rct)
+    type_mask = {LT_SPHERE: is_sph, LT_DISTANT: is_dst, LT_RECT: is_rct, LT_DISK: is_dsk}
+
+    # within-type slot index (render/lights.py idx())
+    within = {}
+    for t in (LT_SPHERE, LT_DISTANT, LT_RECT, LT_DISK):
+        c = counts[t]
+        if c > 1:
+            within[t] = jnp.minimum((k1 * float(c)).astype(jnp.int32), c - 1)
+
+    z = jnp.zeros_like(k0)
+    ldx, ldy, ldz, ldist = z, z, z, z
+    pw_r, pw_g, pw_b = z, z, z
+    ipdf, ds0, ds1 = z, z, z
+
+    seen = [0, 0, 0, 0]
+    for l, t in enumerate(light_types):
+        j = seen[t]
+        seen[t] += 1
+        mask = type_mask[t]
+        if counts[t] > 1:
+            mask = mask & (within[t] == j)
+
+        g = lambda c: light_ref[l, c]  # noqa: E731
+
+        if t == LT_SPHERE:
+            # chit:33-53 / lights.py:197-210
+            a_s = 1.0 - 2.0 * k2
+            b_s = jnp.sqrt(jnp.maximum(0.0, 1.0 - a_s * a_s))
+            phi = 2.0 * PI * k3
+            lx = b_s * jnp.cos(phi) * g(3)
+            ly = b_s * jnp.sin(phi) * g(4)
+            lz = a_s * g(5)
+            vx = g(0) + lx - posx
+            vy = g(1) + ly - posy
+            vz = g(2) + lz - posz
+            dist = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+            inv_d = jnp.where(dist > 0.0, 1.0 / jnp.maximum(dist, 1e-30), 0.0)
+            sdx, sdy, sdz = vx * inv_d, vy * inv_d, vz * inv_d
+            nl = jnp.sqrt(lx * lx + ly * ly + lz * lz)
+            inv_nl = jnp.where(nl > 0.0, 1.0 / jnp.maximum(nl, 1e-30), 0.0)
+            cosl = jnp.maximum(0.0, -(sdx * lx + sdy * ly + sdz * lz) * inv_nl)
+            area = g(9)
+            num = jnp.where(area > 0.0, area * cosl, 1.0)
+            d2 = dist * dist
+            s_ipdf = jnp.where(d2 > 0.0, num / jnp.maximum(d2, 1e-30), 0.0)
+        elif t == LT_DISTANT:
+            # chit:55-78 / lights.py:213-226
+            phi = k2 * 2.0 * PI - PI
+            theta = k3 * g(9)
+            st_, ct_ = jnp.sin(theta), jnp.cos(theta)
+            cp_, sp_ = jnp.cos(phi), jnp.sin(phi)
+            px_ = st_ * (cp_ * g(3) + sp_ * g(6)) + ct_ * g(0)
+            py_ = st_ * (cp_ * g(4) + sp_ * g(7)) + ct_ * g(1)
+            pz_ = st_ * (cp_ * g(5) + sp_ * g(8)) + ct_ * g(2)
+            pinv = jax.lax.rsqrt(jnp.maximum(px_ * px_ + py_ * py_ + pz_ * pz_, 1e-40))
+            has_angle = g(9) > 0.0
+            sdx = jnp.where(has_angle, px_ * pinv, g(0) + 0.0 * k2)
+            sdy = jnp.where(has_angle, py_ * pinv, g(1) + 0.0 * k2)
+            sdz = jnp.where(has_angle, pz_ * pinv, g(2) + 0.0 * k2)
+            dist = jnp.full_like(k2, 100000.0)
+            s_ipdf = g(10) + 0.0 * k2
+        else:
+            # rect chit:80-105 / disk chit:107-127
+            if t == LT_RECT:
+                on0 = (k2 - 0.5) * g(9)
+                on1 = (k3 - 0.5) * g(10)
+                area = g(9) * g(10)
+            else:
+                a_ = 2.0 * k2 - 1.0
+                b_ = 2.0 * k3 - 1.0
+                use_a = (a_ * a_) > (b_ * b_)
+                r0 = jnp.where(use_a, g(9) * a_, g(9) * b_)
+                r1_ = jnp.where(use_a, g(10) * a_, g(10) * b_)
+                ba = jnp.where(a_ == 0.0, 0.0, b_ / jnp.where(a_ == 0.0, 1.0, a_))
+                ab = jnp.where(b_ == 0.0, 0.0, a_ / jnp.where(b_ == 0.0, 1.0, b_))
+                phi = jnp.where(use_a, (PI / 4.0) * ba, (PI / 2.0) - (PI / 4.0) * ab)
+                on0 = r0 * jnp.cos(phi)
+                on1 = r1_ * jnp.sin(phi)
+                area = g(9) * g(10) * PI
+            sx_ = g(0) + on0 * g(3) + on1 * g(6)
+            sy_ = g(1) + on0 * g(4) + on1 * g(7)
+            sz_ = g(2) + on0 * g(5) + on1 * g(8)
+            vx = sx_ - posx
+            vy = sy_ - posy
+            vz = sz_ - posz
+            dist = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+            inv_d = jnp.where(dist > 0.0, 1.0 / jnp.maximum(dist, 1e-30), 0.0)
+            sdx, sdy, sdz = vx * inv_d, vy * inv_d, vz * inv_d
+            cosl = jnp.maximum(0.0, -(sdx * g(11) + sdy * g(12) + sdz * g(13)))
+            num = jnp.where(area > 0.0, area * cosl, 1.0)
+            d2 = dist * dist
+            s_ipdf = jnp.where(d2 > 0.0, num / jnp.maximum(d2, 1e-30), 0.0)
+
+        ldx = jnp.where(mask, sdx, ldx)
+        ldy = jnp.where(mask, sdy, ldy)
+        ldz = jnp.where(mask, sdz, ldz)
+        ldist = jnp.where(mask, dist, ldist)
+        pw_r = jnp.where(mask, g(14) + 0.0 * k0, pw_r)
+        pw_g = jnp.where(mask, g(15) + 0.0 * k0, pw_g)
+        pw_b = jnp.where(mask, g(16) + 0.0 * k0, pw_b)
+        ipdf = jnp.where(mask, s_ipdf, ipdf)
+        ds0 = jnp.where(mask, g(17) + 0.0 * k0, ds0)
+        ds1 = jnp.where(mask, g(18) + 0.0 * k0, ds1)
+
+    return ldx, ldy, ldz, ldist, pw_r, pw_g, pw_b, ipdf, ds0, ds1
+
+
+# ---------------------------------------------------------------------------
+# host-side dispatch
+# ---------------------------------------------------------------------------
 
 def pack_state(origins, dirs, rng, r_pad: int):
     """[R,3]x2 + [R] u32 -> [16, r_pad/128, 128] kernel state."""
@@ -441,55 +1129,74 @@ def pack_state(origins, dirs, rng, r_pad: int):
         comp(jnp.zeros((r,), jnp.float32)),
         comp(jax.lax.bitcast_convert_type(rng, jnp.float32)),
         comp(jnp.ones((r,), jnp.float32)),  # alive (padding stays 0 = dead)
-        comp(jnp.zeros((r,), jnp.float32)), comp(jnp.zeros((r,), jnp.float32)),
+        comp(jnp.zeros((r,), jnp.float32)),  # miss record
+        comp(jnp.zeros((r,), jnp.float32)),  # traced-segment counter
     ]
     return jnp.stack(rows, axis=0)
 
 
+def unpack_rows(state, first_row: int, n_rows: int, r: int):
+    """[16, r_pad/128, 128] -> [r, n_rows] slice of state rows."""
+    rows = state[first_row:first_row + n_rows]
+    return rows.reshape(n_rows, -1)[:, :r].T
+
+
 def unpack_radiance(state, r: int):
-    rad = state[9:12]  # [3, r_pad/128, 128]
-    flat = rad.reshape(3, -1)[:, :r]
-    return flat.T  # [r, 3]
+    return unpack_rows(state, 9, 3, r)
 
 
-@partial(jax.jit, static_argnames=("n_tris", "n_mats"))
-def bounce_step(params, scene: FusedScene, state, *, n_tris: int, n_mats: int):
+@partial(jax.jit, static_argnames=("static", "nee"))
+def bounce_step(params, scene: FusedScene, state, *, static: FusedStatic, nee: bool):
     """One fused bounce over the whole ray state [16, R/128, 128]."""
     n_blocks = state.shape[1] // BLOCK_ROWS
-    kernel = partial(_bounce_kernel, n_tris=n_tris, n_mats=n_mats)
-    m, mc = scene.mats.shape
+    kernel = partial(_bounce_kernel, static=static, nee=nee)
+    if static.clustered:
+        tri_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch_shapes = [
+            pltpu.SMEM((TRI_ROWS, CLUSTER_SIZE), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((CLU_ACC_ROWS, BLOCK_ROWS, 128), jnp.float32),
+        ]
+    else:
+        # triangle table lives in SMEM: the kernel reads per-triangle
+        # SCALARS broadcast against the whole ray block, and only SMEM
+        # supports dynamic scalar indexing
+        tri_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        scratch_shapes = []
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            # triangle/attribute/material tables live in SMEM: the kernel
-            # reads them as per-triangle SCALARS broadcast against the whole
-            # ray block, and only SMEM supports dynamic scalar indexing
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params
+            tri_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # materials
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lights
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # L1 AABBs
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # L2 AABBs
             pl.BlockSpec((STATE_ROWS, BLOCK_ROWS, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((STATE_ROWS, BLOCK_ROWS, 128), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(state.shape, jnp.float32),
-        input_output_aliases={4: 0},
+        input_output_aliases={6: 0},
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(params, scene.tris, scene.attrs, scene.mats, state)
+    )(params, scene.tris, scene.mats, scene.lights,
+      scene.l1_aabbs, scene.l2_aabbs, state)
 
 
 def make_params(config, uniforms, bounce) -> jnp.ndarray:
     """Pack the per-bounce scalar parameters (SMEM vector)."""
-    dome_mult = uniforms.dome_emission_multiplier
+    zero = jnp.float32(0.0)
     return jnp.stack([
-        dome_mult[0] * 0.0, dome_mult[1] * 0.0, dome_mult[2] * 0.0,  # bg (black)
+        zero, zero, zero,  # constant background (dome handled in post-pass)
         uniforms.rr_inv_min_term_prob,
         jnp.float32(config.rr_bounce_offset),
         bounce.astype(jnp.float32),
         jnp.exp2(uniforms.camera.sensor_exposure),
         jnp.float32(0.0),  # tmin
+        uniforms.light_intensity_multiplier,
     ])

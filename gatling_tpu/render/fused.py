@@ -3,9 +3,12 @@
 Drives ops/pallas_bounce.py: camera rays are generated in XLA once per
 sample, packed into the [16, R/128, 128] component-major state, then the
 fused bounce kernel advances ALL rays per bounce with no intermediate HBM
-traffic. Falls within the general integrator's contract (same RNG seeding
-per pixel/sample, same accumulation) for configs it supports:
-no NEE, no textures, no volumes, no cutout, no dome texture.
+traffic — including in-kernel NEE shadow occlusion. Dome lighting runs as a
+vectorized XLA post-pass over the kernel's miss records (a path misses at
+most once, so one equirect lookup per sample is exact). Falls within the
+general integrator's contract (same RNG seeding and draw order per
+pixel/sample, same accumulation) for configs it supports: no textures, no
+volumes, no cutout.
 """
 
 from __future__ import annotations
@@ -18,69 +21,194 @@ import jax.numpy as jnp
 from gatling_tpu.ops import sampling as smp
 from gatling_tpu.ops.pallas_bounce import (
     FusedScene,
+    FusedStatic,
     bounce_step,
     make_params,
     pack_state,
     unpack_radiance,
+    unpack_rows,
 )
 from gatling_tpu.render.camera import generate_primary_rays
-from gatling_tpu.render.integrator import RenderConfig, Uniforms
+from gatling_tpu.render.integrator import (
+    DomeLightData,
+    RenderConfig,
+    Uniforms,
+    _quat_rotate,
+    _sample_equirect,
+)
+
+
+def _coherence_keys(state, scene_lo, scene_inv_span):
+    """Per-ray sort key: dead rays last, alive rays grouped by direction
+    octant then origin Morton cell. Re-packing rays by this key between
+    bounces is the wavefront-compaction analog for the fused kernel: the
+    cluster walk is per 1024-ray block, so block coherence directly bounds
+    how many clusters are DMA'd + looped (PERF.md round-2)."""
+    dx, dy, dz = state[3], state[4], state[5]
+    ox, oy, oz = state[0], state[1], state[2]
+    alive = state[13] > 0.5
+
+    octant = ((dx >= 0).astype(jnp.uint32)
+              + 2 * (dy >= 0).astype(jnp.uint32)
+              + 4 * (dz >= 0).astype(jnp.uint32))
+
+    def q5(o, lo, inv):
+        t = jnp.clip((o - lo) * inv, 0.0, 1.0)
+        return (t * 31.0).astype(jnp.uint32)
+
+    qx = q5(ox, scene_lo[0], scene_inv_span[0])
+    qy = q5(oy, scene_lo[1], scene_inv_span[1])
+    qz = q5(oz, scene_lo[2], scene_inv_span[2])
+
+    def spread(x):
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    morton = spread(qx) | (spread(qy) << 1) | (spread(qz) << 2)
+    key = (octant << jnp.uint32(15)) | morton
+    return jnp.where(alive, key, jnp.uint32(0xFFFFFFFF)).reshape(-1)
+
+
+def _sort_state(state, order):
+    """Permute the ray axis of [16, R/128, 128] state by `order` [R]."""
+    rows, nb, _ = state.shape
+    flat = state.reshape(rows, nb * 128)
+    return flat[:, order].reshape(rows, nb, 128)
+
+
+def _tile_order(width: int, height: int) -> "np.ndarray":
+    """Pixel permutation putting 32x32 image tiles contiguous: one 1024-ray
+    kernel block then covers a 32x32-px footprint instead of an 8x128-row
+    strip — a ~4x tighter primary frustum for the cluster walk."""
+    import numpy as np
+
+    idx = np.arange(width * height, dtype=np.int64)
+    iy, ix = idx // width, idx % width
+    tiles_x = -(-width // 32)
+    key = (((iy >> 5) * tiles_x + (ix >> 5)) << 10) | ((iy & 31) << 5) | (ix & 31)
+    return np.argsort(key, kind="stable").astype(np.int32)
 
 
 def supports_fused(config: RenderConfig, has_textures: bool) -> bool:
+    """Configs the fused megakernel reproduces exactly (in distribution).
+
+    NEE, dome lighting and arbitrary triangle counts are supported since
+    round 2; textures / volumes / cutout / clipping still route to the
+    general integrator.
+    """
     return (
-        not config.nee
-        and not config.has_volumes
+        not config.has_volumes
         and not config.has_cutout
-        and not config.has_dome
         and not config.clipping_planes
         and not has_textures
         and config.aov_mask in (1,)  # COLOR only
     )
 
 
-@partial(jax.jit, static_argnames=("config", "n_tris", "n_mats", "spp"))
+@partial(jax.jit, static_argnames=("config", "static", "spp", "with_stats"))
 def render_pixels_fused(
     config: RenderConfig,
     uniforms: Uniforms,
     scene: FusedScene,
+    dome: DomeLightData,
     pixel_index: jnp.ndarray,
     spp: int,
     sample_offset: jnp.ndarray,
     *,
-    n_tris: int,
-    n_mats: int,
+    static: FusedStatic,
+    with_stats: bool = False,
 ):
-    """Returns mean color [R,3] over spp samples."""
+    """Returns mean color [R,3] over spp samples; with_stats additionally
+    returns the mean traced-segment count per sample [R] (path segments +
+    NEE shadow rays — the Mray/s accounting source)."""
     r = pixel_index.shape[0]
     r_pad = -(-r // 1024) * 1024
     px = pixel_index % config.width
     py = pixel_index // config.width
+    nee = bool(config.nee)
+    # ray compaction/sorting only pays off when the cluster walk exists
+    sort_rays = static.clustered
+    if sort_rays:
+        scene_lo = jnp.min(scene.l1_aabbs[0:3], axis=1)
+        scene_hi = jnp.max(scene.l1_aabbs[3:6], axis=1)
+        scene_inv = 1.0 / jnp.maximum(scene_hi - scene_lo, 1e-12)
+        if r == config.width * config.height:
+            # full-frame render: swizzle pixels into 32x32 tiles so primary
+            # blocks have tight frusta; unswizzled on return
+            tile_perm = jnp.asarray(_tile_order(config.width, config.height))
+            pixel_index = pixel_index[tile_perm]
+            px = pixel_index % config.width
+            py = pixel_index // config.width
+        else:
+            tile_perm = None
+    else:
+        tile_perm = None
 
-    def sample_body(s, acc):
+    def sample_body(s, carry):
+        acc, segs = carry
         rng = smp.rng_init(pixel_index.astype(jnp.uint32),
                            (sample_offset + s).astype(jnp.uint32))
         origins, dirs, rng = generate_primary_rays(
             uniforms.camera, config.width, config.height, px, py, rng,
             config.jittered, config.fis, config.depth_of_field)
         state = pack_state(origins, dirs, rng, r_pad)
+        orig = jnp.arange(r_pad, dtype=jnp.int32)
 
-        def cond(carry):
-            bounce, state = carry
-            return (bounce < config.max_bounces) & (jnp.max(state[13]) > 0.5)
+        def cond(carry2):
+            bounce, st, _orig = carry2
+            return (bounce < config.max_bounces) & (jnp.max(st[13]) > 0.5)
 
-        def body(carry):
-            bounce, state = carry
+        def body(carry2):
+            bounce, st, orig_ = carry2
             params = make_params(config, uniforms, bounce)
-            state = bounce_step(params, scene, state, n_tris=n_tris, n_mats=n_mats)
-            return bounce + 1, state
+            st = bounce_step(params, scene, st, static=static, nee=nee)
+            if sort_rays:
+                keys = _coherence_keys(st, scene_lo, scene_inv)
+                order = jnp.argsort(keys)
+                st = _sort_state(st, order)
+                orig_ = orig_[order]
+            return bounce + 1, st, orig_
 
-        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+        _, state, orig = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), state, orig))
+        if sort_rays:
+            state = _sort_state(state, jnp.argsort(orig))
         radiance = unpack_radiance(state, r)
+
+        if config.has_dome:
+            # dome post-pass over the kernel's miss records
+            # (reference: rp_main.miss:55-87)
+            miss_rec = unpack_rows(state, 14, 1, r)[:, 0]
+            tp = unpack_rows(state, 6, 3, r)
+            miss_dir = unpack_rows(state, 3, 3, r)
+            sample_dir = _quat_rotate(uniforms.dome_rotation, miss_dir)
+            sample_dir = sample_dir / jnp.maximum(
+                jnp.linalg.norm(sample_dir, axis=-1, keepdims=True), 1e-20)
+            dome_rad = _sample_equirect(dome.texture, sample_dir) \
+                * uniforms.dome_emission_multiplier
+            if not config.dome_light_camera_visible:
+                fallback = jnp.broadcast_to(dome.fallback[0, 0], dome_rad.shape)
+                dome_rad = jnp.where((miss_rec == 1.0)[:, None], fallback, dome_rad)
+            radiance = radiance + jnp.where(
+                (miss_rec > 0.0)[:, None], tp * dome_rad, 0.0)
+
         # radiance clamp (rgen:488-494)
         max_v = jnp.max(radiance, axis=-1)
         scale = jnp.where(max_v > uniforms.max_sample_value,
                           uniforms.max_sample_value / jnp.maximum(max_v, 1e-20), 1.0)
-        return acc + jnp.maximum(radiance * scale[:, None], 0.0) / spp
+        acc = acc + jnp.maximum(radiance * scale[:, None], 0.0) / spp
+        segs = segs + unpack_rows(state, 15, 1, r)[:, 0] / spp
+        return acc, segs
 
-    return jax.lax.fori_loop(0, spp, sample_body, jnp.zeros((r, 3), jnp.float32))
+    color, segs = jax.lax.fori_loop(
+        0, spp, sample_body,
+        (jnp.zeros((r, 3), jnp.float32), jnp.zeros((r,), jnp.float32)))
+    if tile_perm is not None:
+        # undo the tile swizzle: row i holds pixel_index[tile_perm[i]]
+        color = jnp.zeros_like(color).at[tile_perm].set(color)
+        segs = jnp.zeros_like(segs).at[tile_perm].set(segs)
+    if with_stats:
+        return color, segs
+    return color

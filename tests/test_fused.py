@@ -3,7 +3,8 @@
 The fused path uses the same RNG streams but a Duff-ONB shading frame
 (instead of mesh tangents), so individual samples differ by an azimuthal
 rotation; the estimators agree in distribution. Tests compare image means
-over many samples.
+over many samples. The clustered (large-scene) mode must agree with the
+resident mode near-exactly: same math, different triangle walk order.
 """
 
 import numpy as np
@@ -12,15 +13,21 @@ import jax.numpy as jnp
 import pytest
 from jax.experimental.pallas import tpu as pltpu
 
-from gatling_tpu.interface import empty_light_arrays
+from gatling_tpu.interface import LightArrays, empty_light_arrays
 from gatling_tpu.ops.geometry import build_geometry
 from gatling_tpu.ops.pallas_bounce import build_fused_scene
 from gatling_tpu.render.fused import render_pixels_fused, supports_fused
-from gatling_tpu.render.integrator import RenderConfig, default_dome, render_pixels
+from gatling_tpu.render.integrator import (
+    DomeLightData,
+    RenderConfig,
+    default_dome,
+    render_pixels,
+)
+from gatling_tpu.render.lights import build_light_arrays
 from gatling_tpu.render.material import build_material_table, lower_material
 from gatling_tpu.render.camera import CameraUniforms
 from gatling_tpu.render.integrator import Uniforms
-from gatling_tpu.scene.stage import load_scene
+from gatling_tpu.scene.stage import LightDesc, load_scene
 
 CORNELL = "/root/reference/cornell.usda"
 
@@ -51,40 +58,177 @@ def _cornell():
     return geom, table, uni
 
 
-def test_supports_fused_gate():
-    cfg = RenderConfig(8, 8, has_dome=False)
-    assert supports_fused(cfg, has_textures=False)
-    assert not supports_fused(cfg, has_textures=True)
-    assert not supports_fused(RenderConfig(8, 8, nee=True, has_dome=False), False)
-    assert not supports_fused(RenderConfig(8, 8), False)  # dome default on
+def _rect_light() -> LightDesc:
+    """Rect light near the cornell ceiling (the room is [-1,1]^3, z up);
+    the UsdLux default orientation already emits along -Z = down."""
+    xf = np.eye(4)
+    xf[3, :3] = [0.0, 0.0, 0.9]
+    return LightDesc(
+        path="/neelight", light_type="rect", transform=xf,
+        params=dict(intensity=4.0, exposure=0.0,
+                    color=np.array([1.0, 0.9, 0.8], np.float32),
+                    normalize=False, diffuse=1.0, specular=1.0,
+                    enableColorTemperature=False, colorTemperature=6500.0,
+                    width=0.8, height=0.6))
 
 
-def test_fused_matches_general_statistics():
-    geom, table, uni = _cornell()
-    scene = build_fused_scene(geom, table)
-    w = h = 24
-    spp = 48
-    cfg = RenderConfig(width=w, height=h, spp=spp, max_bounces=4,
-                       has_dome=False, rr_bounce_offset=100)
+def _compare(cfg, uni, geom, table, lights: LightArrays, dome, *, resident_max=4096,
+             mean_tol=0.12, corr_min=0.95):
+    scene, static = build_fused_scene(geom, table, lights, resident_max=resident_max)
+    w, h, spp = cfg.width, cfg.height, cfg.spp
     n = w * h
     pix = jnp.arange(n, dtype=jnp.int32)
 
     with pltpu.force_tpu_interpret_mode():
         fused = np.asarray(render_pixels_fused(
-            cfg, uni, scene, pix, spp, jnp.int32(0),
-            n_tris=scene.n_tris, n_mats=int(scene.mats.shape[0])))
+            cfg, uni, scene, dome, pix, spp, jnp.int32(0), static=static))
 
     general = np.asarray(render_pixels(
-        cfg, uni, geom, table, empty_light_arrays(), default_dome(),
-        pix, spp, jnp.int32(0)).color)
+        cfg, uni, geom, table, lights, dome, pix, spp, jnp.int32(0)).color)
 
     f = fused.reshape(h, w, 3)
     g = general.reshape(h, w, 3)
-    # overall brightness within MC noise
-    assert abs(f.mean() - g.mean()) / max(g.mean(), 1e-6) < 0.12
-    # spatial structure agrees: downsampled images correlate strongly
-    fd = f.reshape(6, 4, 6, 4, 3).mean(axis=(1, 3)).ravel()
-    gd = g.reshape(6, 4, 6, 4, 3).mean(axis=(1, 3)).ravel()
-    corr = np.corrcoef(fd, gd)[0, 1]
-    assert corr > 0.95
     assert np.isfinite(f).all() and (f >= 0).all()
+    assert abs(f.mean() - g.mean()) / max(g.mean(), 1e-6) < mean_tol
+    fd = f.reshape(h // 4, 4, w // 4, 4, 3).mean(axis=(1, 3)).ravel()
+    gd = g.reshape(h // 4, 4, w // 4, 4, 3).mean(axis=(1, 3)).ravel()
+    corr = np.corrcoef(fd, gd)[0, 1]
+    assert corr > corr_min, corr
+    return f, g
+
+
+def test_supports_fused_gate():
+    # round 2: NEE and dome ARE supported; textures/volumes/cutout are not
+    assert supports_fused(RenderConfig(8, 8, has_dome=False), has_textures=False)
+    assert supports_fused(RenderConfig(8, 8, nee=True, has_dome=False), False)
+    assert supports_fused(RenderConfig(8, 8, has_dome=True), False)
+    assert not supports_fused(RenderConfig(8, 8, has_dome=False), has_textures=True)
+    assert not supports_fused(RenderConfig(8, 8, has_volumes=True, has_dome=False), False)
+    assert not supports_fused(RenderConfig(8, 8, has_cutout=True, has_dome=False), False)
+
+
+def test_fused_matches_general_statistics():
+    geom, table, uni = _cornell()
+    cfg = RenderConfig(width=24, height=24, spp=48, max_bounces=4,
+                       has_dome=False, rr_bounce_offset=100)
+    _compare(cfg, uni, geom, table, empty_light_arrays(), default_dome())
+
+
+def test_fused_nee_matches_general():
+    geom, table, uni = _cornell()
+    lights = build_light_arrays([_rect_light()])
+    cfg = RenderConfig(width=24, height=24, spp=48, max_bounces=3, nee=True,
+                       has_dome=False, rr_bounce_offset=100)
+    f, g = _compare(cfg, uni, geom, table, lights, default_dome())
+    # the light must actually contribute (NEE path exercised, not vacuous)
+    cfg_off = RenderConfig(width=24, height=24, spp=48, max_bounces=3, nee=False,
+                           has_dome=False, rr_bounce_offset=100)
+    scene, static = build_fused_scene(geom, table, lights)
+    pix = jnp.arange(24 * 24, dtype=jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        dark = np.asarray(render_pixels_fused(
+            cfg_off, uni, scene, default_dome(), pix, 48, jnp.int32(0), static=static))
+    assert f.mean() > dark.reshape(24, 24, 3).mean() * 1.05
+
+
+def test_fused_dome_matches_general():
+    geom, table, uni = _cornell()
+    # gradient dome so direction errors show up as brightness errors
+    hgt, wd = 8, 16
+    ty, tx = np.meshgrid(np.linspace(0, 1, hgt), np.linspace(0, 1, wd), indexing="ij")
+    tex = np.stack([ty, 0.5 * np.ones_like(ty), 1.0 - ty], axis=-1).astype(np.float32)
+    dome = DomeLightData(texture=jnp.asarray(tex),
+                         fallback=jnp.zeros((1, 1, 3), jnp.float32))
+    cfg = RenderConfig(width=24, height=24, spp=32, max_bounces=3,
+                       has_dome=True, rr_bounce_offset=100)
+    _compare(cfg, uni, geom, table, empty_light_arrays(), dome)
+
+
+def test_fused_clustered_matches_resident():
+    """The clustered (HBM+DMA, AABB-culled) walk is the same math as the
+    resident SMEM walk — images must agree almost exactly. Kept tiny:
+    interpret-mode ref reads are callback-based and scale with triangle-loop
+    iterations."""
+    geom, table, uni = _cornell()
+    lights = build_light_arrays([_rect_light()])
+    cfg = RenderConfig(width=8, height=8, spp=1, max_bounces=2, nee=True,
+                       has_dome=False, rr_bounce_offset=100)
+    n = 8 * 8
+    pix = jnp.arange(n, dtype=jnp.int32)
+
+    res_scene, res_static = build_fused_scene(geom, table, lights)
+    clu_scene, clu_static = build_fused_scene(geom, table, lights, resident_max=0)
+    assert res_static.n_clusters == 0
+    assert clu_static.n_clusters >= 1
+
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(render_pixels_fused(
+            cfg, uni, res_scene, default_dome(), pix, 1, jnp.int32(0),
+            static=res_static))
+        b = np.asarray(render_pixels_fused(
+            cfg, uni, clu_scene, default_dome(), pix, 1, jnp.int32(0),
+            static=clu_static))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_clustered_multicluster_step():
+    """Multi-cluster indexing (c = l1*FAN + l2, padded clusters, Morton
+    reorder): one bounce step over a 3-sphere scene must match the resident
+    walk state-for-state."""
+    from gatling_tpu.ops.pallas_bounce import bounce_step, make_params, pack_state
+    from gatling_tpu.scene.examples import _uv_sphere
+    from gatling_tpu.scene.meshproc import build_triangulated_mesh
+    from gatling_tpu.scene.stage import MeshDesc
+
+    pts, counts, idx = _uv_sphere(8, 8)
+    sphere = build_triangulated_mesh(pts, counts, idx)
+    meshes = []
+    for i, cx in enumerate((-3.0, 0.0, 3.0)):
+        xf = np.eye(4)
+        xf[3, :3] = [cx, 0.0, 0.0]
+        meshes.append(MeshDesc(path=f"/s{i}", mesh=sphere, transform=xf,
+                               material=None, double_sided=False, object_id=i))
+    geom = build_geometry(meshes, {None: 0})
+    table = build_material_table([lower_material(None)])
+    _geom_unused, _table_unused, uni = _cornell()
+
+    res_scene, res_static = build_fused_scene(geom, table, None)
+    clu_scene, clu_static = build_fused_scene(geom, table, None, resident_max=0)
+    assert clu_static.n_clusters >= 3
+
+    n = 64
+    gy, gz = np.meshgrid(np.linspace(-1, 1, 8), np.linspace(-1, 1, 8))
+    origins = np.stack([np.full(n, -8.0), 3.0 * gy.ravel(), gz.ravel()], axis=1)
+    dirs = np.tile(np.array([[1.0, 0.0, 0.0]]), (n, 1))
+    state = pack_state(jnp.asarray(origins, jnp.float32),
+                       jnp.asarray(dirs, jnp.float32),
+                       jnp.arange(n, dtype=jnp.uint32), 1024)
+    cfg = RenderConfig(width=8, height=8, spp=1, max_bounces=2,
+                       has_dome=False, rr_bounce_offset=100)
+    params = make_params(cfg, uni, jnp.int32(0))
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(bounce_step(params, res_scene, state,
+                                   static=res_static, nee=False))
+        b = np.asarray(bounce_step(params, clu_scene, state,
+                                   static=clu_static, nee=False))
+    # some rays hit, some miss: both conditions exercised
+    assert a[13].sum() > 0 and a[13].sum() < n
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_stats_counts_segments():
+    geom, table, uni = _cornell()
+    lights = build_light_arrays([_rect_light()])
+    cfg = RenderConfig(width=8, height=8, spp=4, max_bounces=3, nee=True,
+                       has_dome=False, rr_bounce_offset=100)
+    scene, static = build_fused_scene(geom, table, lights)
+    pix = jnp.arange(64, dtype=jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        color, segs = render_pixels_fused(
+            cfg, uni, scene, default_dome(), pix, 4, jnp.int32(0),
+            static=static, with_stats=True)
+    segs = np.asarray(segs)
+    # every cornell camera ray hits (>=1 path segment), NEE adds shadow rays
+    assert (segs >= 1.0).all()
+    assert segs.mean() > 1.5
+    assert segs.max() <= 2.0 * cfg.max_bounces
