@@ -16,7 +16,6 @@ gltf_pbr subsets mapped onto the same parameter set.
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -133,81 +132,26 @@ def _vec3(v) -> tuple[float, float, float]:
     return v[:3] if len(v) >= 3 else (v + (0.0,) * 3)[:3]
 
 
-def _vec4(v, default=(1.0, 1.0, 1.0, 1.0)) -> tuple[float, float, float, float]:
-    if v is None:
-        return default
-    if isinstance(v, (int, float)):
-        return (float(v),) * 4
-    v = tuple(float(x) for x in v)
-    return (v + (0.0, 0.0, 0.0, 1.0))[:4]
-
-
 def _resolve_input(desc: MaterialDesc, node: ShaderNode, name: str, default,
                    color_hint: bool = False):
-    """Follow a shader input: constant, or a connected texture/primvar node.
+    """Follow a shader input through the node graph (render/shadergraph.py):
+    constants and texture-affine chains (multiply/mix/add/... over one
+    image) fold exactly into (value, TextureRef) — the graph-compiler
+    analog of MtlxMdlCodeGen.cpp:217-287.
 
     Returns (value, TextureRef_or_None, is_srgb_hint). Texture file paths
-    are resolved relative to the material's layer directory.
+    are resolved relative to the material's layer directory. The returned
+    value has the shape of `default` (scalar stays scalar).
     """
-    if name in node.input_connections:
-        target_path, out_name = node.input_connections[name]
-        target = desc.nodes.get(target_path)
-        if target is None:
-            return default, None, False
-        sid = target.shader_id
-        if sid == "UsdUVTexture":
-            tex_file = target.inputs.get("file")
-            fallback = target.inputs.get("fallback", default)
-            cs = str(target.inputs.get("sourceColorSpace", "auto"))
-            # 'auto': color inputs default to sRGB, data inputs to raw
-            # (UsdUVTexture colorspace inference, MtlxDocumentPatcher.cpp:201+)
-            is_srgb = cs == "sRGB" or (cs == "auto" and color_hint)
-            if not tex_file:
-                return fallback, None, is_srgb
-            path = str(tex_file)
-            if desc.base_dir and not os.path.isabs(path):
-                path = os.path.join(desc.base_dir, path)
-            ref = TextureRef(
-                file_path=path,
-                is_srgb=is_srgb,
-                wrap_s=str(target.inputs.get("wrapS", "useMetadata")),
-                wrap_t=str(target.inputs.get("wrapT", "useMetadata")),
-                scale=_vec4(target.inputs.get("scale")),
-                bias=_vec4(target.inputs.get("bias"), (0.0, 0.0, 0.0, 0.0)),
-                channel=out_name if out_name in ("r", "g", "b", "a") else "rgb",
-            )
-            return fallback, ref, is_srgb
-        if sid in ("image", "tiledimage"):
-            # MaterialX image node (render/mtlx.py front end)
-            tex_file = target.inputs.get("file")
-            fallback = target.inputs.get("default", default)
-            if not tex_file:
-                return fallback, None, color_hint
-            path = str(tex_file)
-            if desc.base_dir and not os.path.isabs(path):
-                path = os.path.join(desc.base_dir, path)
-            wrap_map = {"periodic": "repeat", "clamp": "clamp",
-                        "mirror": "mirror", "constant": "black"}
-            ref = TextureRef(
-                file_path=path,
-                is_srgb=color_hint,
-                wrap_s=wrap_map.get(str(target.inputs.get("uaddressmode", "periodic")), "repeat"),
-                wrap_t=wrap_map.get(str(target.inputs.get("vaddressmode", "periodic")), "repeat"),
-                channel=out_name if out_name in ("r", "g", "b", "a") else "rgb",
-            )
-            return fallback, ref, color_hint
-        if sid == "constant":
-            return target.inputs.get("value", default), None, False
-        if sid in ("multiply", "mix", "add") and "in1" in target.inputs:
-            # shallow graph folding: take the first constant operand
-            return target.inputs.get("in1", default), None, False
-        if sid.startswith("UsdPrimvarReader") or sid in ("texcoord", "geompropvalue"):
-            return target.inputs.get("fallback", default), None, False
-        get_logger().debug("unhandled input node %s for %s", sid, name)
-        return default, None, False
-    if name in node.inputs:
-        return node.inputs[name], None, False
-    return default, None, False
+    from gatling_tpu.render.shadergraph import GraphLowering
+
+    gv = GraphLowering(desc).eval_input(node, name, default, color_hint)
+    if isinstance(default, (int, float, bool)) or default is None:
+        value = float(gv.constant[0])
+    else:
+        value = gv.constant[: max(len(tuple(default)), 3)]
+    is_srgb = gv.texture.is_srgb if gv.texture is not None else False
+    return value, gv.texture, is_srgb
 
 
 def lower_material(desc: MaterialDesc | None) -> LoweredMaterial:

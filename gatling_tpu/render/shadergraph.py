@@ -1,0 +1,252 @@
+"""Shader node-graph lowering: network chains -> affine-over-texture values.
+
+The mc-layer graph compiler analog (reference: src/mc/impl/
+MtlxMdlCodeGen.cpp:217-287 compiles arbitrary MaterialX node graphs through
+the MDL backend). The TPU build's uber-BSDF consumes per-material constants
+plus at most one texture per parameter, where the texture pool applies a
+per-slot affine `sample * scale + bias` at lookup time
+(render/texture.py sample_pool). This module folds node-graph chains into
+exactly that representation:
+
+    GraphValue = constant rgba            (no texture in the subtree)
+               | affine(texture): s*T + b (one texture + folded math)
+
+Supported nodes: UsdUVTexture / image / tiledimage leaves, constant,
+multiply, divide, add, subtract, mix (constant mix factor), normalmap,
+convert, swizzle/extract, UsdPrimvarReader*/texcoord/geompropvalue
+(fallback constants). Chains of any depth fold as long as they stay affine
+in a single texture; anything beyond (two textures in one binary op, clamp
+on a texture, procedural nodes) degrades EXPLICITLY — a warning names the
+node and the evaluator keeps the texture-carrying operand — never the
+silent take-the-first-input folding this replaces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any
+
+from gatling_tpu.render.texture import TextureRef
+from gatling_tpu.utils.log import get_logger
+
+_CH = {"r": 0, "g": 1, "b": 2, "a": 3}
+
+
+def _vec4(v: Any, default=(0.0, 0.0, 0.0, 1.0)) -> tuple[float, float, float, float]:
+    if v is None:
+        return tuple(default)
+    if isinstance(v, (int, float, bool)):
+        f = float(v)
+        return (f, f, f, f)
+    v = tuple(float(x) for x in v)
+    return (v + (0.0, 0.0, 0.0, 1.0))[:4]
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphValue:
+    """A lowered shader-graph subtree: rgba constant, optionally modulating
+    one texture via the pool-level affine (value = sample*scale + bias,
+    with `constant` as the connection's fallback value)."""
+
+    constant: tuple[float, float, float, float]
+    texture: TextureRef | None = None
+
+    def with_affine(self, scale=(1, 1, 1, 1), bias=(0, 0, 0, 0)) -> "GraphValue":
+        """Compose value -> value*scale + bias."""
+        s = _vec4(scale, (1, 1, 1, 1))
+        b = _vec4(bias, (0, 0, 0, 0))
+        const = tuple(c * sc + bc for c, sc, bc in zip(self.constant, s, b))
+        if self.texture is None:
+            return GraphValue(constant=const)
+        ts = tuple(a * b2 for a, b2 in zip(self.texture.scale, s))
+        tb = tuple(a * s2 + b2 for a, s2, b2 in zip(self.texture.bias, s, b))
+        return GraphValue(
+            constant=const,
+            texture=dataclasses.replace(self.texture, scale=ts, bias=tb))
+
+
+def _binary(op: str, a: GraphValue, b: GraphValue, node_id: str) -> GraphValue:
+    """Fold a binary node. Affine-preserving combinations fold exactly;
+    a texture on both sides cannot be represented — warn and keep `a`'s
+    texture modulated by `b`'s constant (the documented degradation)."""
+    if a.texture is not None and b.texture is not None:
+        get_logger().warning(
+            "shader graph: %s combines two textures (%s, %s); approximating "
+            "the second operand by its fallback constant", node_id,
+            os.path.basename(a.texture.file_path),
+            os.path.basename(b.texture.file_path))
+        b = GraphValue(constant=b.constant)
+
+    if op == "multiply":
+        if b.texture is not None:
+            a, b = b, a
+        return a.with_affine(scale=b.constant)
+    if op == "divide":
+        if b.texture is not None:
+            get_logger().warning(
+                "shader graph: %s divides by a texture; using its fallback", node_id)
+            b = GraphValue(constant=b.constant)
+        inv = tuple(1.0 / c if c != 0.0 else 0.0 for c in b.constant)
+        return a.with_affine(scale=inv)
+    if op == "add":
+        if b.texture is not None:
+            a, b = b, a
+        return a.with_affine(bias=b.constant)
+    if op == "subtract":
+        if b.texture is not None:
+            # a - (s*T + t_b) = -1*(s*T + t_b) + a
+            return b.with_affine(scale=(-1, -1, -1, -1), bias=a.constant)
+        return a.with_affine(bias=tuple(-c for c in b.constant))
+    raise ValueError(op)
+
+
+def _mix(fg: GraphValue, bg: GraphValue, mix: GraphValue, node_id: str) -> GraphValue:
+    """MaterialX mix: out = fg*mix + bg*(1-mix)."""
+    if mix.texture is not None:
+        get_logger().warning(
+            "shader graph: %s has a textured mix factor; using its fallback",
+            node_id)
+        mix = GraphValue(constant=mix.constant)
+    m = mix.constant
+    one_m = tuple(1.0 - c for c in m)
+    if fg.texture is not None and bg.texture is not None:
+        get_logger().warning(
+            "shader graph: %s mixes two textures; approximating bg by its "
+            "fallback constant", node_id)
+        bg = GraphValue(constant=bg.constant)
+    if bg.texture is not None:
+        return bg.with_affine(
+            scale=one_m, bias=tuple(f * c for f, c in zip(fg.constant, m)))
+    return fg.with_affine(
+        scale=m, bias=tuple(b * c for b, c in zip(bg.constant, one_m)))
+
+
+_WRAP_MAP = {"periodic": "repeat", "clamp": "clamp", "mirror": "mirror",
+             "constant": "black"}
+
+
+class GraphLowering:
+    """Recursive evaluator over one material's node dict."""
+
+    def __init__(self, desc) -> None:
+        self.desc = desc
+        self._stack: list[str] = []  # cycle guard
+
+    def _resolve_path(self, path: str) -> str:
+        if self.desc.base_dir and not os.path.isabs(path):
+            return os.path.join(self.desc.base_dir, path)
+        return path
+
+    def eval_input(self, node, name: str, default, color_hint: bool) -> GraphValue:
+        """Evaluate one shader input: a constant, or the lowered subtree of
+        its connected node."""
+        if name in node.input_connections:
+            target_path, out_name = node.input_connections[name]
+            target = self.desc.nodes.get(target_path)
+            if target is None:
+                return GraphValue(constant=_vec4(default))
+            return self.eval_node(target, out_name, default, color_hint)
+        if name in node.inputs:
+            return GraphValue(constant=_vec4(node.inputs[name]))
+        return GraphValue(constant=_vec4(default))
+
+    def eval_node(self, node, out_name: str, default, color_hint: bool) -> GraphValue:
+        if node.path in self._stack:
+            get_logger().warning("shader graph: cycle at %s", node.path)
+            return GraphValue(constant=_vec4(default))
+        self._stack.append(node.path)
+        try:
+            return self._eval_node(node, out_name, default, color_hint)
+        finally:
+            self._stack.pop()
+
+    def _leaf_texture(self, node, out_name: str, default, color_hint: bool,
+                      usd: bool) -> GraphValue:
+        tex_file = node.inputs.get("file")
+        if usd:
+            fallback = node.inputs.get("fallback", default)
+            cs = str(node.inputs.get("sourceColorSpace", "auto"))
+            # 'auto': color inputs default to sRGB, data inputs to raw
+            # (UsdUVTexture colorspace inference, MtlxDocumentPatcher.cpp:201+)
+            is_srgb = cs == "sRGB" or (cs == "auto" and color_hint)
+        else:
+            fallback = node.inputs.get("default", default)
+            cs = str(node.inputs.get("colorspace", ""))
+            is_srgb = cs in ("srgb_texture", "sRGB") or (not cs and color_hint)
+        if not tex_file:
+            return GraphValue(constant=_vec4(fallback))
+        if usd:
+            ref = TextureRef(
+                file_path=self._resolve_path(str(tex_file)),
+                is_srgb=is_srgb,
+                wrap_s=str(node.inputs.get("wrapS", "useMetadata")),
+                wrap_t=str(node.inputs.get("wrapT", "useMetadata")),
+                scale=_vec4(node.inputs.get("scale"), (1, 1, 1, 1)),
+                bias=_vec4(node.inputs.get("bias"), (0, 0, 0, 0)),
+                channel=out_name if out_name in _CH else "rgb",
+            )
+        else:
+            ref = TextureRef(
+                file_path=self._resolve_path(str(tex_file)),
+                is_srgb=is_srgb,
+                wrap_s=_WRAP_MAP.get(str(node.inputs.get("uaddressmode", "periodic")), "repeat"),
+                wrap_t=_WRAP_MAP.get(str(node.inputs.get("vaddressmode", "periodic")), "repeat"),
+                channel=out_name if out_name in _CH else "rgb",
+            )
+        return GraphValue(constant=_vec4(fallback), texture=ref)
+
+    def _eval_node(self, node, out_name: str, default, color_hint: bool) -> GraphValue:
+        sid = node.shader_id
+        ev = lambda name, d=(0.0, 0.0, 0.0, 1.0), hint=False: self.eval_input(  # noqa: E731
+            node, name, d, hint)
+
+        if sid == "UsdUVTexture":
+            return self._leaf_texture(node, out_name, default, color_hint, usd=True)
+        if sid in ("image", "tiledimage"):
+            return self._leaf_texture(node, out_name, default, color_hint, usd=False)
+        if sid == "constant":
+            return GraphValue(constant=_vec4(node.inputs.get("value", default)))
+        if sid in ("multiply", "divide", "add", "subtract"):
+            a = ev("in1", hint=color_hint)
+            b = ev("in2", (1.0, 1.0, 1.0, 1.0) if sid in ("multiply", "divide")
+                   else (0.0, 0.0, 0.0, 0.0))
+            return _binary(sid, a, b, f"{sid}@{node.path}")
+        if sid == "mix":
+            fg = ev("fg", hint=color_hint)
+            bg = ev("bg", hint=color_hint)
+            mx = ev("mix", (0.0, 0.0, 0.0, 0.0))
+            return _mix(fg, bg, mx, f"mix@{node.path}")
+        if sid == "clamp":
+            v = ev("in", hint=color_hint)
+            lo = ev("low", (0.0, 0.0, 0.0, 0.0)).constant
+            hi = ev("high", (1.0, 1.0, 1.0, 1.0)).constant
+            const = tuple(min(max(c, l), h) for c, l, h in zip(v.constant, lo, hi))
+            if v.texture is not None:
+                get_logger().warning(
+                    "shader graph: clamp@%s on a texture is not folded "
+                    "(values pass through unclamped)", node.path)
+                return GraphValue(constant=const, texture=v.texture)
+            return GraphValue(constant=const)
+        if sid == "convert":
+            return ev("in", default, color_hint)
+        if sid in ("swizzle", "extract", "separate2", "separate3", "separate4"):
+            v = ev("in", default, color_hint)
+            ch = str(node.inputs.get("channels", out_name or "r")).lower()
+            if len(ch) == 1 and ch in _CH:
+                i = _CH[ch]
+                const = (v.constant[i],) * 4
+                if v.texture is not None:
+                    return GraphValue(constant=const, texture=dataclasses.replace(
+                        v.texture, channel=ch))
+                return GraphValue(constant=const)
+            return v
+        if sid == "normalmap":
+            v = ev("in", (0.5, 0.5, 1.0), False)
+            # tangent-space decode: map [0,1] -> [-1,1] (the reference's
+            # normal-map scale/bias patch, previewSurfaceNetworkPatcher.cpp)
+            return v.with_affine(scale=(2.0, 2.0, 2.0, 1.0), bias=(-1.0, -1.0, -1.0, 0.0))
+        if sid.startswith("UsdPrimvarReader") or sid in ("texcoord", "geompropvalue"):
+            return GraphValue(constant=_vec4(node.inputs.get("fallback", default)))
+        get_logger().debug("shader graph: unhandled node %s (%s)", sid, node.path)
+        return GraphValue(constant=_vec4(default))

@@ -1,0 +1,195 @@
+"""Shader node-graph lowering tests (render/shadergraph.py).
+
+The round-1 folding took the first constant operand of multiply/mix/add —
+a multiply(texture, color) chain silently dropped the texture. These tests
+pin the replacement: affine chains over one texture fold exactly into the
+pool-level scale/bias, constants fold arithmetically, and non-representable
+graphs degrade with an explicit warning instead of silently.
+"""
+
+import logging
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gatling_tpu import imgio
+from gatling_tpu.render.material import lower_material
+from gatling_tpu.render.shadergraph import GraphLowering, GraphValue
+from gatling_tpu.render.texture import TextureManager, TextureRef, sample_pool
+from gatling_tpu.scene.stage import MaterialDesc, ShaderNode
+
+
+def _mat(nodes: list[ShaderNode], surface: str) -> MaterialDesc:
+    return MaterialDesc(path="/m", surface_node=surface,
+                        nodes={n.path: n for n in nodes})
+
+
+def _node(path, sid, inputs=None, conns=None) -> ShaderNode:
+    return ShaderNode(path=path, shader_id=sid, inputs=inputs or {},
+                      input_connections=conns or {})
+
+
+def _eval(desc, input_name="in", default=(0.0, 0.0, 0.0), color=False):
+    surf = desc.nodes[desc.surface_node]
+    return GraphLowering(desc).eval_input(surf, input_name, default, color)
+
+
+def _tex_node(path="/t", fid="/tmp/does_not_matter.png"):
+    return _node(path, "image", {"file": fid, "default": (0.5, 0.5, 0.5)})
+
+
+def test_constant_math_folds():
+    # 0.25 * (0.5 + 0.3) = 0.2
+    nodes = [
+        _node("/s", "surf", conns={"in": ("/mul", "out")}),
+        _node("/mul", "multiply", {"in2": 0.25}, {"in1": ("/add", "out")}),
+        _node("/add", "add", {"in1": 0.5, "in2": 0.3}),
+    ]
+    gv = _eval(_mat(nodes, "/s"))
+    assert gv.texture is None
+    np.testing.assert_allclose(gv.constant[:3], [0.2] * 3, atol=1e-6)
+
+
+def test_multiply_image_by_color_folds_into_scale():
+    # THE VERDICT case: multiply(image, color) must keep the texture and
+    # put the color in the affine scale
+    nodes = [
+        _node("/s", "surf", conns={"in": ("/mul", "out")}),
+        _node("/mul", "multiply", {"in2": (0.5, 0.25, 1.0)},
+              {"in1": ("/t", "out")}),
+        _tex_node(),
+    ]
+    gv = _eval(_mat(nodes, "/s"), color=True)
+    assert gv.texture is not None
+    np.testing.assert_allclose(gv.texture.scale[:3], [0.5, 0.25, 1.0])
+    np.testing.assert_allclose(gv.texture.bias[:3], [0.0, 0.0, 0.0])
+    # fallback constant also scaled: 0.5 * (0.5, 0.25, 1.0)
+    np.testing.assert_allclose(gv.constant[:3], [0.25, 0.125, 0.5])
+
+
+def test_nested_affine_chain():
+    # (image * 2 + 0.1) folds to scale=2, bias=0.1
+    nodes = [
+        _node("/s", "surf", conns={"in": ("/add", "out")}),
+        _node("/add", "add", {"in2": (0.1, 0.1, 0.1)}, {"in1": ("/mul", "out")}),
+        _node("/mul", "multiply", {"in2": 2.0}, {"in1": ("/t", "out")}),
+        _tex_node(),
+    ]
+    gv = _eval(_mat(nodes, "/s"))
+    np.testing.assert_allclose(gv.texture.scale[:3], [2.0] * 3)
+    np.testing.assert_allclose(gv.texture.bias[:3], [0.1] * 3)
+
+
+def test_subtract_orders():
+    nodes = [
+        _node("/s", "surf", conns={"in": ("/sub", "out")}),
+        _node("/sub", "subtract", {"in1": 1.0}, {"in2": ("/t", "out")}),
+        _tex_node(),
+    ]
+    gv = _eval(_mat(nodes, "/s"))
+    # 1 - T = -1*T + 1
+    np.testing.assert_allclose(gv.texture.scale[:3], [-1.0] * 3)
+    np.testing.assert_allclose(gv.texture.bias[:3], [1.0] * 3)
+
+
+def test_mix_constant_factor():
+    # mix(fg=T, bg=0.2, mix=0.75) = 0.75*T + 0.05
+    nodes = [
+        _node("/s", "surf", conns={"in": ("/mix", "out")}),
+        _node("/mix", "mix", {"bg": (0.2, 0.2, 0.2), "mix": 0.75},
+              {"fg": ("/t", "out")}),
+        _tex_node(),
+    ]
+    gv = _eval(_mat(nodes, "/s"))
+    np.testing.assert_allclose(gv.texture.scale[:3], [0.75] * 3)
+    np.testing.assert_allclose(gv.texture.bias[:3], [0.05] * 3, atol=1e-7)
+
+
+def test_two_textures_warn_and_degrade():
+    from gatling_tpu.utils.log import get_logger
+
+    class _Capture(logging.Handler):
+        def __init__(self):
+            super().__init__(level=logging.WARNING)
+            self.messages = []
+
+        def emit(self, record):
+            self.messages.append(record.getMessage())
+
+    nodes = [
+        _node("/s", "surf", conns={"in": ("/mul", "out")}),
+        _node("/mul", "multiply", {}, {"in1": ("/t", "out"), "in2": ("/t2", "out")}),
+        _tex_node(),
+        _tex_node("/t2", "/tmp/other.png"),
+    ]
+    cap = _Capture()
+    logger = get_logger()
+    logger.addHandler(cap)
+    try:
+        gv = _eval(_mat(nodes, "/s"))
+    finally:
+        logger.removeHandler(cap)
+    assert gv.texture is not None
+    assert gv.texture.file_path.endswith("does_not_matter.png")
+    # second texture approximated by its fallback 0.5 -> scale
+    np.testing.assert_allclose(gv.texture.scale[:3], [0.5] * 3)
+    assert any("two textures" in m for m in cap.messages)
+
+
+def test_extract_channel():
+    nodes = [
+        _node("/s", "surf", conns={"in": ("/ex", "out")}),
+        _node("/ex", "extract", {"channels": "g"}, {"in": ("/t", "out")}),
+        _tex_node(),
+    ]
+    gv = _eval(_mat(nodes, "/s"), default=0.0)
+    assert gv.texture.channel == "g"
+
+
+def test_normalmap_decode():
+    nodes = [
+        _node("/s", "surf", conns={"in": ("/nm", "out")}),
+        _node("/nm", "normalmap", {}, {"in": ("/t", "out")}),
+        _tex_node(),
+    ]
+    gv = _eval(_mat(nodes, "/s"))
+    np.testing.assert_allclose(gv.texture.scale, [2.0, 2.0, 2.0, 1.0])
+    np.testing.assert_allclose(gv.texture.bias, [-1.0, -1.0, -1.0, 0.0])
+
+
+def test_usduvtexture_scale_bias_composes():
+    # author scale on the texture node AND a multiply above it
+    nodes = [
+        _node("/s", "surf", conns={"in": ("/mul", "out")}),
+        _node("/mul", "multiply", {"in2": 0.5}, {"in1": ("/t", "rgb")}),
+        _node("/t", "UsdUVTexture",
+              {"file": "/tmp/x.png", "scale": (2.0, 2.0, 2.0, 1.0),
+               "bias": (0.1, 0.1, 0.1, 0.0), "fallback": (1.0, 1.0, 1.0)}),
+    ]
+    gv = _eval(_mat(nodes, "/s"), color=True)
+    np.testing.assert_allclose(gv.texture.scale[:3], [1.0] * 3)
+    np.testing.assert_allclose(gv.texture.bias[:3], [0.05] * 3)
+    assert gv.texture.is_srgb  # color hint + auto colorspace
+
+
+def test_lower_material_multiply_texture(tmp_path):
+    """End-to-end through lower_material + the texture pool: a
+    multiply(image, 0.5)->diffuseColor network samples at half brightness."""
+    img = np.full((1, 1, 4), 255, np.uint8)
+    p = tmp_path / "white.png"
+    imgio.write_image_file(p, img)
+    nodes = [
+        _node("/surf", "UsdPreviewSurface", {}, {"diffuseColor": ("/mul", "out")}),
+        _node("/mul", "multiply", {"in2": (0.5, 0.5, 0.5)}, {"in1": ("/t", "rgb")}),
+        _node("/t", "UsdUVTexture",
+              {"file": str(p), "sourceColorSpace": "raw",
+               "fallback": (1.0, 1.0, 1.0)}),
+    ]
+    desc = _mat(nodes, "/surf")
+    lowered = lower_material(desc)
+    ref = lowered.textures["base_color"]
+    pool = TextureManager().build_pool([ref])
+    out = np.asarray(sample_pool(pool, jnp.zeros(1, jnp.int32),
+                                 jnp.asarray([[0.5, 0.5]], jnp.float32)))
+    np.testing.assert_allclose(out[0, :3], [0.5] * 3, atol=1e-3)
