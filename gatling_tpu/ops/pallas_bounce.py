@@ -699,16 +699,21 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
     m_id = mat_f.astype(jnp.int32)
     mp = [jnp.zeros((BLOCK_ROWS, 128), jnp.float32) for _ in range(11)]
     # columns of MaterialTable.packed_f used here
-    # 0-2 base_color, 3 metallic, 4 roughness, 5 ior, 7-9 emissive, 14 transmission
-    cols = (0, 1, 2, 3, 4, 5, 7, 8, 9, 14, 15)
+    # 0-2 base_color, 3 metallic, 4 roughness, 5 ior, 7-9 emissive,
+    # 14 transmission, 15 thin_walled, 24 backface_edf
+    mp.append(jnp.zeros((BLOCK_ROWS, 128), jnp.float32))
+    cols = (0, 1, 2, 3, 4, 5, 7, 8, 9, 14, 15, 24)
     for mm in range(static.n_mats):
         is_m = m_id == mm
         for k, col in enumerate(cols):
             mp[k] = jnp.where(is_m, mat_ref[mm, col], mp[k])
-    base_r, base_g, base_b, metallic, roughness, ior, em_r, em_g, em_b, transm, thinw = mp
+    (base_r, base_g, base_b, metallic, roughness, ior,
+     em_r, em_g, em_b, transm, thinw, bf_edf) = mp
 
-    # ---- emission (front face or double-sided) ----
-    em_ok = hit & (front | (dsided > 0.5))
+    # ---- emission: front face, or backface of single-sided geometry, or
+    # thin-walled backface EDF (rp_main.chit:304-315) ----
+    em_ok = hit & (front | (dsided <= 0.5)
+                   | ((thinw > 0.5) & (bf_edf > 0.5)))
     em_scale = params_ref[P_EXP2_EXPOSURE]
     radx = radx + jnp.where(em_ok, tpx * em_r * em_scale, 0.0)
     rady = rady + jnp.where(em_ok, tpy * em_g * em_scale, 0.0)

@@ -56,6 +56,10 @@ class BsdfParams(NamedTuple):
     volume_absorption: jnp.ndarray  # [...,3] sigma_a
     volume_scattering: jnp.ndarray  # [...,3] sigma_s
     volume_bias: jnp.ndarray  # [...] Henyey-Greenstein g (directional bias)
+    # backface EDF trait (reference: Frontend.cpp _HasCompiledMaterialBackfaceEdf;
+    # the evaluator reuses the front EDF values — distinct backface expressions
+    # would need per-material MDL compilation)
+    backface_edf: jnp.ndarray  # [...] 0/1
 
 
 MIN_ALPHA = 1e-3  # roughness^2 floor to keep GGX sampleable in fp32

@@ -116,6 +116,51 @@ def _trace_occluded(config, accel, geom, origins, dirs, tmin, tmax):
     return occluded_brute(origins, dirs, tmin, tmax, geom)
 
 
+MAX_SHADOW_CUTOUT_HOPS = 8
+
+
+def _trace_occluded_cutout(config, accel, geom, materials, textures,
+                           origins, dirs, tmin, tmax, rng):
+    """Occlusion with stochastic cutout transparency: the wavefront analog
+    of the reference's SHADOW_TEST any-hit shader (rp_main.ahit:27-61 —
+    `if (cutout_opacity < rng) ignoreIntersectionEXT`). Closest hits are
+    walked iteratively: an accepted hit occludes, a stochastically ignored
+    one advances the interval past the surface. Returns (occluded, rng)."""
+    n = origins.shape[0]
+
+    def cond(carry):
+        _tmin_c, unresolved, _occl, _rng, hops = carry
+        return jnp.any(unresolved) & (hops < MAX_SHADOW_CUTOUT_HOPS)
+
+    def body(carry):
+        tmin_c, unresolved, occl, rng, hops = carry
+        seg_tmax = jnp.where(unresolved, tmax, 0.0)
+        hit = _trace_closest(config, accel, geom, origins, dirs, tmin_c, seg_tmax)
+        is_hit = unresolved & ~hit.missed
+
+        st = _shading_state(geom, hit, dirs)
+        params = gather_params(materials, st["material_id"])
+        params = apply_textures(materials, textures, params,
+                                st["material_id"], st["uv"])
+        opacity = bsdf_mod.cutout_opacity(params)
+        rng_after, xi = smp.rng_next1f(rng)
+        rng = jnp.where(is_hit, rng_after, rng)
+        accepted = is_hit & (xi < opacity)
+
+        occl = occl | accepted
+        # misses resolve as unoccluded; ignored hits continue past the surface
+        unresolved = unresolved & is_hit & ~accepted
+        tmin_c = jnp.where(unresolved, hit.t * (1.0 + 1e-4) + 1e-5, tmin_c)
+        return tmin_c, unresolved, occl, rng, hops + 1
+
+    unresolved0 = tmax > tmin
+    carry = (tmin, unresolved0, jnp.zeros((n,), bool), rng, jnp.int32(0))
+    _tmin_c, unresolved, occl, rng, _hops = jax.lax.while_loop(cond, body, carry)
+    # rays still unresolved after the hop limit count as occluded (the
+    # conservative choice; the reference enumerates all any-hit candidates)
+    return occl | unresolved, rng
+
+
 class Uniforms(NamedTuple):
     """Traced per-frame values (UniformData analog, rp_main.h:25-55)."""
 
@@ -430,8 +475,12 @@ def trace_sample(
             throughput = jnp.where((is_hit & in_medium)[:, None],
                                    throughput * transmittance, throughput)
 
-        # emission (chit:292-343): front face, or any face of double-sided geo
-        emission_ok = st["front"] | st["double_sided"]
+        # emission (chit:292-343): front face, or the back face of
+        # SINGLE-sided geometry (chit:304 `isFrontFace || !isDoubleSided`);
+        # double-sided back faces emit only for thin-walled materials with a
+        # backface EDF (MDL spec quote at chit:309)
+        emission_ok = st["front"] | ~st["double_sided"] | (
+            params.thin_walled & (params.backface_edf > 0.5))
         radiance = radiance + jnp.where(
             (is_hit & emission_ok)[:, None],
             throughput * bsdf_mod.edf_emission(params)
@@ -561,7 +610,15 @@ def trace_sample(
             do_trace = (smp.luminance(contrib) > 1e-6) & (light_dist > 1e-9)
             sh_tmin = jnp.where(do_trace, 0.01, 0.0)
             sh_tmax = jnp.where(do_trace, light_dist, 0.0)
-            shadowed = _trace_occluded(config, accel, geom, new_origin, dir_to_light, sh_tmin, sh_tmax)
+            if config.has_cutout:
+                # stochastic cutout on the shadow stream (rp_main.ahit
+                # SHADOW_TEST variant)
+                shadowed, rng = _trace_occluded_cutout(
+                    config, accel, geom, materials, textures,
+                    new_origin, dir_to_light, sh_tmin, sh_tmax, rng)
+            else:
+                shadowed = _trace_occluded(config, accel, geom, new_origin,
+                                           dir_to_light, sh_tmin, sh_tmax)
             add = do_trace & ~shadowed
             radiance = radiance + jnp.where(add[:, None], contrib, 0.0)
             if config.aov_mask & aov_bit(AovId.NEE):

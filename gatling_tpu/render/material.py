@@ -44,6 +44,7 @@ class MaterialTable(NamedTuple):
     volume_absorption: jnp.ndarray  # [M,3]
     volume_scattering: jnp.ndarray  # [M,3]
     volume_bias: jnp.ndarray  # [M]
+    backface_edf: jnp.ndarray  # [M] f32 0/1 (traits.has_backface_edf)
     # texture slot per parameter, -1 = constant (wired by render/texture.py)
     base_color_tex: jnp.ndarray  # [M] i32
     emissive_tex: jnp.ndarray  # [M] i32
@@ -70,6 +71,7 @@ class MaterialTable(NamedTuple):
 MF_BASE, MF_METAL, MF_ROUGH, MF_IOR, MF_OPACITY = 0, 3, 4, 5, 6
 MF_EMISSIVE, MF_USW, MF_SPEC, MF_TRANS, MF_THIN = 7, 10, 11, 14, 15
 MF_VOL_A, MF_VOL_S, MF_VOL_BIAS, MF_OPACITY_THRESH = 16, 19, 22, 23
+MF_BACKFACE_EDF = 24
 
 
 def _pack_material_table(t: MaterialTable) -> MaterialTable:
@@ -79,7 +81,7 @@ def _pack_material_table(t: MaterialTable) -> MaterialTable:
         t.use_specular_workflow[:, None], t.specular_color,
         t.transmission[:, None], t.thin_walled[:, None].astype(jnp.float32),
         t.volume_absorption, t.volume_scattering, t.volume_bias[:, None],
-        t.opacity_threshold[:, None],
+        t.opacity_threshold[:, None], t.backface_edf[:, None],
     ], axis=1)
     packed_i = jnp.stack([
         t.base_color_tex, t.emissive_tex, t.metallic_tex, t.roughness_tex,
@@ -91,11 +93,17 @@ def _pack_material_table(t: MaterialTable) -> MaterialTable:
 
 @dataclasses.dataclass
 class MaterialTraits:
-    """Host-side material traits (reference: mc/Material.h McMaterial)."""
+    """Host-side material traits (reference: mc/Material.h McMaterial,
+    extracted per Frontend.cpp:75-181)."""
 
     is_emissive: bool = False
     has_cutout: bool = False
     is_thin_walled: bool = False
+    # distinct backface expressions exist (MDL `backface:` field). The
+    # evaluators reuse the front BSDF/EDF values for these — expressing
+    # different backface parameters would need real MDL compilation.
+    has_backface_bsdf: bool = False
+    has_backface_edf: bool = False
 
 
 @dataclasses.dataclass
@@ -241,6 +249,9 @@ def lower_material(desc: MaterialDesc | None) -> LoweredMaterial:
         textures["normal"] = dataclasses.replace(
             nref, scale=(2.0, 2.0, 2.0, 1.0), bias=(-1.0, -1.0, -1.0, 0.0), is_srgb=False)
 
+    # MDL backface traits forwarded by the front end (render/mdl.py)
+    traits.has_backface_bsdf = bool(node.inputs.get("has_backface_bsdf", False))
+    traits.has_backface_edf = bool(node.inputs.get("has_backface_edf", False))
     traits.is_emissive = any(c > 0.0 for c in params["emissive"]) or "emissive" in textures
     traits.has_cutout = (
         params["opacity_threshold"] > 0.0
@@ -322,6 +333,8 @@ def build_material_table(
         volume_absorption=col("volume_absorption", 3),
         volume_scattering=col("volume_scattering", 3),
         volume_bias=col("volume_bias"),
+        backface_edf=jnp.asarray(np.array(
+            [float(m.traits.has_backface_edf) for m in lowered], np.float32)),
         base_color_tex=tex_col("base_color"),
         emissive_tex=tex_col("emissive"),
         metallic_tex=tex_col("metallic"),
@@ -331,7 +344,7 @@ def build_material_table(
         metallic_tex_ch=ch_col("metallic"),
         roughness_tex_ch=ch_col("roughness"),
         opacity_tex_ch=ch_col("opacity"),
-        packed_f=jnp.zeros((len(lowered), 24), jnp.float32),
+        packed_f=jnp.zeros((len(lowered), 25), jnp.float32),
         packed_i=jnp.zeros((len(lowered), 9), jnp.int32),
     )
     return _pack_material_table(table)
@@ -357,6 +370,7 @@ def gather_params(table: MaterialTable, material_ids: jnp.ndarray) -> BsdfParams
         volume_absorption=pf[:, MF_VOL_A:MF_VOL_A + 3],
         volume_scattering=pf[:, MF_VOL_S:MF_VOL_S + 3],
         volume_bias=pf[:, MF_VOL_BIAS],
+        backface_edf=pf[:, MF_BACKFACE_EDF],
     )
 
 

@@ -151,8 +151,27 @@ def load_mdl_material(
     except OSError:
         get_logger().error("cannot read MDL file %s", file_path)
         defaults = {}
+        source = ""
     merged = dict(defaults)
     merged.update(user_params or {})
+
+    # backface trait detection (reference: Frontend.cpp:104-121
+    # _HasCompiledMaterialBackface{Bsdf,Edf}): a `backface:` field whose
+    # expression names a scattering df / an emission edf
+    has_backface_bsdf = False
+    has_backface_edf = False
+    bf = re.search(r"backface\s*:\s*material_surface\s*\(", source)
+    if bf:
+        depth, i = 1, bf.end()
+        while i < len(source) and depth > 0:
+            if source[i] == "(":
+                depth += 1
+            elif source[i] == ")":
+                depth -= 1
+            i += 1
+        bf_text = source[bf.end():i - 1]
+        has_backface_bsdf = "scattering" in bf_text or "bsdf" in bf_text
+        has_backface_edf = "emission" in bf_text or "edf" in bf_text
 
     base_dir = os.path.dirname(os.path.abspath(file_path))
     inputs: dict[str, Any] = {}
@@ -190,6 +209,10 @@ def load_mdl_material(
     if not inputs.pop("enable_transmission", True):
         inputs.pop("transmission", None)
 
+    if has_backface_bsdf:
+        inputs["has_backface_bsdf"] = True
+    if has_backface_edf:
+        inputs["has_backface_edf"] = True
     node = ShaderNode(path=f"/{name}/shader", shader_id="gatling_uber",
                       inputs={**inputs, **{k: v for k, v in textures.items()}},
                       input_connections={})

@@ -73,3 +73,127 @@ def test_cutout_threshold_binary():
     geom, table = _cutout_scene(opacity=0.8, threshold=0.5)
     mean = _render_mean(geom, table, spp=8)
     assert mean < 0.05
+
+
+def _shadow_cutout_scene(opacity: float | None, threshold: float = 0.0):
+    """Diffuse wall at z=-3, rect light at z=+3 facing it, cutout screen at
+    z=0 crossing only the SHADOW rays (the camera sits at z=-1.4, between
+    screen and wall). opacity=None omits the screen entirely."""
+    meshes = [
+        MeshDesc(path="/wall", mesh=_quad(-3.0), transform=np.eye(4),
+                 material="wall", double_sided=True, object_id=1),
+    ]
+    midx = {"screen": 0, "wall": 1, None: 2}
+    if opacity is not None:
+        meshes.insert(0, MeshDesc(
+            path="/screen", mesh=_quad(0.0), transform=np.eye(4),
+            material="screen", double_sided=True, object_id=0))
+    geom = build_geometry(meshes, midx)
+    screen = LoweredMaterial(params=dict(_DEFAULTS),
+                             traits=MaterialTraits(has_cutout=True), textures={})
+    screen.params.update(opacity=0.0 if opacity is None else opacity,
+                         opacity_threshold=threshold, base_color=(0.0, 0.0, 0.0))
+    wall = LoweredMaterial(params=dict(_DEFAULTS), traits=MaterialTraits(), textures={})
+    wall.params.update(base_color=(0.8, 0.8, 0.8))
+    table = build_material_table([screen, wall, lower_material(None)])
+
+    from gatling_tpu.render.lights import build_light_arrays
+    from gatling_tpu.scene.stage import LightDesc
+
+    xf = np.eye(4)
+    xf[3, :3] = [0.0, 0.0, 3.0]  # UsdLux rect default forward is -Z
+    lights = build_light_arrays([LightDesc(
+        path="/l", light_type="rect", transform=xf,
+        params=dict(intensity=6.0, exposure=0.0,
+                    color=np.array([1.0, 1.0, 1.0], np.float32),
+                    normalize=False, diffuse=1.0, specular=1.0,
+                    enableColorTemperature=False, colorTemperature=6500.0,
+                    width=1.0, height=1.0))])
+    return geom, table, lights
+
+
+def _render_nee_mean(geom, table, lights, spp=64):
+    import functools
+    import jax
+
+    from gatling_tpu.render.camera import CameraUniforms
+    from gatling_tpu.render.integrator import Uniforms, render_pixels
+
+    uni = _uniforms()._replace(camera=CameraUniforms(
+        position=jnp.asarray([0.37, 0.11, -1.4]),
+        forward=jnp.asarray([0.0, 0.0, -1.0]),
+        up=jnp.asarray([0.0, 1.0, 0.0]),
+        vfov=jnp.float32(0.2),
+        lens_radius=jnp.float32(0), focus_distance=jnp.float32(0),
+        sensor_exposure=jnp.float32(0),
+        clip_start=jnp.float32(0.01), clip_end=jnp.float32(100.0)))
+    config = RenderConfig(width=8, height=8, spp=spp, max_bounces=1,
+                          nee=True, jittered=False, fis=False, has_cutout=True,
+                          rr_bounce_offset=100)
+    n = config.width * config.height
+    pix = jnp.arange(n, dtype=jnp.int32)
+    import functools as _ft
+    import jax as _jax
+
+    fn = _jax.jit(_ft.partial(render_pixels, config), static_argnames=("spp",))
+    res = fn(uni, geom, table, lights, default_dome(), pix, spp=spp,
+             sample_offset=jnp.int32(0))
+    img = np.asarray(res.color).reshape(config.height, config.width, 3)
+    return img[2:-2, 2:-2].mean()
+
+
+def test_shadow_cutout_transparent_passes():
+    """rp_main.ahit SHADOW_TEST: a fully transparent cutout screen must not
+    block NEE shadow rays."""
+    open_mean = _render_nee_mean(*_shadow_cutout_scene(None))
+    thru_mean = _render_nee_mean(*_shadow_cutout_scene(0.3, threshold=0.5))
+    assert open_mean > 0.02  # the light actually contributes
+    assert abs(thru_mean - open_mean) / open_mean < 0.05
+
+
+def test_shadow_cutout_opaque_blocks():
+    open_mean = _render_nee_mean(*_shadow_cutout_scene(None))
+    blocked = _render_nee_mean(*_shadow_cutout_scene(0.9, threshold=0.5))
+    assert blocked < 0.1 * open_mean
+
+
+def test_shadow_cutout_stochastic_half():
+    open_mean = _render_nee_mean(*_shadow_cutout_scene(None), spp=256)
+    half = _render_nee_mean(*_shadow_cutout_scene(0.5), spp=256)
+    ratio = half / open_mean
+    assert 0.38 < ratio < 0.62, ratio
+
+
+def _backface_emission_scene(double_sided: bool, thin_walled: bool = False,
+                             backface_edf: bool = False):
+    """An emissive quad at z=-3 whose geometric normal points AWAY from the
+    camera (flip=True): the camera always sees its back face."""
+    meshes = [MeshDesc(path="/wall", mesh=_quad(-3.0, flip=True),
+                       transform=np.eye(4), material="wall",
+                       double_sided=double_sided, object_id=0)]
+    midx = {"wall": 0, None: 1}
+    geom = build_geometry(meshes, midx)
+    wall = LoweredMaterial(
+        params=dict(_DEFAULTS),
+        traits=MaterialTraits(is_emissive=True, is_thin_walled=thin_walled,
+                              has_backface_edf=backface_edf),
+        textures={})
+    wall.params.update(emissive=(1.0, 1.0, 1.0), base_color=(0.0, 0.0, 0.0),
+                       thin_walled=int(thin_walled))
+    table = build_material_table([wall, lower_material(None)])
+    return geom, table
+
+
+def test_backface_emission_semantics():
+    """rp_main.chit:304-315 / MDL spec: no emission on the back side of
+    double-sided geometry unless thin-walled with a backface EDF; the back
+    side of SINGLE-sided geometry does emit."""
+    def mean(geom, table):
+        return _render_mean(geom, table, spp=4)
+
+    # double-sided backface, plain material: dark
+    assert mean(*_backface_emission_scene(True)) < 0.05
+    # double-sided backface, thin-walled + backface EDF: emits
+    assert mean(*_backface_emission_scene(True, True, True)) > 0.9
+    # single-sided backface: emits (isFrontFace || !isDoubleSided)
+    assert mean(*_backface_emission_scene(False)) > 0.9
