@@ -134,3 +134,55 @@ def render_frame_sharded_jit(config, uniforms, geom, materials, lights, dome, ao
                              mesh, textures=None):
     return render_frame_sharded(config, uniforms, geom, materials, lights, dome,
                                 aovs, mesh, textures)
+
+
+def render_fused_sharded(
+    config: RenderConfig,
+    uniforms: Uniforms,
+    scene,          # ops.pallas_bounce.FusedScene (replicated)
+    static,         # ops.pallas_bounce.FusedStatic (compile-time)
+    dome: DomeLightData,
+    mesh: Mesh,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-chip FUSED render: the [16, R/128, 128] bounce-kernel state is
+    embarrassingly parallel over the "tiles" axis (PERF.md round-2 #6) —
+    each chip runs the fused megakernel on its row-block of the framebuffer;
+    samples shard over "spp" with a psum mean. Returns (color [N,3],
+    traced-segments [N]) in framebuffer order.
+
+    The scene tables (triangles or HBM clusters, materials, lights, AABBs)
+    are replicated: they are read-only and small relative to HBM, so no
+    collective ever touches them — only the spp reduction crosses ICI.
+    """
+    from gatling_tpu.render.fused import render_pixels_fused
+
+    n_tiles = mesh.shape["tiles"]
+    n_spp_shards = mesh.shape["spp"]
+    n = config.width * config.height
+    if n % (n_tiles * 1024) != 0:
+        raise ValueError(
+            f"pixel count {n} must divide into 1024-ray blocks per tile shard")
+    if config.spp % n_spp_shards != 0:
+        raise ValueError(f"spp {config.spp} not divisible by spp axis {n_spp_shards}")
+    local_spp = config.spp // n_spp_shards
+    pixel_index = jnp.arange(n, dtype=jnp.int32)
+
+    def shard_fn(pixel_idx, uniforms, scene, dome):
+        spp_rank = jax.lax.axis_index("spp")
+        sample_offset = uniforms.sample_offset + spp_rank * local_spp
+        color, segs = render_pixels_fused(
+            config, uniforms, scene, dome, pixel_idx, local_spp,
+            sample_offset, static=static, with_stats=True)
+        if n_spp_shards > 1:
+            color = jax.lax.pmean(color, "spp")
+            segs = jax.lax.pmean(segs, "spp")
+        return color, segs
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("tiles"), P(), P(), P()),
+        out_specs=(P("tiles"), P("tiles")),
+        check_vma=False,
+    )
+    return fn(pixel_index, uniforms, scene, dome)

@@ -62,3 +62,70 @@ def test_spp_sharding_statistics():
     # differs only by the psum tree, so allow loose float tolerance
     np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.02)
     assert np.isfinite(b).all()
+
+
+@requires_8
+def test_fused_sharded_matches_single(monkeypatch):
+    """The fused megakernel sharded over the tiles axis must match the
+    single-device fused render (same RNG streams per pixel; no collectives
+    on the tile axis). Runs the kernel in interpret mode on the CPU mesh."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gatling_tpu.ops.geometry import build_geometry
+    from gatling_tpu.ops.pallas_bounce import build_fused_scene
+    from gatling_tpu.parallel.sharding import render_fused_sharded
+    from gatling_tpu.render.fused import render_pixels_fused
+    from gatling_tpu.render.integrator import RenderConfig, default_dome
+    from gatling_tpu.render.lights import build_light_arrays
+    from gatling_tpu.render.material import build_material_table, lower_material
+    from gatling_tpu.scene.stage import load_scene
+    from gatling_tpu.render.camera import CameraUniforms
+    from gatling_tpu.render.integrator import Uniforms
+
+    desc = load_scene("/root/reference/cornell.usda")
+    mat_paths = sorted({m.material for m in desc.meshes if m.material})
+    midx = {p: i for i, p in enumerate(mat_paths)}
+    midx[None] = len(mat_paths)
+    geom = build_geometry(desc.meshes, midx)
+    rows = [None] * len(midx)
+    for p, i in midx.items():
+        rows[i] = lower_material(desc.materials.get(p) if p else None)
+    table = build_material_table(rows)
+    scene, static = build_fused_scene(geom, table, build_light_arrays([]))
+    cam = desc.first_camera()
+    uniforms = Uniforms(
+        camera=CameraUniforms(
+            jnp.asarray(cam.position), jnp.asarray(cam.forward), jnp.asarray(cam.up),
+            jnp.float32(cam.vfov), jnp.float32(0), jnp.float32(0), jnp.float32(0),
+            jnp.float32(cam.clip_start), jnp.float32(cam.clip_end)),
+        sample_offset=jnp.int32(0), inv_total_sample_count=jnp.float32(1.0),
+        max_sample_value=jnp.float32(10), rr_inv_min_term_prob=jnp.float32(0.95),
+        light_intensity_multiplier=jnp.float32(1), meters_per_scene_unit=jnp.float32(1),
+        max_volume_walk_length=jnp.int32(7),
+        dome_rotation=jnp.asarray([0, 0, 0, 1.0], jnp.float32),
+        dome_emission_multiplier=jnp.ones(3, jnp.float32),
+        dome_diffuse_specular=jnp.ones(2, jnp.float32))
+
+    # 4 tiles x 1024 rays: 64x64 framebuffer, 1 block per tile shard
+    config = RenderConfig(width=64, height=64, spp=2, max_bounces=2,
+                          has_dome=False, rr_bounce_offset=100)
+    n = 64 * 64
+    pix = jnp.arange(n, dtype=jnp.int32)
+    mesh = make_mesh(n_tiles=4, n_spp=2)
+
+    with pltpu.force_tpu_interpret_mode():
+        single, single_segs = render_pixels_fused(
+            config, uniforms, scene, default_dome(), pix, 2, jnp.int32(0),
+            static=static, with_stats=True)
+        sharded, segs = render_fused_sharded(
+            config, uniforms, scene, static, default_dome(), mesh)
+
+    a = np.asarray(single)
+    b = np.asarray(sharded)
+    # 2 global spp over 2 spp shards: each shard renders a disjoint
+    # single-sample window, merged by pmean over ICI
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    assert np.asarray(segs).min() >= 1.0
+    np.testing.assert_allclose(np.asarray(segs), np.asarray(single_segs),
+                               rtol=1e-6, atol=1e-6)
