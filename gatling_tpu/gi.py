@@ -42,6 +42,7 @@ from gatling_tpu.render.material import build_materials, lower_material
 from gatling_tpu.render.texture import TextureManager, empty_pool
 from gatling_tpu.scene.stage import CameraDesc, LightDesc, MaterialDesc, MeshDesc
 from gatling_tpu.utils.config import default_settings
+from gatling_tpu.utils.handles import LinearDataStore
 from gatling_tpu.utils.log import get_logger, init_logging
 from gatling_tpu import imgio
 
@@ -86,10 +87,18 @@ class GiDomeLight:
 
 
 class GiScene:
-    """Mutable scene container (reference: struct GiScene, Gi.cpp:211-232)."""
+    """Mutable scene container (reference: struct GiScene, Gi.cpp:211-232).
+
+    Mesh registration goes through a versioned LinearDataStore (the gb
+    HandleStore pattern, HandleStore.h:28-42): handles detect stale mesh
+    references after removal, and the slot index provides a STABLE
+    object_id — removing a mesh does not renumber the survivors' ObjectId
+    AOV values the way list order would."""
 
     def __init__(self) -> None:
         self.meshes: list[MeshDesc] = []
+        self._mesh_store = LinearDataStore()
+        self._mesh_handles: dict[int, int] = {}  # id(mesh) -> handle
         self.materials: dict[str, MaterialDesc] = {}
         self.lights: list[LightDesc] = []
         self.dome_light: GiDomeLight | None = None
@@ -115,11 +124,19 @@ class GiScene:
     # --- mutation API (sets dirty flags like giSetMesh* / giSet*Light) ---
 
     def add_mesh(self, mesh: MeshDesc) -> MeshDesc:
+        handle = self._mesh_store.allocate(mesh)
+        self._mesh_handles[id(mesh)] = handle
+        # stable object id from the handle's slot index (survives removals)
+        mesh.object_id = handle & 0xFFFFFFFF
         self.meshes.append(mesh)
         self.dirty |= DirtyFlags.GEOMETRY | DirtyFlags.FRAMEBUFFER
         return mesh
 
     def remove_mesh(self, mesh: MeshDesc) -> None:
+        handle = self._mesh_handles.pop(id(mesh), None)
+        if handle is None or not self._mesh_store.is_valid(handle):
+            raise KeyError("mesh is not registered with this scene (stale handle)")
+        self._mesh_store.free(handle)
         self.meshes.remove(mesh)
         self.dirty |= DirtyFlags.GEOMETRY | DirtyFlags.FRAMEBUFFER
 

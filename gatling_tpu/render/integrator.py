@@ -174,6 +174,10 @@ class Uniforms(NamedTuple):
     max_volume_walk_length: jnp.ndarray  # [] i32
     dome_rotation: jnp.ndarray  # [4] quat (x,y,z,w)
     dome_emission_multiplier: jnp.ndarray  # [3]
+    # plumbed for parity but INTENTIONALLY unread: the reference packs
+    # domeLightDiffuseSpecularPacked into its UBO (Gi.cpp:2386,2396) and no
+    # shader ever reads it (verified: the only unpackHalf2x16 call sites are
+    # clipRange and the per-analytic-light diffuseSpecular, rp_main.chit:431)
     dome_diffuse_specular: jnp.ndarray  # [2]
 
 

@@ -61,7 +61,8 @@ class MaterialDesc:
     base_dir: str = ""  # for resolving relative texture asset paths
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)  # identity equality: scene objects hold
+# numpy fields whose __eq__ is elementwise (list.remove would raise)
 class MeshDesc:
     path: str
     mesh: meshproc.TriangulatedMesh
@@ -72,7 +73,7 @@ class MeshDesc:
     instance_transforms: np.ndarray | None = None  # [N,4,4] or None
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class LightDesc:
     path: str
     light_type: str  # sphere / distant / rect / disk / dome

@@ -59,6 +59,9 @@ class LinearDataStore:
             raise KeyError(f"invalid handle {handle:#x}")
         return self._objects[handle & 0xFFFFFFFF]
 
+    def is_valid(self, handle: int) -> bool:
+        return self._handles.is_valid(handle)
+
     def free(self, handle: int) -> None:
         self._handles.free(handle)
         del self._objects[handle & 0xFFFFFFFF]

@@ -52,3 +52,34 @@ def test_settings_defaults_match_reference():
     assert s["depthOfField"] is False
     assert s["maxVolumeWalkLength"] == 7
     assert descriptor("progressiveAccumulation").debug_only
+
+
+def test_gi_scene_mesh_handles():
+    """GiScene mesh registration rides the gb HandleStore: stable object ids
+    across removals, stale-handle detection on double-remove."""
+    import numpy as np
+    import pytest
+
+    from gatling_tpu.gi import create_scene
+    from gatling_tpu.scene.meshproc import build_triangulated_mesh
+    from gatling_tpu.scene.stage import MeshDesc
+
+    pts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    tri = build_triangulated_mesh(pts, np.array([3]), np.array([0, 1, 2]))
+
+    def mk():
+        return MeshDesc(path="/m", mesh=tri, transform=np.eye(4),
+                        material=None, double_sided=False, object_id=-1)
+
+    scene = create_scene()
+    a, b, c = scene.add_mesh(mk()), scene.add_mesh(mk()), scene.add_mesh(mk())
+    assert (a.object_id, b.object_id, c.object_id) == (0, 1, 2)
+
+    scene.remove_mesh(b)
+    # survivors keep their ids; the freed slot is reused by the next mesh
+    assert (a.object_id, c.object_id) == (0, 2)
+    d = scene.add_mesh(mk())
+    assert d.object_id == 1
+
+    with pytest.raises(KeyError):
+        scene.remove_mesh(b)  # stale handle
