@@ -25,7 +25,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from gatling_tpu.interface import AOV_CHANNELS, AOV_IS_INT, AovId, aov_bit
-from gatling_tpu.ops.geometry import SceneGeometry, build_geometry
+from gatling_tpu.ops.geometry import (
+    GeomCache,
+    SceneGeometry,
+    build_geometry_cached,
+    update_instance_transforms,
+)
 from gatling_tpu.render.camera import CameraUniforms
 from gatling_tpu.render.integrator import (
     Accel,
@@ -56,7 +61,11 @@ class DirtyFlags(enum.IntFlag):
     MATERIALS = 1 << 2  # ShadersHit analog
     PIPELINE = 1 << 3
     LIGHTS = 1 << 4
-    ALL = (1 << 5) - 1
+    # transform-only edit: the reference rebuilds just the TLAS instance
+    # array (Gi.cpp:1188-1202); here the instance's soup slice is
+    # re-transformed in place and acceleration data is refit
+    TRANSFORMS = 1 << 5
+    ALL = (1 << 6) - 1
 
 
 class GiRenderBuffer:
@@ -106,6 +115,10 @@ class GiScene:
         self.dirty = DirtyFlags.ALL
         # cached device state
         self._geom: SceneGeometry | None = None
+        self._geom_base: SceneGeometry | None = None  # pre-accel-reorder
+        self._geom_cache: GeomCache | None = None
+        self._fused_order = None  # Morton order of the fused clustered scene
+        self._pending_transforms: list[MeshDesc] = []
         self._accel: Accel | None = None
         self._tracer: str = "brute"
         self._material_table = None
@@ -142,7 +155,12 @@ class GiScene:
 
     def set_mesh_transform(self, mesh: MeshDesc, transform: np.ndarray) -> None:
         mesh.transform = np.asarray(transform, np.float64)
-        self.dirty |= DirtyFlags.GEOMETRY | DirtyFlags.FRAMEBUFFER
+        if self._geom_cache is not None and not (self.dirty & DirtyFlags.GEOMETRY):
+            # incremental: only this mesh's soup slices are re-transformed
+            self._pending_transforms.append(mesh)
+            self.dirty |= DirtyFlags.TRANSFORMS | DirtyFlags.FRAMEBUFFER
+        else:
+            self.dirty |= DirtyFlags.GEOMETRY | DirtyFlags.FRAMEBUFFER
 
     def set_mesh_material(self, mesh: MeshDesc, material_path: str) -> None:
         mesh.material = material_path
@@ -333,13 +351,44 @@ def render(params: GiRenderParams) -> None:
         mat_paths = sorted({m.material for m in scene.meshes if m.material} )
         scene._material_index = {p: i for i, p in enumerate(mat_paths)}
         scene._material_index[None] = len(mat_paths)
-        scene._geom = build_geometry(scene.meshes, scene._material_index)
-        scene._tracer, scene._accel, scene._geom = _build_accel(scene._geom)
+        scene._geom_base, scene._geom_cache = build_geometry_cached(
+            scene.meshes, scene._material_index)
+        scene._tracer, scene._accel, scene._geom = _build_accel(scene._geom_base)
         scene._fused_scene = None
+        scene._fused_order = None
+        scene._pending_transforms.clear()
         scene.dirty |= DirtyFlags.MATERIALS
+        scene.dirty &= ~DirtyFlags.TRANSFORMS
         log.info("built geometry: %d triangles, tracer=%s, in %.1f ms",
                  scene._geom.num_triangles, scene._tracer,
                  1e3 * (time.monotonic() - t0))
+    elif scene.dirty & DirtyFlags.TRANSFORMS and scene._pending_transforms:
+        # transform-only refresh: re-transform the touched instances' soup
+        # slices; refit acceleration data without re-sorting triangles
+        t0 = time.monotonic()
+        pending = scene._pending_transforms
+        scene._geom_base = update_instance_transforms(
+            scene._geom_cache, pending, scene._material_index)
+        if scene._tracer == "bvh":
+            # the threaded BVH's topology is positional: it cannot be refit
+            # in place, so the BVH (and only the BVH) is rebuilt
+            scene._tracer, scene._accel, scene._geom = _build_accel(scene._geom_base)
+        elif scene._tracer == "pallas":
+            scene._accel = Accel(tables=build_trace_tables(scene._geom_base))
+            scene._geom = scene._geom_base
+        else:
+            scene._geom = scene._geom_base
+        if scene._fused_scene is not None:
+            from gatling_tpu.ops.pallas_bounce import build_fused_scene_with_order
+
+            fs, fstatic, order = build_fused_scene_with_order(
+                scene._geom_base, scene._material_table, scene._light_arrays,
+                reuse_order=scene._fused_order)
+            scene._fused_scene = (fs, fstatic)
+            scene._fused_order = order
+        scene._pending_transforms = []
+        log.info("refreshed %d instance transform(s) in %.1f ms (no geometry rebuild)",
+                 len(pending), 1e3 * (time.monotonic() - t0))
 
     if scene.dirty & DirtyFlags.MATERIALS or scene._material_table is None:
         rows = [None] * (len(scene._material_index))
@@ -414,13 +463,16 @@ def render(params: GiRenderParams) -> None:
         use_fused = (_jax.default_backend() == "tpu"
                      and supports_fused(config, has_textures))
     if use_fused:
-        from gatling_tpu.ops.pallas_bounce import build_fused_scene
+        from gatling_tpu.ops.pallas_bounce import build_fused_scene_with_order
         from gatling_tpu.render.fused import render_pixels_fused
         from gatling_tpu.render.integrator import SampleResult, FirstHitInfo, blend_aovs
 
         if getattr(scene, "_fused_scene", None) is None:
-            scene._fused_scene = build_fused_scene(
-                scene._geom, scene._material_table, scene._light_arrays)
+            fs, fstatic, order = build_fused_scene_with_order(
+                scene._geom_base if scene._geom_base is not None else scene._geom,
+                scene._material_table, scene._light_arrays)
+            scene._fused_scene = (fs, fstatic)
+            scene._fused_order = order
         fs, fstatic = scene._fused_scene
         pix = jnp.arange(n, dtype=jnp.int32)
         color = render_pixels_fused(

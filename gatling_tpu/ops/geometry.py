@@ -91,74 +91,80 @@ def _pad(arr: np.ndarray, t_pad: int) -> np.ndarray:
     return np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)], axis=0)
 
 
-def build_geometry(mesh_descs, material_index: dict[str | None, int]) -> SceneGeometry:
-    """Flatten MeshDescs (scene.stage) into one world-space SceneGeometry.
+class GeomCache:
+    """Host-side soup mirror for incremental updates: the padded numpy
+    component arrays plus per-instance slice ranges. The reference's analog
+    is the BLAS/TLAS split — transform edits re-build only the instance
+    array (Gi.cpp:1188-1202); here they re-transform only the instance's
+    world-space slice of the soup."""
 
-    `material_index` maps material prim path (or None) -> material table row,
-    the wavefront analog of the reference's SBT hitGroupIndex = matIdx * 2
-    (Gi.cpp:1195).
-    """
-    chunks: dict[str, list[np.ndarray]] = {k: [] for k in (
-        "p0", "p1", "p2", "n0", "n1", "n2", "t0", "t1", "t2",
-        "bs", "uv0", "uv1", "uv2", "mat", "obj", "face", "inst", "flags")}
+    def __init__(self, arrays: dict[str, np.ndarray],
+                 instances: list[tuple[object, int, int, int]]) -> None:
+        self.arrays = arrays  # padded world-space components, np
+        # (mesh_desc, instance index within the desc, start, count)
+        self.instances = instances
 
-    instance_counter = 0
-    for mesh_desc in mesh_descs:
-        tm = mesh_desc.mesh
-        transforms = mesh_desc.instance_transforms
-        if transforms is None:
-            transforms = mesh_desc.transform[None]
-        for xform in transforms:
-            m = np.asarray(xform, np.float64)
-            lin = m[:3, :3]
-            # normals transform by inverse-transpose of the linear part
-            try:
-                nrm_m = np.linalg.inv(lin).T
-            except np.linalg.LinAlgError:
-                nrm_m = lin
-            det = np.linalg.det(lin)
+    def instances_of(self, mesh_desc) -> list[tuple[int, int, int]]:
+        return [(i, s, c) for (m, i, s, c) in self.instances if m is mesh_desc]
 
-            pos = tm.positions @ lin + m[3, :3]
-            p = pos.reshape(-1, 3, 3)
-            # row-vector normal transform: n' = n @ inv(lin)^T
-            nrm = tm.normals @ nrm_m
-            nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
-            tan = tm.tangents @ lin
-            tan /= np.maximum(np.linalg.norm(tan, axis=1, keepdims=True), 1e-20)
-            n = nrm.reshape(-1, 3, 3)
-            t = tan.reshape(-1, 3, 3)
-            uv = tm.uvs.reshape(-1, 3, 2)
-            bs = tm.bitangent_signs.reshape(-1, 3)
 
-            n_tris = tm.num_triangles
-            chunks["p0"].append(p[:, 0]); chunks["p1"].append(p[:, 1]); chunks["p2"].append(p[:, 2])
-            chunks["n0"].append(n[:, 0]); chunks["n1"].append(n[:, 1]); chunks["n2"].append(n[:, 2])
-            chunks["t0"].append(t[:, 0]); chunks["t1"].append(t[:, 1]); chunks["t2"].append(t[:, 2])
-            chunks["bs"].append(bs)
-            chunks["uv0"].append(uv[:, 0]); chunks["uv1"].append(uv[:, 1]); chunks["uv2"].append(uv[:, 2])
-            chunks["mat"].append(np.full(n_tris, material_index.get(mesh_desc.material, 0), np.int32))
-            chunks["obj"].append(np.full(n_tris, mesh_desc.object_id, np.int32))
-            chunks["face"].append(tm.face_ids.astype(np.int32))
-            chunks["inst"].append(np.full(n_tris, instance_counter, np.int32))
-            flags = (MESH_FLAG_DOUBLE_SIDED if mesh_desc.double_sided else 0)
-            # negative determinant flips facing (reference: isLeftHanded flag,
-            # Gi.cpp BLAS_PAYLOAD_BITFLAG_FLIP_FACING)
-            if det < 0:
-                flags |= MESH_FLAG_FLIP_FACING
-            chunks["flags"].append(np.full(n_tris, flags, np.int32))
-            instance_counter += 1
+def _instance_rows(tm, xform, mesh_desc, material_row: int, object_id: int,
+                   instance_id: int) -> dict[str, np.ndarray]:
+    """World-space component rows for one mesh instance."""
+    m = np.asarray(xform, np.float64)
+    lin = m[:3, :3]
+    # normals transform by inverse-transpose of the linear part
+    try:
+        nrm_m = np.linalg.inv(lin).T
+    except np.linalg.LinAlgError:
+        nrm_m = lin
+    det = np.linalg.det(lin)
 
-    cat = {k: np.concatenate(v, axis=0) if v else np.zeros((0, 3) if k in ("p0", "p1", "p2", "n0", "n1", "n2", "t0", "t1", "t2", "bs") else ((0, 2) if k.startswith("uv") else (0,)), np.float32) for k, v in chunks.items()}
-    t_count = len(cat["p0"])
-    t_pad = max(PAD_MULTIPLE, -(-t_count // PAD_MULTIPLE) * PAD_MULTIPLE)
+    pos = tm.positions @ lin + m[3, :3]
+    p = pos.reshape(-1, 3, 3)
+    # row-vector normal transform: n' = n @ inv(lin)^T
+    nrm = tm.normals @ nrm_m
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
+    tan = tm.tangents @ lin
+    tan /= np.maximum(np.linalg.norm(tan, axis=1, keepdims=True), 1e-20)
+    n = nrm.reshape(-1, 3, 3)
+    t = tan.reshape(-1, 3, 3)
+    uv = tm.uvs.reshape(-1, 3, 2)
+    bs = tm.bitangent_signs.reshape(-1, 3)
+    n_tris = tm.num_triangles
 
-    f32 = lambda k: jnp.asarray(_pad(cat[k].astype(np.float32), t_pad))  # noqa: E731
-    i32 = lambda k: jnp.asarray(_pad(cat[k].astype(np.int32), t_pad))  # noqa: E731
+    flags = (MESH_FLAG_DOUBLE_SIDED if mesh_desc.double_sided else 0)
+    # negative determinant flips facing (reference: isLeftHanded flag,
+    # Gi.cpp BLAS_PAYLOAD_BITFLAG_FLIP_FACING)
+    if det < 0:
+        flags |= MESH_FLAG_FLIP_FACING
 
+    return {
+        "p0": p[:, 0], "p1": p[:, 1], "p2": p[:, 2],
+        "n0": n[:, 0], "n1": n[:, 1], "n2": n[:, 2],
+        "t0": t[:, 0], "t1": t[:, 1], "t2": t[:, 2],
+        "bs": bs,
+        "uv0": uv[:, 0], "uv1": uv[:, 1], "uv2": uv[:, 2],
+        "mat": np.full(n_tris, material_row, np.int32),
+        "obj": np.full(n_tris, object_id, np.int32),
+        "face": tm.face_ids.astype(np.int32),
+        "inst": np.full(n_tris, instance_id, np.int32),
+        "flags": np.full(n_tris, flags, np.int32),
+    }
+
+
+_CHUNK_KEYS = ("p0", "p1", "p2", "n0", "n1", "n2", "t0", "t1", "t2",
+               "bs", "uv0", "uv1", "uv2", "mat", "obj", "face", "inst", "flags")
+
+
+def _geom_from_arrays(cat: dict[str, np.ndarray]) -> SceneGeometry:
+    f32 = lambda k: jnp.asarray(cat[k].astype(np.float32, copy=False))  # noqa: E731
+    i32 = lambda k: jnp.asarray(cat[k].astype(np.int32, copy=False))  # noqa: E731
+    t_pad = len(cat["p0"])
     geom = SceneGeometry(
         v0=f32("p0"),
-        e1=jnp.asarray(_pad((cat["p1"] - cat["p0"]).astype(np.float32), t_pad)),
-        e2=jnp.asarray(_pad((cat["p2"] - cat["p0"]).astype(np.float32), t_pad)),
+        e1=jnp.asarray((cat["p1"] - cat["p0"]).astype(np.float32)),
+        e2=jnp.asarray((cat["p2"] - cat["p0"]).astype(np.float32)),
         n0=f32("n0"), n1=f32("n1"), n2=f32("n2"),
         t0=f32("t0"), t1=f32("t1"), t2=f32("t2"),
         bsign=f32("bs"),
@@ -169,3 +175,74 @@ def build_geometry(mesh_descs, material_index: dict[str | None, int]) -> SceneGe
         packed_i=jnp.zeros((t_pad, 5), jnp.int32),
     )
     return pack_geometry(geom)
+
+
+def build_geometry_cached(
+    mesh_descs, material_index: dict[str | None, int],
+) -> tuple[SceneGeometry, GeomCache]:
+    """build_geometry + the host-side cache for incremental transform
+    updates (update_instance_transforms)."""
+    chunks: dict[str, list[np.ndarray]] = {k: [] for k in _CHUNK_KEYS}
+    instances: list[tuple[object, int, int, int]] = []
+
+    instance_counter = 0
+    cursor = 0
+    for mesh_desc in mesh_descs:
+        tm = mesh_desc.mesh
+        transforms = mesh_desc.instance_transforms
+        if transforms is None:
+            transforms = mesh_desc.transform[None]
+        for local_i, xform in enumerate(transforms):
+            rows = _instance_rows(
+                tm, xform, mesh_desc,
+                material_index.get(mesh_desc.material, 0),
+                mesh_desc.object_id, instance_counter)
+            for k in _CHUNK_KEYS:
+                chunks[k].append(rows[k])
+            instances.append((mesh_desc, local_i, cursor, tm.num_triangles))
+            cursor += tm.num_triangles
+            instance_counter += 1
+
+    cat = {k: np.concatenate(v, axis=0) if v else np.zeros(
+        (0, 3) if k in ("p0", "p1", "p2", "n0", "n1", "n2", "t0", "t1", "t2", "bs")
+        else ((0, 2) if k.startswith("uv") else (0,)), np.float32)
+        for k, v in chunks.items()}
+    t_count = len(cat["p0"])
+    t_pad = max(PAD_MULTIPLE, -(-t_count // PAD_MULTIPLE) * PAD_MULTIPLE)
+    cat = {k: _pad(np.ascontiguousarray(v), t_pad) for k, v in cat.items()}
+    cache = GeomCache(cat, instances)
+    return _geom_from_arrays(cat), cache
+
+
+def build_geometry(mesh_descs, material_index: dict[str | None, int]) -> SceneGeometry:
+    """Flatten MeshDescs (scene.stage) into one world-space SceneGeometry.
+
+    `material_index` maps material prim path (or None) -> material table row,
+    the wavefront analog of the reference's SBT hitGroupIndex = matIdx * 2
+    (Gi.cpp:1195).
+    """
+    geom, _cache = build_geometry_cached(mesh_descs, material_index)
+    return geom
+
+
+def update_instance_transforms(
+    cache: GeomCache, mesh_descs, material_index: dict[str | None, int],
+) -> SceneGeometry:
+    """Re-transform ONLY the given meshes' slices of the cached soup and
+    rebuild the device arrays — no topology work, no triangle reordering:
+    the analog of the reference's instance-array-only TLAS rebuild
+    (Gi.cpp:1188-1202). Returns the refreshed SceneGeometry."""
+    changed = set(id(m) for m in mesh_descs)
+    for (mesh_desc, local_i, start, count) in cache.instances:
+        if id(mesh_desc) not in changed:
+            continue
+        transforms = mesh_desc.instance_transforms
+        xform = mesh_desc.transform if transforms is None else transforms[local_i]
+        rows = _instance_rows(
+            mesh_desc.mesh, xform, mesh_desc,
+            material_index.get(mesh_desc.material, 0),
+            mesh_desc.object_id,
+            int(cache.arrays["inst"][start]))
+        for k in _CHUNK_KEYS:
+            cache.arrays[k][start:start + count] = rows[k]
+    return _geom_from_arrays(cache.arrays)

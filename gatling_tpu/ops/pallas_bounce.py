@@ -291,6 +291,22 @@ def build_fused_scene(
     """Build kernel scene tables. Scenes up to resident_max real triangles
     keep the whole table in SMEM; larger scenes get Morton-ordered 128-tri
     clusters in HBM with two-level SMEM AABBs."""
+    scene, static, _order = build_fused_scene_with_order(
+        geom, table, light_arrays, resident_max)
+    return scene, static
+
+
+def build_fused_scene_with_order(
+    geom: SceneGeometry,
+    table: MaterialTable,
+    light_arrays: LightArrays | None = None,
+    resident_max: int = 4096,
+    reuse_order: "np.ndarray | None" = None,
+) -> tuple[FusedScene, FusedStatic, "np.ndarray | None"]:
+    """build_fused_scene variant exposing the Morton triangle order so
+    transform edits can REFIT (recompute rows + cluster AABBs under the
+    same order — stable static shapes, no kernel recompile, the TLAS-refit
+    quality/speed tradeoff of Gi.cpp:1188-1202) instead of rebuilding."""
     # drop lane-padding triangles: the serial loop needs no 128-alignment
     e1_all = np.asarray(geom.e1)
     e2_all = np.asarray(geom.e2)
@@ -315,10 +331,10 @@ def build_fused_scene(
             l1_aabbs=jnp.zeros((8, 1), jnp.float32),
             l2_aabbs=jnp.zeros((8, 1), jnp.float32),
         )
-        return scene, static
+        return scene, static, None
 
     # ---- clustered mode ----
-    order = _morton_order(geom, n_real)
+    order = reuse_order if reuse_order is not None else _morton_order(geom, n_real)
     geom = SceneGeometry(*[np.asarray(arr)[order] for arr in geom])
     rows = _tri_rows(geom)  # [T, TRI_ROWS]
 
@@ -330,27 +346,23 @@ def build_fused_scene(
     rows_p[:n_real] = rows
     tris = rows_p.reshape(c_pad, CLUSTER_SIZE, TRI_ROWS).transpose(0, 2, 1).copy()
 
-    # cluster AABBs over the real triangles only
+    # cluster AABBs (vectorized; padding triangles carry empty boxes)
     v0 = np.asarray(geom.v0, np.float64)
     v1 = v0 + np.asarray(geom.e1, np.float64)
     v2 = v0 + np.asarray(geom.e2, np.float64)
-    tmin = np.minimum(np.minimum(v0, v1), v2)
-    tmax = np.maximum(np.maximum(v0, v1), v2)
+    tmin_p = np.full((t_pad, 3), FLOAT_MAX, np.float64)
+    tmax_p = np.full((t_pad, 3), -FLOAT_MAX, np.float64)
+    tmin_p[:n_real] = np.minimum(np.minimum(v0, v1), v2)
+    tmax_p[:n_real] = np.maximum(np.maximum(v0, v1), v2)
 
+    l2min = tmin_p.reshape(c_pad, CLUSTER_SIZE, 3).min(axis=1)  # [c_pad, 3]
+    l2max = tmax_p.reshape(c_pad, CLUSTER_SIZE, 3).max(axis=1)
     l2 = np.zeros((8, c_pad), np.float32)
-    l2[0:3, :] = FLOAT_MAX
-    l2[3:6, :] = -FLOAT_MAX
-    for c in range(n_clusters):
-        a, b = c * CLUSTER_SIZE, min((c + 1) * CLUSTER_SIZE, n_real)
-        l2[0:3, c] = tmin[a:b].min(axis=0)
-        l2[3:6, c] = tmax[a:b].max(axis=0)
+    l2[0:3] = l2min.T
+    l2[3:6] = l2max.T
     l1 = np.zeros((8, n_l1), np.float32)
-    l1[0:3, :] = FLOAT_MAX
-    l1[3:6, :] = -FLOAT_MAX
-    for g in range(n_l1):
-        a, b = g * L1_FAN, min((g + 1) * L1_FAN, n_clusters)
-        l1[0:3, g] = l2[0:3, a:b].min(axis=1)
-        l1[3:6, g] = l2[3:6, a:b].max(axis=1)
+    l1[0:3] = l2min.reshape(n_l1, L1_FAN, 3).min(axis=1).T
+    l1[3:6] = l2max.reshape(n_l1, L1_FAN, 3).max(axis=1).T
 
     static = FusedStatic(n_tris=n_real, n_mats=int(table.packed_f.shape[0]),
                          n_clusters=n_clusters, n_l1=n_l1, light_types=light_types)
@@ -361,7 +373,7 @@ def build_fused_scene(
         l1_aabbs=jnp.asarray(l1),
         l2_aabbs=jnp.asarray(l2),
     )
-    return scene, static
+    return scene, static, order
 
 
 # ---------------------------------------------------------------------------

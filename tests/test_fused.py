@@ -232,3 +232,57 @@ def test_fused_stats_counts_segments():
     assert (segs >= 1.0).all()
     assert segs.mean() > 1.5
     assert segs.max() <= 2.0 * cfg.max_bounces
+
+
+def test_fused_clustered_refit_matches_rebuild():
+    """Transform edits refit the clustered tables under the CACHED Morton
+    order (stable static shapes, no recompile); the result must match a
+    from-scratch build with a fresh order."""
+    from gatling_tpu.ops.pallas_bounce import (
+        bounce_step, build_fused_scene_with_order, make_params, pack_state,
+    )
+    from gatling_tpu.scene.examples import _uv_sphere
+    from gatling_tpu.scene.meshproc import build_triangulated_mesh
+    from gatling_tpu.scene.stage import MeshDesc
+
+    pts, counts, idx = _uv_sphere(8, 8)
+    sphere = build_triangulated_mesh(pts, counts, idx)
+
+    def meshes(mid_x):
+        out = []
+        for i, cx in enumerate((-3.0, mid_x, 3.0)):
+            xf = np.eye(4)
+            xf[3, :3] = [cx, 0.0, 0.0]
+            out.append(MeshDesc(path=f"/s{i}", mesh=sphere, transform=xf,
+                                material=None, double_sided=False, object_id=i))
+        return out
+
+    table = build_material_table([lower_material(None)])
+    geom0 = build_geometry(meshes(0.0), {None: 0})
+    _sc0, static0, order = build_fused_scene_with_order(
+        geom0, table, None, resident_max=0)
+    assert static0.n_clusters >= 3 and order is not None
+
+    # "move" the middle sphere: rebuild geometry and REFIT with the old order
+    geom1 = build_geometry(meshes(0.9), {None: 0})
+    refit, static_r, _ = build_fused_scene_with_order(
+        geom1, table, None, resident_max=0, reuse_order=order)
+    fresh, static_f, _ = build_fused_scene_with_order(
+        geom1, table, None, resident_max=0)
+    assert static_r == static_f  # same static shapes -> no recompile
+
+    _g, _t, uni = _cornell()
+    n = 64
+    gy, gz = np.meshgrid(np.linspace(-1, 1, 8), np.linspace(-1, 1, 8))
+    origins = np.stack([np.full(n, -8.0), 3.0 * gy.ravel(), gz.ravel()], axis=1)
+    dirs = np.tile(np.array([[1.0, 0.0, 0.0]]), (n, 1))
+    state = pack_state(jnp.asarray(origins, jnp.float32),
+                       jnp.asarray(dirs, jnp.float32),
+                       jnp.arange(n, dtype=jnp.uint32), 1024)
+    cfg = RenderConfig(width=8, height=8, spp=1, max_bounces=2,
+                       has_dome=False, rr_bounce_offset=100)
+    params = make_params(cfg, uni, jnp.int32(0))
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(bounce_step(params, refit, state, static=static_r, nee=False))
+        b = np.asarray(bounce_step(params, fresh, state, static=static_f, nee=False))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

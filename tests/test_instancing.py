@@ -129,3 +129,73 @@ def Xform "A"
 """)
     scene = build_scene(stage)
     assert len(scene.meshes) == 0
+
+
+def test_transform_edit_skips_geometry_rebuild(monkeypatch):
+    """set_mesh_transform after a render must take the incremental path
+    (reference: TLAS-instance-only rebuild, Gi.cpp:1188-1202): no
+    build_geometry_cached call, same image as a from-scratch scene."""
+    import numpy as np
+
+    import gatling_tpu.gi as gi
+    from gatling_tpu.interface import AovId
+    from gatling_tpu.scene.meshproc import build_triangulated_mesh
+    from gatling_tpu.scene.stage import CameraDesc, MeshDesc
+
+    def quad(size=1.0):
+        pts = np.array([[-size, -size, 0], [size, -size, 0],
+                        [-size, size, 0], [size, size, 0]], np.float32)
+        return build_triangulated_mesh(pts, np.array([4]), np.array([0, 1, 3, 2]))
+
+    def mk_scene(b_offset):
+        scene = gi.create_scene()
+        scene.add_mesh(MeshDesc(path="/glow", mesh=quad(3.0), transform=np.eye(4),
+                                material="glow", double_sided=True, object_id=-1))
+        xfb = np.eye(4)
+        xfb[3, :3] = b_offset
+        scene.add_mesh(MeshDesc(path="/b", mesh=quad(0.4), transform=xfb,
+                                material=None, double_sided=True, object_id=-1))
+        from gatling_tpu.scene.stage import MaterialDesc, ShaderNode
+
+        node = ShaderNode(path="/glow/s", shader_id="UsdPreviewSurface",
+                          inputs=dict(emissiveColor=(1.0, 1.0, 1.0),
+                                      diffuseColor=(0, 0, 0)), input_connections={})
+        scene.add_material(MaterialDesc(path="glow", surface_node=node.path,
+                                        nodes={node.path: node}))
+        return scene
+
+    def render(scene):
+        buf = gi.giCreateRenderBuffer(24, 24)
+        params = gi.GiRenderParams(
+            scene=scene,
+            camera=CameraDesc(position=np.array([0.0, 0, 3.0]),
+                              forward=np.array([0.0, 0, -1.0]),
+                              up=np.array([0.0, 1, 0.0]), vfov=0.9),
+            aov_bindings=[gi.GiAovBinding(aov_id=AovId.COLOR, render_buffer=buf)],
+            render_settings={**gi.default_settings(), "spp": 4, "maxBounces": 2})
+        gi.render(params)
+        return buf.data.copy()
+
+    scene = mk_scene([0.0, 0.0, 1.0])
+    img_before = render(scene)
+
+    calls = {"n": 0}
+    real_build = gi.build_geometry_cached
+
+    def counting_build(*a, **k):
+        calls["n"] += 1
+        return real_build(*a, **k)
+
+    monkeypatch.setattr(gi, "build_geometry_cached", counting_build)
+
+    mesh_b = scene.meshes[1]
+    xf = np.eye(4)
+    xf[3, :3] = [0.8, 0.8, 1.0]
+    scene.set_mesh_transform(mesh_b, xf)
+    img_moved = render(scene)
+    assert calls["n"] == 0, "transform edit must not rebuild the geometry"
+
+    fresh = mk_scene([0.8, 0.8, 1.0])
+    img_fresh = render(fresh)
+    np.testing.assert_allclose(img_moved, img_fresh, rtol=1e-5, atol=1e-6)
+    assert not np.allclose(img_moved, img_before)  # the move is visible
