@@ -54,7 +54,15 @@ def make_mesh(n_tiles: int | None = None, n_spp: int = 1, devices=None) -> Mesh:
 
 
 def _merge_spp_axis(res: SampleResult, spp_size: int) -> SampleResult:
-    """Combine per-spp-shard results over the "spp" mesh axis."""
+    """Combine per-spp-shard results over the "spp" mesh axis.
+
+    Accumulating channels (color, normal, albedo, ...) pmean; depth pmin.
+    The id/flag channels are only well-defined when every spp shard sees the
+    SAME first hit — true for unjittered pixel centers, and true in
+    expectation under jitter (ids of the dominant surface win the AOV).
+    pmin on ids keeps the merge deterministic rather than semantically
+    meaningful across shards; the single-chip path is authoritative for
+    id AOVs (the reference never shards them at all — SURVEY §2.10)."""
     if spp_size == 1:
         return res
     color = jax.lax.pmean(res.color, "spp")
@@ -68,9 +76,9 @@ def _merge_spp_axis(res: SampleResult, spp_size: int) -> SampleResult:
         tangents=jax.lax.pmean(f.tangents, "spp"),
         bitangents=jax.lax.pmean(f.bitangents, "spp"),
         depth=jax.lax.pmin(f.depth, "spp"),
-        object_id=jax.lax.pmax(f.object_id, "spp"),
-        face_id=jax.lax.pmax(f.face_id, "spp"),
-        instance_id=jax.lax.pmax(f.instance_id, "spp"),
+        object_id=jax.lax.pmin(f.object_id, "spp"),
+        face_id=jax.lax.pmin(f.face_id, "spp"),
+        instance_id=jax.lax.pmin(f.instance_id, "spp"),
         thin_walled=jax.lax.pmean(f.thin_walled, "spp"),
         double_sided=jax.lax.pmean(f.double_sided, "spp"),
         opacity=jax.lax.pmean(f.opacity, "spp"),

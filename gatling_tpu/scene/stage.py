@@ -450,7 +450,12 @@ def build_scene(stage: Stage) -> SceneDesc:
                     if m.path == prim.path and m.material is None:
                         m.material = fallback.path
 
-    def handle_instancer(prim: Prim, world: np.ndarray) -> None:
+    def handle_instancer(prim: Prim, bases: np.ndarray) -> None:
+        """Flatten a PointInstancer. `bases` [B,4,4] maps instancer-local
+        space to world — one entry for a top-level instancer, the composed
+        parent-instance matrices for a NESTED instancer inside another
+        instancer's prototype (the recursive flattening of the reference's
+        instancer.cpp:96-136 ComputeFlattenedTransforms chain)."""
         protos = prim.rels.get("prototypes", [])
         proto_idx = np.asarray(_attr_val(prim, "protoIndices", []), np.int64)
         inst_mats = _instance_transforms(prim)
@@ -461,12 +466,17 @@ def build_scene(stage: Stage) -> SceneDesc:
             sel = inst_mats[proto_idx == p_i]
             if len(sel) == 0:
                 continue
+            # instance-of-this-proto -> world, expanded over all parent bases
+            mats = np.stack([m @ b for b in bases for m in sel])
 
             def proto_walk(p: Prim, rel: np.ndarray) -> None:
                 rel2 = local_transform(p) @ rel
                 if p.type_name == "Mesh":
-                    xforms = np.stack([rel2 @ m @ world for m in sel])
-                    add_mesh_prim(p, world, instance_transforms=xforms)
+                    xforms = np.stack([rel2 @ mm for mm in mats])
+                    add_mesh_prim(p, np.eye(4), instance_transforms=xforms)
+                elif p.type_name == "PointInstancer":
+                    handle_instancer(p, np.stack([rel2 @ mm for mm in mats]))
+                    return  # its prototypes are reached through recursion
                 for c in p.children.values():
                     proto_walk(c, rel2)
 
@@ -482,7 +492,7 @@ def build_scene(stage: Stage) -> SceneDesc:
             add_mesh_prim(prim, world)
         elif prim.type_name == "PointInstancer":
             if visible:
-                handle_instancer(prim, world)
+                handle_instancer(prim, world[None])
             return  # prototypes are referenced explicitly, not walked
         elif prim.type_name == "Camera":
             scene.cameras[prim.path] = _build_camera(prim, world)

@@ -199,3 +199,51 @@ def test_transform_edit_skips_geometry_rebuild(monkeypatch):
     img_fresh = render(fresh)
     np.testing.assert_allclose(img_moved, img_fresh, rtol=1e-5, atol=1e-6)
     assert not np.allclose(img_moved, img_before)  # the move is visible
+
+
+def test_nested_point_instancers():
+    """A PointInstancer inside another instancer's prototype flattens the
+    cartesian product of transforms (reference: instancer.cpp:96-136
+    recursive parent flattening)."""
+    from gatling_tpu.scene.stage import build_scene
+    from gatling_tpu.scene.usda import parse_usda
+
+    stage = parse_usda("""#usda 1.0
+def PointInstancer "Outer"
+{
+    point3f[] positions = [(0, 0, 0), (100, 0, 0)]
+    int[] protoIndices = [0, 0]
+    rel prototypes = [</Outer/Protos/Cell>]
+    def Scope "Protos"
+    {
+        def Xform "Cell"
+        {
+            def PointInstancer "Inner"
+            {
+                point3f[] positions = [(0, 0, 0), (0, 10, 0), (0, 20, 0)]
+                int[] protoIndices = [0, 0, 0]
+                rel prototypes = [</Outer/Protos/Cell/Inner/P/Tri>]
+                def Scope "P"
+                {
+                    def Mesh "Tri"
+                    {
+                        point3f[] points = [(0, 0, 0), (1, 0, 0), (0, 1, 0)]
+                        int[] faceVertexCounts = [3]
+                        int[] faceVertexIndices = [0, 1, 2]
+                    }
+                }
+            }
+        }
+    }
+}
+""")
+    scene = build_scene(stage)
+    assert len(scene.meshes) == 1
+    xf = scene.meshes[0].instance_transforms
+    assert xf is not None and xf.shape == (6, 4, 4)
+    # every (outer, inner) offset combination must appear exactly once
+    origins = sorted(tuple(np.round((np.append([0.0, 0, 0], 1.0) @ m)[:3], 4))
+                     for m in xf)
+    expected = sorted([(0.0, 0.0, 0.0), (0.0, 10.0, 0.0), (0.0, 20.0, 0.0),
+                       (100.0, 0.0, 0.0), (100.0, 10.0, 0.0), (100.0, 20.0, 0.0)])
+    assert origins == expected
