@@ -43,6 +43,7 @@ def main() -> None:
     spp = int(os.environ.get("GATLING_BENCH_SPP", "4" if big_scene else "16"))
     max_bounces = int(os.environ.get("GATLING_BENCH_BOUNCES", "6" if big_scene else "8"))
     use_nee = os.environ.get("GATLING_BENCH_NEE", "0") == "1"
+    use_textured = os.environ.get("GATLING_BENCH_TEXTURED", "0") == "1"
 
     from gatling_tpu.gi import _build_accel
 
@@ -61,7 +62,29 @@ def main() -> None:
     rows = [None] * len(midx)
     for p, i in midx.items():
         rows[i] = lower_material(desc.materials.get(p) if p else None)
-    table = build_material_table(rows)
+    pool = None
+    if use_textured:
+        # checker-textured base color on every material: exercises the
+        # split-bounce trace -> XLA texture stage -> shade pipeline
+        import numpy as _np
+
+        from gatling_tpu import imgio as _imgio
+        from gatling_tpu.render.material import build_materials
+        from gatling_tpu.render.texture import TextureRef
+
+        _img = _np.zeros((64, 64, 4), _np.uint8)
+        _img[..., 3] = 255
+        _c = ((_np.arange(64)[:, None] // 8 + _np.arange(64)[None, :] // 8) % 2)
+        _img[..., 0] = _np.where(_c, 230, 90)
+        _img[..., 1] = _np.where(_c, 200, 120)
+        _img[..., 2] = _np.where(_c, 90, 220)
+        _tex = "/tmp/gatling_bench_checker.png"
+        _imgio.write_image_file(_tex, _img)
+        for r in rows:
+            r.textures["base_color"] = TextureRef(file_path=_tex, is_srgb=False)
+        table, pool = build_materials(rows)
+    else:
+        table = build_material_table(rows)
     scene_lights = [l for l in desc.lights if l.light_type != "dome"]
     if use_nee and not scene_lights:
         # NEE bench config: a ceiling rect light (UsdLux default -Z emission;
@@ -122,12 +145,21 @@ def main() -> None:
         from gatling_tpu.ops.pallas_bounce import build_fused_scene
 
         fs, fstatic = build_fused_scene(geom, table, lights)
+        if use_textured:
+            import dataclasses as _dc
+
+            from gatling_tpu.render.material import textured_params
+
+            fstatic = _dc.replace(fstatic, textured=True,
+                                  textured_params=textured_params(rows))
         pix = jnp.arange(n, dtype=jnp.int32)
 
         def render_once():
             color, segs = render_pixels_fused(
                 config, uniforms, fs, default_dome(), pix, spp, jnp.int32(0),
-                static=fstatic, with_stats=True)
+                static=fstatic, with_stats=True,
+                materials=table if use_textured else None,
+                textures=pool if use_textured else None)
             return {"color": color, "segments": segs}
     else:
         def render_once():
@@ -164,7 +196,8 @@ def main() -> None:
     print(json.dumps({
         "metric": (("cornell_1200sq_trace_shade" if "cornell" in scene_path
                     else f"{os.path.basename(scene_path)}_trace_shade")
-                   + ("_nee" if use_nee else "")),
+                   + ("_nee" if use_nee else "")
+                   + ("_textured" if use_textured else "")),
         "value": round(mrays_per_sec, 2),
         "unit": "Mray/s/chip",
         "vs_baseline": round(mrays_per_sec / target, 3),

@@ -396,6 +396,7 @@ def render(params: GiRenderParams) -> None:
             rows[idx] = lower_material(scene.materials.get(path) if path else None)
         scene._material_table, scene._texture_pool = build_materials(
             rows, scene._texture_manager)
+        scene._lowered_materials = rows
         scene._fused_scene = None  # kernel material table must follow
         scene._has_volumes = any(
             any(c > 0.0 for c in r.params["volume_absorption"])
@@ -460,8 +461,10 @@ def render(params: GiRenderParams) -> None:
 
         has_textures = scene._texture_pool is not None and int(
             scene._texture_pool.texels.shape[0]) > 1
+        has_normal_maps = bool(
+            (np.asarray(scene._material_table.normal_tex) >= 0).any())
         use_fused = (_jax.default_backend() == "tpu"
-                     and supports_fused(config, has_textures))
+                     and supports_fused(config, has_textures, has_normal_maps))
     if use_fused:
         from gatling_tpu.ops.pallas_bounce import build_fused_scene_with_order
         from gatling_tpu.render.fused import render_pixels_fused
@@ -474,10 +477,19 @@ def render(params: GiRenderParams) -> None:
             scene._fused_scene = (fs, fstatic)
             scene._fused_order = order
         fs, fstatic = scene._fused_scene
+        if has_textures:
+            # split-bounce textured mode (trace -> XLA texture stage -> shade)
+            from gatling_tpu.render.material import textured_params
+
+            fstatic = dataclasses.replace(
+                fstatic, textured=True,
+                textured_params=textured_params(scene._lowered_materials))
         pix = jnp.arange(n, dtype=jnp.int32)
         color = render_pixels_fused(
             config, uniforms, fs, scene._dome_data or default_dome(), pix,
-            config.spp, uniforms.sample_offset, static=fstatic)
+            config.spp, uniforms.sample_offset, static=fstatic,
+            materials=scene._material_table if has_textures else None,
+            textures=scene._texture_pool if has_textures else None)
         zero3 = jnp.zeros((n, 3), jnp.float32)
         first = FirstHitInfo(
             normal=zero3, albedo=zero3, barycentrics=zero3, texcoords=zero3,

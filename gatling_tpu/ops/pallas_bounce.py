@@ -110,6 +110,16 @@ PARAMS_LEN = 9
 
 SHADOW_TMIN = 0.01  # reference: rgen:397-438 shadow ray tMin
 
+# split-bounce hit buffer rows ([16, R/128, 128], written by trace_step)
+H_HIT, H_T, H_UVX, H_UVY, H_MAT = 0, 1, 2, 3, 4
+H_GN, H_N, H_FRONT, H_DS, H_POS = 5, 8, 11, 12, 13
+HIT_ROWS = 16
+
+# split-bounce per-ray material rows (written by the XLA texture stage)
+PR_BASE, PR_METAL, PR_ROUGH, PR_IOR = 0, 3, 4, 5
+PR_EM, PR_TRANS, PR_THIN, PR_BFEDF = 6, 9, 10, 11
+PARAM_ROWS = 16
+
 
 class FusedScene(NamedTuple):
     """Device-resident scene tables for the bounce kernel (arrays only —
@@ -131,6 +141,11 @@ class FusedStatic:
     n_clusters: int  # 0 => resident (all tris in SMEM)
     n_l1: int
     light_types: tuple[int, ...]  # per-slot LT_* ids, type-major order
+    # split-bounce textured mode: trace and shade run as separate kernels
+    # with an XLA texture-sampling stage in between (render/fused.py)
+    textured: bool = False
+    # which uber-BSDF params have textures anywhere (prunes the XLA stage)
+    textured_params: tuple[str, ...] = ()
 
     @property
     def clustered(self) -> bool:
@@ -414,21 +429,23 @@ def _tri_hit_test(tread, t, ox, oy, oz, dx, dy, dz, tmin):
 # closest-hit carry: best_t, u, v, gn(3), n0(3), n1(3), n2(3), mat, dsided
 HIT_CARRY = 17
 # clustered-mode accumulator: best_t, u, v, win_idx + the 14 attrs above
-CLU_ACC_ROWS = 18
+# clustered-mode accumulator rows; 18/19 carry the interpolated uv in
+# textured mode (fetched by the pass-2 attribute walk)
+CLU_ACC_ROWS = 20
 
 
-def _closest_body_factory(tread, ox, oy, oz, dx, dy, dz, tmin):
+def _closest_body_factory(tread, ox, oy, oz, dx, dy, dz, tmin, want_uv=False):
     def body(t, carry):
         (best_t, bu, bv,
          gnx, gny, gnz, n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z,
-         mat, ds) = carry
+         mat, ds) = carry[:17]
         tt, u, v, ok = _tri_hit_test(tread, t, ox, oy, oz, dx, dy, dz, tmin)
         better = ok & (tt < best_t)
 
         def sel(cur, row):
             return jnp.where(better, tread(row, t), cur)
 
-        return (
+        out = (
             jnp.where(better, tt, best_t),
             jnp.where(better, u, bu), jnp.where(better, v, bv),
             sel(gnx, TR_GN + 0), sel(gny, TR_GN + 1), sel(gnz, TR_GN + 2),
@@ -437,13 +454,23 @@ def _closest_body_factory(tread, ox, oy, oz, dx, dy, dz, tmin):
             sel(n2x, TR_N2 + 0), sel(n2y, TR_N2 + 1), sel(n2z, TR_N2 + 2),
             sel(mat, TR_MAT), sel(ds, TR_DS),
         )
+        if want_uv:
+            w = 1.0 - u - v
+            uvx = (w * tread(TR_UV + 0, t) + u * tread(TR_UV + 2, t)
+                   + v * tread(TR_UV + 4, t))
+            uvy = (w * tread(TR_UV + 1, t) + u * tread(TR_UV + 3, t)
+                   + v * tread(TR_UV + 5, t))
+            out = out + (jnp.where(better, uvx, carry[17]),
+                         jnp.where(better, uvy, carry[18]))
+        return out
     return body
 
 
-def _hit_carry_init():
+def _hit_carry_init(want_uv=False):
     z = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
-    return (jnp.full((BLOCK_ROWS, 128), FLOAT_MAX, jnp.float32), z, z,
+    base = (jnp.full((BLOCK_ROWS, 128), FLOAT_MAX, jnp.float32), z, z,
             z, z, z, z, z, z, z, z, z, z, z, z, z, z)
+    return base + (z, z) if want_uv else base
 
 
 def _slab_test(aabb_ref, idx, ox, oy, oz, ivx, ivy, ivz, tmin, tcap):
@@ -466,7 +493,8 @@ def _safe_inv(d):
 
 
 def _trace_clustered_closest(tri_hbm, l1_ref, l2_ref, scratch, sem, acc,
-                             ox, oy, oz, dx, dy, dz, tmin, alive_f, *, n_l1):
+                             ox, oy, oz, dx, dy, dz, tmin, alive_f, *, n_l1,
+                             want_uv=False):
     """Two-level culled closest-hit walk; result accumulates in the VMEM
     scratch `acc` ([CLU_ACC_ROWS, 8, 128]).
 
@@ -557,18 +585,33 @@ def _trace_clustered_closest(tri_hbm, l1_ref, l2_ref, scratch, sem, acc,
                             TR_N1, TR_N1 + 1, TR_N1 + 2,
                             TR_N2, TR_N2 + 1, TR_N2 + 2,
                             TR_MAT, TR_DS)
+                    bw = 1.0 - acc[1] - acc[2]
 
                     def body(t, carry):
                         match = win_idx == (base + t)
-                        return tuple(
+                        out = tuple(
                             jnp.where(match, scratch[row, t], cur)
-                            for row, cur in zip(rows, carry))
+                            for row, cur in zip(rows, carry[:14]))
+                        if want_uv:
+                            uvx = (bw * scratch[TR_UV + 0, t]
+                                   + acc[1] * scratch[TR_UV + 2, t]
+                                   + acc[2] * scratch[TR_UV + 4, t])
+                            uvy = (bw * scratch[TR_UV + 1, t]
+                                   + acc[1] * scratch[TR_UV + 3, t]
+                                   + acc[2] * scratch[TR_UV + 5, t])
+                            out = out + (jnp.where(match, uvx, carry[14]),
+                                         jnp.where(match, uvy, carry[15]))
+                        return out
 
-                    out = jax.lax.fori_loop(
-                        0, CLUSTER_SIZE, body,
-                        tuple(acc[4 + i] for i in range(14)))
+                    init = tuple(acc[4 + i] for i in range(14))
+                    if want_uv:
+                        init = init + (acc[18], acc[19])
+                    out = jax.lax.fori_loop(0, CLUSTER_SIZE, body, init)
                     for i in range(14):
                         acc[4 + i] = out[i]
+                    if want_uv:
+                        acc[18] = out[14]
+                        acc[19] = out[15]
                 return 0
 
             jax.lax.fori_loop(0, L1_FAN, a2_body, 0)
@@ -722,6 +765,32 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
     (base_r, base_g, base_b, metallic, roughness, ior,
      em_r, em_g, em_b, transm, thinw, bf_edf) = mp
 
+    _shade_core(
+        params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref, scratch,
+        static, nee,
+        s15=s(15), ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+        tpx=tpx, tpy=tpy, tpz=tpz, radx=radx, rady=rady, radz=radz,
+        rng=rng, alive=alive, alive_f=alive_f, hit=hit, miss=miss,
+        miss_rec=miss_rec, posx=posx, posy=posy, posz=posz,
+        gnx=gnx, gny=gny, gnz=gnz, nx=nx, ny=ny, nz=nz,
+        front=front, dsided=dsided,
+        base_r=base_r, base_g=base_g, base_b=base_b, metallic=metallic,
+        roughness=roughness, ior=ior, em_r=em_r, em_g=em_g, em_b=em_b,
+        transm=transm, thinw=thinw, bf_edf=bf_edf)
+
+
+
+def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
+                scratch, static: FusedStatic, nee: bool, *,
+                s15, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
+                radx, rady, radz, rng, alive, alive_f, hit, miss, miss_rec,
+                posx, posy, posz, gnx, gny, gnz, nx, ny, nz, front, dsided,
+                base_r, base_g, base_b, metallic, roughness, ior,
+                em_r, em_g, em_b, transm, thinw, bf_edf):
+    """Emission + BSDF sampling + NEE shadow walk + RR + state writeback:
+    shared by the single-kernel bounce and the textured split-bounce shade
+    kernel (material params arrive as per-ray values in the latter)."""
+    bounce = params_ref[P_BOUNCE]
     # ---- emission: front face, or backface of single-sided geometry, or
     # thin-walled backface EDF (rp_main.chit:304-315) ----
     em_ok = hit & (front | (dsided <= 0.5)
@@ -992,7 +1061,7 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
     out_ref[12] = jax.lax.bitcast_convert_type(rng, jnp.float32)
     out_ref[13] = new_alive.astype(jnp.float32)
     out_ref[14] = miss_rec
-    out_ref[15] = s(15) + alive_f + shadow_count
+    out_ref[15] = s15 + alive_f + shadow_count
 
 
 def _sample_lights_fused(light_ref, light_types, k0, k1, k2, k3,
@@ -1203,6 +1272,201 @@ def bounce_step(params, scene: FusedScene, state, *, static: FusedStatic, nee: b
         ),
     )(params, scene.tris, scene.mats, scene.lights,
       scene.l1_aabbs, scene.l2_aabbs, state)
+
+
+
+
+# ---------------------------------------------------------------------------
+# split-bounce textured mode: trace and shade as separate kernels
+# ---------------------------------------------------------------------------
+
+def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, state_ref, hit_ref,
+                  *scratch, static: FusedStatic):
+    any_alive = jnp.max(state_ref[13]) > 0.5
+
+    @pl.when(jnp.logical_not(any_alive))
+    def _():
+        hit_ref[...] = jnp.zeros_like(hit_ref)
+
+    @pl.when(any_alive)
+    def _():
+        s = lambda c: state_ref[c]  # noqa: E731
+        ox, oy, oz = s(0), s(1), s(2)
+        dx, dy, dz = s(3), s(4), s(5)
+        alive = s(13) > 0.5
+        alive_f = s(13)
+        tmin = params_ref[P_TMIN]
+
+        if static.clustered:
+            tri_scratch, sem, acc = scratch
+            _trace_clustered_closest(
+                tri_ref, l1_ref, l2_ref, tri_scratch, sem, acc,
+                ox, oy, oz, dx, dy, dz, tmin, alive_f, n_l1=static.n_l1,
+                want_uv=True)
+            best_t, u, v = acc[0], acc[1], acc[2]
+            (gnx, gny, gnz, n0x, n0y, n0z,
+             n1x, n1y, n1z, n2x, n2y, n2z, mat_f, dsided) = tuple(
+                acc[4 + i] for i in range(14))
+            uvx, uvy = acc[18], acc[19]
+        else:
+            def tread(row, t):
+                return tri_ref[row, t]
+
+            body = _closest_body_factory(tread, ox, oy, oz, dx, dy, dz, tmin,
+                                         want_uv=True)
+            (best_t, u, v, gnx, gny, gnz, n0x, n0y, n0z,
+             n1x, n1y, n1z, n2x, n2y, n2z, mat_f, dsided,
+             uvx, uvy) = jax.lax.fori_loop(
+                0, static.n_tris, body, _hit_carry_init(want_uv=True))
+
+        hit = alive & (best_t < FLOAT_MAX)
+
+        posx = ox + best_t * dx
+        posy = oy + best_t * dy
+        posz = oz + best_t * dz
+        w = 1.0 - u - v
+        nx = w * n0x + u * n1x + v * n2x
+        ny = w * n0y + u * n1y + v * n2y
+        nz = w * n0z + u * n1z + v * n2z
+        nlen = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+        nx, ny, nz = nx * nlen, ny * nlen, nz * nlen
+        front = (gnx * -dx + gny * -dy + gnz * -dz) >= 0.0
+        fsign = jnp.where(front, 1.0, -1.0)
+
+        hit_ref[H_HIT] = hit.astype(jnp.float32)
+        hit_ref[H_T] = best_t
+        hit_ref[H_UVX] = uvx
+        hit_ref[H_UVY] = uvy
+        hit_ref[H_MAT] = mat_f
+        hit_ref[H_GN + 0] = gnx * fsign
+        hit_ref[H_GN + 1] = gny * fsign
+        hit_ref[H_GN + 2] = gnz * fsign
+        hit_ref[H_N + 0] = nx * fsign
+        hit_ref[H_N + 1] = ny * fsign
+        hit_ref[H_N + 2] = nz * fsign
+        hit_ref[H_FRONT] = front.astype(jnp.float32)
+        hit_ref[H_DS] = dsided
+        hit_ref[H_POS + 0] = posx
+        hit_ref[H_POS + 1] = posy
+        hit_ref[H_POS + 2] = posz
+
+
+def _shade_kernel(params_ref, tri_ref, light_ref, l1_ref, l2_ref,
+                  state_ref, hit_ref, par_ref, out_ref, *scratch,
+                  static: FusedStatic, nee: bool):
+    any_alive = jnp.max(state_ref[13]) > 0.5
+
+    @pl.when(jnp.logical_not(any_alive))
+    def _():
+        out_ref[...] = state_ref[...]
+
+    @pl.when(any_alive)
+    def _():
+        s = lambda c: state_ref[c]  # noqa: E731
+        ox, oy, oz = s(0), s(1), s(2)
+        dx, dy, dz = s(3), s(4), s(5)
+        tpx, tpy, tpz = s(6), s(7), s(8)
+        radx, rady, radz = s(9), s(10), s(11)
+        rng = jax.lax.bitcast_convert_type(s(12), jnp.uint32)
+        alive = s(13) > 0.5
+        alive_f = s(13)
+
+        hit = alive & (hit_ref[H_HIT] > 0.5)
+        miss = alive & ~hit
+        radx = radx + jnp.where(miss, tpx * params_ref[P_BG_R], 0.0)
+        rady = rady + jnp.where(miss, tpy * params_ref[P_BG_G], 0.0)
+        radz = radz + jnp.where(miss, tpz * params_ref[P_BG_B], 0.0)
+        miss_rec = jnp.where(miss, params_ref[P_BOUNCE] + 1.0, s(14))
+
+        _shade_core(
+            params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref, scratch,
+            static, nee,
+            s15=s(15), ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+            tpx=tpx, tpy=tpy, tpz=tpz, radx=radx, rady=rady, radz=radz,
+            rng=rng, alive=alive, alive_f=alive_f, hit=hit, miss=miss,
+            miss_rec=miss_rec,
+            posx=hit_ref[H_POS + 0], posy=hit_ref[H_POS + 1], posz=hit_ref[H_POS + 2],
+            gnx=hit_ref[H_GN + 0], gny=hit_ref[H_GN + 1], gnz=hit_ref[H_GN + 2],
+            nx=hit_ref[H_N + 0], ny=hit_ref[H_N + 1], nz=hit_ref[H_N + 2],
+            front=hit_ref[H_FRONT] > 0.5, dsided=hit_ref[H_DS],
+            base_r=par_ref[PR_BASE + 0], base_g=par_ref[PR_BASE + 1],
+            base_b=par_ref[PR_BASE + 2], metallic=par_ref[PR_METAL],
+            roughness=par_ref[PR_ROUGH], ior=par_ref[PR_IOR],
+            em_r=par_ref[PR_EM + 0], em_g=par_ref[PR_EM + 1],
+            em_b=par_ref[PR_EM + 2], transm=par_ref[PR_TRANS],
+            thinw=par_ref[PR_THIN], bf_edf=par_ref[PR_BFEDF])
+
+
+def _tri_specs(static: FusedStatic):
+    if static.clustered:
+        tri_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch_shapes = [
+            pltpu.SMEM((TRI_ROWS, CLUSTER_SIZE), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((CLU_ACC_ROWS, BLOCK_ROWS, 128), jnp.float32),
+        ]
+    else:
+        tri_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        scratch_shapes = []
+    return tri_spec, scratch_shapes
+
+
+def _block_spec(rows):
+    return pl.BlockSpec((rows, BLOCK_ROWS, 128), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@partial(jax.jit, static_argnames=("static",))
+def trace_step(params, scene: FusedScene, state, *, static: FusedStatic):
+    """Textured-mode trace: closest hit + shading-state rows (no shading)."""
+    n_blocks = state.shape[1] // BLOCK_ROWS
+    tri_spec, scratch_shapes = _tri_specs(static)
+    kernel = partial(_trace_kernel, static=static)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params
+            tri_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # L1 AABBs
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # L2 AABBs
+            _block_spec(STATE_ROWS),
+        ],
+        out_specs=_block_spec(HIT_ROWS),
+        out_shape=jax.ShapeDtypeStruct((HIT_ROWS,) + state.shape[1:], jnp.float32),
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+    )(params, scene.tris, scene.l1_aabbs, scene.l2_aabbs, state)
+
+
+@partial(jax.jit, static_argnames=("static", "nee"))
+def shade_step(params, scene: FusedScene, state, hitbuf, parbuf, *,
+               static: FusedStatic, nee: bool):
+    """Textured-mode shade: emission + BSDF + NEE shadow walk + RR, with
+    per-ray material rows from the XLA texture stage."""
+    n_blocks = state.shape[1] // BLOCK_ROWS
+    tri_spec, scratch_shapes = _tri_specs(static)
+    kernel = partial(_shade_kernel, static=static, nee=nee)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params
+            tri_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lights
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # L1 AABBs
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # L2 AABBs
+            _block_spec(STATE_ROWS),
+            _block_spec(HIT_ROWS),
+            _block_spec(PARAM_ROWS),
+        ],
+        out_specs=_block_spec(STATE_ROWS),
+        out_shape=jax.ShapeDtypeStruct(state.shape, jnp.float32),
+        input_output_aliases={5: 0},
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+    )(params, scene.tris, scene.lights, scene.l1_aabbs, scene.l2_aabbs,
+      state, hitbuf, parbuf)
 
 
 def make_params(config, uniforms, bounce) -> jnp.ndarray:

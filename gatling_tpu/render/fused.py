@@ -20,11 +20,17 @@ import jax.numpy as jnp
 
 from gatling_tpu.ops import sampling as smp
 from gatling_tpu.ops.pallas_bounce import (
+    H_MAT,
+    H_UVX,
+    H_UVY,
+    PARAM_ROWS,
     FusedScene,
     FusedStatic,
     bounce_step,
     make_params,
     pack_state,
+    shade_step,
+    trace_step,
     unpack_radiance,
     unpack_rows,
 )
@@ -91,20 +97,47 @@ def _tile_order(width: int, height: int) -> "np.ndarray":
     return np.argsort(key, kind="stable").astype(np.int32)
 
 
-def supports_fused(config: RenderConfig, has_textures: bool) -> bool:
+def supports_fused(config: RenderConfig, has_textures: bool,
+                   has_normal_maps: bool = False) -> bool:
     """Configs the fused megakernel reproduces exactly (in distribution).
 
-    NEE, dome lighting and arbitrary triangle counts are supported since
-    round 2; textures / volumes / cutout / clipping still route to the
-    general integrator.
+    NEE, dome lighting, arbitrary triangle counts and (since round 2, via
+    the split-bounce kernels) textures are supported; normal maps / volumes
+    / cutout / clipping still route to the general integrator.
     """
+    del has_textures  # textured scenes use the split-bounce mode
     return (
         not config.has_volumes
         and not config.has_cutout
         and not config.clipping_planes
-        and not has_textures
+        and not has_normal_maps
         and config.aov_mask in (1,)  # COLOR only
     )
+
+
+def _material_rows(materials, textures, hitbuf, active=None):
+    """The XLA stage between trace_step and shade_step: per-ray material
+    rows with texture lookups applied — the one thing a Mosaic kernel cannot
+    do (no per-lane dynamic gathers). One gather row per parameter class;
+    padded/missed rays read slot 0 harmlessly (shade masks them out)."""
+    from gatling_tpu.render.material import apply_textures, gather_params
+
+    rows, nb, lanes = hitbuf.shape
+    flat = hitbuf.reshape(rows, nb * lanes)
+    mat = jnp.clip(flat[H_MAT].astype(jnp.int32), 0, None)
+    uv = jnp.stack([flat[H_UVX], flat[H_UVY]], axis=-1)
+    p = gather_params(materials, mat)
+    p = apply_textures(materials, textures, p, mat, uv, active)
+    zero = jnp.zeros_like(p.metallic)
+    out = jnp.stack([
+        p.base_color[:, 0], p.base_color[:, 1], p.base_color[:, 2],
+        p.metallic, p.roughness, p.ior,
+        p.emissive[:, 0], p.emissive[:, 1], p.emissive[:, 2],
+        p.transmission, p.thin_walled.astype(jnp.float32), p.backface_edf,
+        zero, zero, zero, zero,
+    ], axis=0)
+    assert out.shape[0] == PARAM_ROWS
+    return out.reshape(PARAM_ROWS, nb, lanes)
 
 
 @partial(jax.jit, static_argnames=("config", "static", "spp", "with_stats"))
@@ -119,6 +152,8 @@ def render_pixels_fused(
     *,
     static: FusedStatic,
     with_stats: bool = False,
+    materials=None,
+    textures=None,
 ):
     """Returns mean color [R,3] over spp samples; with_stats additionally
     returns the mean traced-segment count per sample [R] (path segments +
@@ -163,7 +198,14 @@ def render_pixels_fused(
         def body(carry2):
             bounce, st, orig_ = carry2
             params = make_params(config, uniforms, bounce)
-            st = bounce_step(params, scene, st, static=static, nee=nee)
+            if static.textured:
+                hitbuf = trace_step(params, scene, st, static=static)
+                parbuf = _material_rows(materials, textures, hitbuf,
+                                        static.textured_params or None)
+                st = shade_step(params, scene, st, hitbuf, parbuf,
+                                static=static, nee=nee)
+            else:
+                st = bounce_step(params, scene, st, static=static, nee=nee)
             if sort_rays:
                 keys = _coherence_keys(st, scene_lo, scene_inv)
                 order = jnp.argsort(keys)

@@ -375,11 +375,14 @@ def gather_params(table: MaterialTable, material_ids: jnp.ndarray) -> BsdfParams
 
 
 def apply_textures(table: MaterialTable, pool, params: BsdfParams,
-                   material_ids: jnp.ndarray, uv: jnp.ndarray) -> BsdfParams:
+                   material_ids: jnp.ndarray, uv: jnp.ndarray,
+                   active: tuple[str, ...] | None = None) -> BsdfParams:
     """Overlay texture lookups on gathered constants where slots are bound
     (the wavefront analog of the MDL-generated tex_lookup calls,
     mdl_interface.glsl:8-140). No-op (and free after DCE) when the pool has
-    no real textures."""
+    no real textures. `active` (STATIC) restricts the sampled parameters to
+    those that actually have textures anywhere in the scene — each pruned
+    parameter saves 4 bilinear texel gathers per ray (see textured_params)."""
     from gatling_tpu.render.texture import sample_pool
 
     if int(pool.offset.shape[0]) <= 1 and int(pool.texels.shape[0]) <= 1:
@@ -399,13 +402,25 @@ def apply_textures(table: MaterialTable, pool, params: BsdfParams,
         picked = jnp.take_along_axis(val, ch[:, None], axis=1)[:, 0]
         return jnp.where(slot >= 0, picked, constant)
 
-    return params._replace(
-        base_color=rgb(0, params.base_color),
-        emissive=rgb(1, params.emissive),
-        metallic=scalar(2, 6, params.metallic),
-        roughness=scalar(3, 7, params.roughness),
-        opacity=scalar(4, 8, params.opacity),
-    )
+    updates = {}
+    if active is None or "base_color" in active:
+        updates["base_color"] = rgb(0, params.base_color)
+    if active is None or "emissive" in active:
+        updates["emissive"] = rgb(1, params.emissive)
+    if active is None or "metallic" in active:
+        updates["metallic"] = scalar(2, 6, params.metallic)
+    if active is None or "roughness" in active:
+        updates["roughness"] = scalar(3, 7, params.roughness)
+    if active is None or "opacity" in active:
+        updates["opacity"] = scalar(4, 8, params.opacity)
+    return params._replace(**updates)
+
+
+def textured_params(lowered: "list[LoweredMaterial]") -> tuple[str, ...]:
+    """The STATIC set of uber-BSDF parameters that have a texture anywhere
+    in the scene (for apply_textures pruning)."""
+    names = ("base_color", "emissive", "metallic", "roughness", "opacity")
+    return tuple(n for n in names if any(n in m.textures for m in lowered))
 
 
 def perturb_normal(table: MaterialTable, pool, material_ids: jnp.ndarray,

@@ -286,3 +286,84 @@ def test_fused_clustered_refit_matches_rebuild():
         a = np.asarray(bounce_step(params, refit, state, static=static_r, nee=False))
         b = np.asarray(bounce_step(params, fresh, state, static=static_f, nee=False))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_textured_mode_matches_untextured_exactly():
+    """Split-bounce (trace -> XLA params -> shade) on a constant-material
+    scene must match the single-kernel path near-exactly: same math, the
+    params just arrive through the buffer instead of the in-kernel select."""
+    import dataclasses
+
+    geom, table, uni = _cornell()
+    lights = build_light_arrays([_rect_light()])
+    scene, static = build_fused_scene(geom, table, lights)
+    tex_static = dataclasses.replace(static, textured=True)
+    cfg = RenderConfig(width=16, height=16, spp=2, max_bounces=3, nee=True,
+                       has_dome=False, rr_bounce_offset=100)
+    pix = jnp.arange(16 * 16, dtype=jnp.int32)
+
+    from gatling_tpu.render.texture import empty_pool
+
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(render_pixels_fused(
+            cfg, uni, scene, default_dome(), pix, 2, jnp.int32(0),
+            static=static))
+        b = np.asarray(render_pixels_fused(
+            cfg, uni, scene, default_dome(), pix, 2, jnp.int32(0),
+            static=tex_static, materials=table, textures=empty_pool()))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_textured_matches_general(tmp_path):
+    """A texture-driven base color renders the same through the fused
+    split-bounce mode and the general integrator."""
+    import dataclasses
+
+    from gatling_tpu import imgio
+    from gatling_tpu.render.material import build_materials
+    from gatling_tpu.scene.stage import MaterialDesc, ShaderNode
+    from gatling_tpu.scene.usda import parse_usda
+    from gatling_tpu.scene.stage import build_scene
+
+    # 2x2 checker texture on the cornell floor material
+    img = np.array([[[255, 40, 40, 255], [40, 255, 40, 255]],
+                    [[40, 40, 255, 255], [255, 255, 255, 255]]], np.uint8)
+    tex_path = tmp_path / "checker.png"
+    imgio.write_image_file(tex_path, img)
+
+    desc = load_scene(CORNELL)
+    mat_paths = sorted({m.material for m in desc.meshes if m.material})
+    midx = {p: i for i, p in enumerate(mat_paths)}
+    midx[None] = len(mat_paths)
+    geom = build_geometry(desc.meshes, midx)
+    rows = [None] * len(midx)
+    for p, i in midx.items():
+        rows[i] = lower_material(desc.materials.get(p) if p else None)
+    # give the first material a textured base color
+    from gatling_tpu.render.texture import TextureRef
+
+    rows[0].textures["base_color"] = TextureRef(file_path=str(tex_path),
+                                                is_srgb=False)
+    table, pool = build_materials(rows)
+    assert int(pool.texels.shape[0]) > 1
+
+    _g, _t, uni = _cornell()
+    scene, static = build_fused_scene(geom, table, build_light_arrays([]))
+    static = dataclasses.replace(static, textured=True)
+    cfg = RenderConfig(width=24, height=24, spp=32, max_bounces=3,
+                       has_dome=False, rr_bounce_offset=100)
+    pix = jnp.arange(24 * 24, dtype=jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        fused = np.asarray(render_pixels_fused(
+            cfg, uni, scene, default_dome(), pix, 32, jnp.int32(0),
+            static=static, materials=table, textures=pool))
+    general = np.asarray(render_pixels(
+        cfg, uni, geom, table, empty_light_arrays(), default_dome(),
+        pix, 32, jnp.int32(0), pool).color)
+    f = fused.reshape(24, 24, 3)
+    g = general.reshape(24, 24, 3)
+    assert np.isfinite(f).all()
+    assert abs(f.mean() - g.mean()) / max(g.mean(), 1e-6) < 0.12
+    fd = f.reshape(6, 4, 6, 4, 3).mean(axis=(1, 3)).ravel()
+    gd = g.reshape(6, 4, 6, 4, 3).mean(axis=(1, 3)).ravel()
+    assert np.corrcoef(fd, gd)[0, 1] > 0.95
