@@ -98,11 +98,14 @@ def _compare(cfg, uni, geom, table, lights: LightArrays, dome, *, resident_max=4
 
 
 def test_supports_fused_gate():
-    # round 2: NEE and dome ARE supported; textures/volumes/cutout are not
+    # round 2: NEE, dome and textures (split-bounce) ARE supported;
+    # normal maps / volumes / cutout are not
     assert supports_fused(RenderConfig(8, 8, has_dome=False), has_textures=False)
     assert supports_fused(RenderConfig(8, 8, nee=True, has_dome=False), False)
     assert supports_fused(RenderConfig(8, 8, has_dome=True), False)
-    assert not supports_fused(RenderConfig(8, 8, has_dome=False), has_textures=True)
+    assert supports_fused(RenderConfig(8, 8, has_dome=False), has_textures=True)
+    assert not supports_fused(RenderConfig(8, 8, has_dome=False), False,
+                              has_normal_maps=True)
     assert not supports_fused(RenderConfig(8, 8, has_volumes=True, has_dome=False), False)
     assert not supports_fused(RenderConfig(8, 8, has_cutout=True, has_dome=False), False)
 
