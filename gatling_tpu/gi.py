@@ -485,20 +485,38 @@ def render(params: GiRenderParams) -> None:
                 fstatic, textured=True,
                 textured_params=textured_params(scene._lowered_materials))
         pix = jnp.arange(n, dtype=jnp.int32)
-        color = render_pixels_fused(
+        want_first = aov_mask != aov_bit(AovId.COLOR)
+        need_mats = has_textures or want_first
+        from gatling_tpu.render.texture import empty_pool as _empty_pool
+
+        out = render_pixels_fused(
             config, uniforms, fs, scene._dome_data or default_dome(), pix,
             config.spp, uniforms.sample_offset, static=fstatic,
-            materials=scene._material_table if has_textures else None,
-            textures=scene._texture_pool if has_textures else None)
+            materials=scene._material_table if need_mats else None,
+            textures=(scene._texture_pool or _empty_pool()) if need_mats else None,
+            want_first_hit=want_first, with_stats=want_first)
         zero3 = jnp.zeros((n, 3), jnp.float32)
-        first = FirstHitInfo(
-            normal=zero3, albedo=zero3, barycentrics=zero3, texcoords=zero3,
-            tangents=zero3, bitangents=zero3, depth=jnp.ones((n,), jnp.float32),
-            object_id=jnp.full((n,), -1, jnp.int32),
-            face_id=jnp.full((n,), -1, jnp.int32),
-            instance_id=jnp.full((n,), -1, jnp.int32),
-            thin_walled=zero3, double_sided=zero3, opacity=zero3, nee=zero3,
-            hit=jnp.zeros((n,), bool))
+        if want_first:
+            color, _segs, fh = out
+            first = FirstHitInfo(
+                normal=fh["normal"], albedo=fh["albedo"], barycentrics=zero3,
+                texcoords=fh["texcoords"],
+                tangents=zero3, bitangents=zero3, depth=fh["depth"],
+                object_id=jnp.full((n,), -1, jnp.int32),
+                face_id=jnp.full((n,), -1, jnp.int32),
+                instance_id=jnp.full((n,), -1, jnp.int32),
+                thin_walled=zero3, double_sided=zero3, opacity=zero3, nee=zero3,
+                hit=fh["hit"])
+        else:
+            color = out
+            first = FirstHitInfo(
+                normal=zero3, albedo=zero3, barycentrics=zero3, texcoords=zero3,
+                tangents=zero3, bitangents=zero3, depth=jnp.ones((n,), jnp.float32),
+                object_id=jnp.full((n,), -1, jnp.int32),
+                face_id=jnp.full((n,), -1, jnp.int32),
+                instance_id=jnp.full((n,), -1, jnp.int32),
+                thin_walled=zero3, double_sided=zero3, opacity=zero3, nee=zero3,
+                hit=jnp.zeros((n,), bool))
         res = SampleResult(color=color, bounces=jnp.zeros((n,), jnp.int32), first=first)
         scene._aov_state = blend_aovs(config, uniforms, scene._aov_state, res)
     else:

@@ -97,13 +97,23 @@ def _tile_order(width: int, height: int) -> "np.ndarray":
     return np.argsort(key, kind="stable").astype(np.int32)
 
 
+# AOVs the fused path can produce: COLOR plus the first-hit channels the
+# trace kernel's hit buffer carries (captured at bounce 0 via trace_step)
+from gatling_tpu.interface import AovId, aov_bit  # noqa: E402
+
+FUSED_AOV_MASK = (aov_bit(AovId.COLOR) | aov_bit(AovId.NORMAL)
+                  | aov_bit(AovId.ALBEDO) | aov_bit(AovId.DEPTH)
+                  | aov_bit(AovId.TEXCOORDS))
+
+
 def supports_fused(config: RenderConfig, has_textures: bool,
                    has_normal_maps: bool = False) -> bool:
     """Configs the fused megakernel reproduces exactly (in distribution).
 
-    NEE, dome lighting, arbitrary triangle counts and (since round 2, via
-    the split-bounce kernels) textures are supported; normal maps / volumes
-    / cutout / clipping still route to the general integrator.
+    NEE, dome lighting, arbitrary triangle counts, textures (split-bounce
+    kernels) and the first-hit AOVs in FUSED_AOV_MASK are supported; normal
+    maps / volumes / cutout / clipping still route to the general
+    integrator.
     """
     del has_textures  # textured scenes use the split-bounce mode
     return (
@@ -111,11 +121,12 @@ def supports_fused(config: RenderConfig, has_textures: bool,
         and not config.has_cutout
         and not config.clipping_planes
         and not has_normal_maps
-        and config.aov_mask in (1,)  # COLOR only
+        and (config.aov_mask & ~FUSED_AOV_MASK) == 0
     )
 
 
-def _material_rows(materials, textures, hitbuf, active=None):
+def _material_rows(materials, textures, hitbuf, active=None,
+                   return_params=False):
     """The XLA stage between trace_step and shade_step: per-ray material
     rows with texture lookups applied — the one thing a Mosaic kernel cannot
     do (no per-lane dynamic gathers). One gather row per parameter class;
@@ -137,10 +148,13 @@ def _material_rows(materials, textures, hitbuf, active=None):
         zero, zero, zero, zero,
     ], axis=0)
     assert out.shape[0] == PARAM_ROWS
-    return out.reshape(PARAM_ROWS, nb, lanes)
+    rowsbuf = out.reshape(PARAM_ROWS, nb, lanes)
+    if return_params:
+        return rowsbuf, p
+    return rowsbuf
 
 
-@partial(jax.jit, static_argnames=("config", "static", "spp", "with_stats"))
+@partial(jax.jit, static_argnames=("config", "static", "spp", "with_stats", "want_first_hit"))
 def render_pixels_fused(
     config: RenderConfig,
     uniforms: Uniforms,
@@ -154,6 +168,7 @@ def render_pixels_fused(
     with_stats: bool = False,
     materials=None,
     textures=None,
+    want_first_hit: bool = False,
 ):
     """Returns mean color [R,3] over spp samples; with_stats additionally
     returns the mean traced-segment count per sample [R] (path segments +
@@ -182,7 +197,10 @@ def render_pixels_fused(
         tile_perm = None
 
     def sample_body(s, carry):
-        acc, segs = carry
+        if want_first_hit:
+            acc, segs, fh_acc = carry
+        else:
+            acc, segs = carry
         rng = smp.rng_init(pixel_index.astype(jnp.uint32),
                            (sample_offset + s).astype(jnp.uint32))
         origins, dirs, rng = generate_primary_rays(
@@ -190,6 +208,46 @@ def render_pixels_fused(
             config.jittered, config.fis, config.depth_of_field)
         state = pack_state(origins, dirs, rng, r_pad)
         orig = jnp.arange(r_pad, dtype=jnp.int32)
+        start_bounce = 0
+
+        if want_first_hit:
+            # peel bounce 0 through the split-bounce kernels so the hit
+            # buffer doubles as the first-hit AOV source (chit:191-290)
+            from gatling_tpu.ops.pallas_bounce import (
+                H_HIT, H_N, H_T, H_UVX, H_UVY,
+            )
+            from gatling_tpu.render import bsdf as bsdf_mod
+
+            params0 = make_params(config, uniforms, jnp.int32(0))
+            hitbuf = trace_step(params0, scene, state, static=static)
+            parbuf, p = _material_rows(materials, textures, hitbuf,
+                                       static.textured_params or None,
+                                       return_params=True)
+            flat = hitbuf.reshape(hitbuf.shape[0], -1)[:, :r]
+            fh_hit = flat[H_HIT] > 0.5
+            fh_normal = flat[H_N:H_N + 3].T
+            fh_uv = jnp.stack(
+                [flat[H_UVX], flat[H_UVY], jnp.zeros_like(flat[H_UVX])], axis=-1)
+            p_r = jax.tree.map(lambda a: a[:r] if a.ndim == 1 else a[:r, :], p)
+            fh_albedo = bsdf_mod.auxiliary(p_r, -dirs, fh_normal)
+            t_hit = flat[H_T]
+            cs = uniforms.camera.clip_start
+            ce = uniforms.camera.clip_end
+            log_depth = jnp.where(
+                cs > 0.0,
+                2.0 * jnp.log(jnp.maximum(t_hit, 1e-20) / cs)
+                / jnp.log(jnp.maximum(ce / cs, 1.0 + 1e-6)) - 1.0,
+                t_hit)
+            fh_new = dict(
+                normal=fh_acc["normal"] + jnp.where(fh_hit[:, None], fh_normal, 0.0) / spp,
+                albedo=fh_acc["albedo"] + jnp.where(fh_hit[:, None], fh_albedo, 0.0) / spp,
+                depth=jnp.where(fh_hit, log_depth, fh_acc["depth"]),
+                texcoords=jnp.where(fh_hit[:, None], fh_uv, fh_acc["texcoords"]),
+                hit=fh_acc["hit"] | fh_hit,
+            )
+            state = shade_step(params0, scene, state, hitbuf, parbuf,
+                               static=static, nee=nee)
+            start_bounce = 1
 
         def cond(carry2):
             bounce, st, _orig = carry2
@@ -214,7 +272,7 @@ def render_pixels_fused(
             return bounce + 1, st, orig_
 
         _, state, orig = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), state, orig))
+            cond, body, (jnp.int32(start_bounce), state, orig))
         if sort_rays:
             state = _sort_state(state, jnp.argsort(orig))
         radiance = unpack_radiance(state, r)
@@ -242,15 +300,29 @@ def render_pixels_fused(
                           uniforms.max_sample_value / jnp.maximum(max_v, 1e-20), 1.0)
         acc = acc + jnp.maximum(radiance * scale[:, None], 0.0) / spp
         segs = segs + unpack_rows(state, 15, 1, r)[:, 0] / spp
+        if want_first_hit:
+            return acc, segs, fh_new
         return acc, segs
 
-    color, segs = jax.lax.fori_loop(
-        0, spp, sample_body,
-        (jnp.zeros((r, 3), jnp.float32), jnp.zeros((r,), jnp.float32)))
+    zero3 = jnp.zeros((r, 3), jnp.float32)
+    init = (zero3, jnp.zeros((r,), jnp.float32))
+    if want_first_hit:
+        init = init + (dict(normal=zero3, albedo=zero3,
+                            depth=jnp.ones((r,), jnp.float32),
+                            texcoords=zero3,
+                            hit=jnp.zeros((r,), bool)),)
+        color, segs, fh = jax.lax.fori_loop(0, spp, sample_body, init)
+    else:
+        color, segs = jax.lax.fori_loop(0, spp, sample_body, init)
+        fh = None
     if tile_perm is not None:
         # undo the tile swizzle: row i holds pixel_index[tile_perm[i]]
         color = jnp.zeros_like(color).at[tile_perm].set(color)
         segs = jnp.zeros_like(segs).at[tile_perm].set(segs)
+        if fh is not None:
+            fh = {k: jnp.zeros_like(v).at[tile_perm].set(v) for k, v in fh.items()}
+    if want_first_hit:
+        return color, segs, fh
     if with_stats:
         return color, segs
     return color

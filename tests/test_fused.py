@@ -370,3 +370,42 @@ def test_fused_textured_matches_general(tmp_path):
     fd = f.reshape(6, 4, 6, 4, 3).mean(axis=(1, 3)).ravel()
     gd = g.reshape(6, 4, 6, 4, 3).mean(axis=(1, 3)).ravel()
     assert np.corrcoef(fd, gd)[0, 1] > 0.95
+
+
+def test_fused_first_hit_aovs_match_general():
+    """First-hit AOVs captured through the peeled trace_step must match the
+    general integrator exactly for unjittered pixel centers."""
+    from gatling_tpu.interface import AovId, aov_bit
+    from gatling_tpu.render.texture import empty_pool
+
+    geom, table, uni = _cornell()
+    scene, static = build_fused_scene(geom, table, build_light_arrays([]))
+    mask = (aov_bit(AovId.COLOR) | aov_bit(AovId.NORMAL) | aov_bit(AovId.ALBEDO)
+            | aov_bit(AovId.DEPTH) | aov_bit(AovId.TEXCOORDS))
+    cfg = RenderConfig(width=16, height=16, spp=2, max_bounces=2,
+                       jittered=False, fis=False, has_dome=False,
+                       rr_bounce_offset=100, aov_mask=mask)
+    n = 16 * 16
+    pix = jnp.arange(n, dtype=jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        color, segs, fh = render_pixels_fused(
+            cfg, uni, scene, default_dome(), pix, 2, jnp.int32(0),
+            static=static, materials=table, textures=empty_pool(),
+            want_first_hit=True, with_stats=True)
+
+    res = render_pixels(cfg, uni, geom, table, empty_light_arrays(),
+                        default_dome(), pix, 2, jnp.int32(0))
+    hit = np.asarray(fh["hit"])
+    ghit = np.asarray(res.first.hit)
+    # Baldwin-Weber vs Moller-Trumbore may disagree on triangle-EDGE rays
+    assert (hit != ghit).mean() <= 0.01
+    assert hit.sum() > 0.5 * hit.size  # most of the frame is the box interior
+    both = hit & ghit
+    np.testing.assert_allclose(np.asarray(fh["normal"])[both],
+                               np.asarray(res.first.normal)[both], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fh["albedo"])[both],
+                               np.asarray(res.first.albedo)[both], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fh["depth"])[both],
+                               np.asarray(res.first.depth)[both], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fh["texcoords"])[both],
+                               np.asarray(res.first.texcoords)[both], rtol=1e-4, atol=1e-5)
