@@ -10,8 +10,12 @@ textual parser that extracts a material definition's parameter defaults,
 applies user parameter overrides (GiMaterialParameters analog), and maps the
 well-known Omni/MDL parameter names onto the uber-BSDF parameter set.
 
-This is NOT a general MDL compiler — procedural bodies are not evaluated;
-unknown materials fall back to sensible defaults with a warning.
+This is NOT a general MDL compiler, but it goes beyond parameter names:
+recognizable material BODIES (df graphs of diffuse/microfacet/specular
+bsdfs, fresnel/weighted layers, mixes, emission, volume coefficients,
+cutout_opacity, thin_walled, ior, including `let` bindings and parameter
+references) are lowered onto the uber-BSDF. Unrecognized constructs fall
+back to the parameter-name mapping with sensible defaults.
 """
 
 from __future__ import annotations
@@ -92,6 +96,307 @@ def _parse_mdl_value(text: str) -> Any:
         except ValueError:
             return 0.0
     return None
+
+
+
+
+# ---------------------------------------------------------------------------
+# procedural body lowering (subset)
+# ---------------------------------------------------------------------------
+
+def _balanced(text: str, start: int) -> int:
+    """Index just past the paren block opening at text[start] == '('."""
+    depth = 0
+    for i in range(start, len(text)):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    return len(text)
+
+
+def _split_args(text: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_call(text: str):
+    """'ns::fn(a: x, b: y(...))' -> (fn, {a: 'x', b: 'y(...)'}, [positional]).
+    Returns None for non-call expressions."""
+    text = text.strip()
+    m = re.match(r"([\w:]+)\s*\(", text)
+    if not m:
+        return None
+    name = m.group(1).split("::")[-1]
+    end = _balanced(text, m.end() - 1)
+    inner = text[m.end():end - 1]
+    named: dict[str, str] = {}
+    positional: list[str] = []
+    for arg in _split_args(inner):
+        am = re.match(r"(\w+)\s*:\s*(.+)$", arg, re.DOTALL)
+        if am:
+            named[am.group(1)] = am.group(2).strip()
+        else:
+            positional.append(arg)
+    return name, named, positional
+
+
+class _BodyEval:
+    """Evaluates MDL body value expressions against the parameter defaults
+    and `let` bindings. Anything unresolvable evaluates to None."""
+
+    def __init__(self, params: dict, lets: dict[str, str]):
+        self.params = params
+        self.lets = lets
+
+    def value(self, expr: str | None, depth: int = 0):
+        if expr is None or depth > 8:
+            return None
+        expr = expr.strip()
+        v = _parse_mdl_value(expr)
+        if v is not None:
+            return v
+        if expr in self.params:
+            return self.params[expr]
+        if expr in self.lets:
+            return self.value(self.lets[expr], depth + 1)
+        # scalar * color / scalar * scalar products (common: tint * brightness)
+        parts = _split_top(expr, "*")
+        if len(parts) > 1:
+            vals = [self.value(p, depth + 1) for p in parts]
+            if all(v is not None for v in vals):
+                out = 1.0
+                for v in vals:
+                    if isinstance(v, tuple) and isinstance(out, tuple):
+                        out = tuple(a * b for a, b in zip(out, v))
+                    elif isinstance(v, tuple):
+                        out = tuple(out * c for c in v)
+                    elif isinstance(out, tuple):
+                        out = tuple(c * v for c in out)
+                    else:
+                        out = out * v
+                return out
+        c = _parse_call(expr)
+        if c and c[0] == "color":
+            inner = self.value(c[2][0], depth + 1) if c[2] else None
+            if isinstance(inner, (int, float)):
+                return (float(inner),) * 3
+        return None
+
+
+def _split_top(text: str, sep: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _lower_bsdf(expr: str, ev: _BodyEval, out: dict, depth: int = 0) -> None:
+    """Map an MDL df expression tree onto the uber-BSDF parameters
+    (reference compiles these through the MDL SDK GLSL backend,
+    Backend.cpp:276-287; this covers the common df zoo textually)."""
+    if depth > 8:
+        return
+    expr = expr.strip()
+    if expr in ev.lets:
+        return _lower_bsdf(ev.lets[expr], ev, out, depth + 1)
+    c = _parse_call(expr)
+    if not c:
+        return
+    name, named, _pos = c
+    if name == "diffuse_reflection_bsdf":
+        tint = ev.value(named.get("tint"))
+        if tint is not None:
+            out["base_color"] = tint if isinstance(tint, tuple) else (tint,) * 3
+        out.setdefault("roughness", 1.0)
+        out["metallic"] = 0.0
+    elif name in ("microfacet_ggx_smith_bsdf", "microfacet_beckmann_smith_bsdf",
+                  "simple_glossy_bsdf", "microfacet_ggx_vcavities_bsdf"):
+        r = ev.value(named.get("roughness_u"))
+        if isinstance(r, (int, float)):
+            # MDL microfacet roughness_u is the squared slope (alpha^2-like);
+            # the uber-BSDF squares its roughness once -> sqrt here
+            out["roughness"] = float(r) ** 0.5
+        tint = ev.value(named.get("tint"))
+        mode = named.get("mode", "")
+        if "transmit" in mode:
+            out["transmission"] = 1.0
+        elif tint is not None:
+            # reflective tinted microfacet: metallic-workflow reflection color
+            out["base_color"] = tint if isinstance(tint, tuple) else (tint,) * 3
+            out["metallic"] = 1.0
+    elif name == "specular_bsdf":
+        mode = named.get("mode", "")
+        if "transmit" in mode:
+            out["transmission"] = 1.0
+        out["roughness"] = 0.0
+    elif name == "fresnel_layer":
+        ior = ev.value(named.get("ior"))
+        if isinstance(ior, tuple):
+            ior = ior[0]
+        if isinstance(ior, (int, float)):
+            out["ior"] = float(ior)
+        # dielectric coat: keep the base diffuse, take the layer's roughness
+        if "base" in named:
+            _lower_bsdf(named["base"], ev, out, depth + 1)
+        if "layer" in named:
+            layer: dict = {}
+            _lower_bsdf(named["layer"], ev, layer, depth + 1)
+            if "roughness" in layer:
+                out["roughness"] = layer["roughness"]
+            if layer.get("transmission"):
+                out["transmission"] = layer["transmission"]
+        out["metallic"] = out.get("metallic", 0.0) * 0.0  # dielectric
+    elif name in ("weighted_layer", "custom_curve_layer"):
+        if "base" in named:
+            _lower_bsdf(named["base"], ev, out, depth + 1)
+        if "layer" in named:
+            layer = {}
+            _lower_bsdf(named["layer"], ev, layer, depth + 1)
+            w = ev.value(named.get("weight"))
+            w = float(w) if isinstance(w, (int, float)) else 1.0
+            if "roughness" in layer:
+                out["roughness"] = layer["roughness"]
+            if layer.get("transmission"):
+                out["transmission"] = w * layer["transmission"]
+            if layer.get("metallic") and w > 0.5:
+                out["metallic"] = layer["metallic"]
+                if "base_color" in layer:
+                    out["base_color"] = layer["base_color"]
+    elif name in ("normalized_mix", "clamped_mix", "unbounded_mix"):
+        comps = named.get("components", "")
+        cm = re.findall(r"bsdf_component\s*\(([^;]*?)\)\s*(?:,|\]|$)", comps)
+        for comp in cm:
+            sub = _parse_call("bsdf_component(" + comp + ")")
+            if sub and "component" in sub[1]:
+                _lower_bsdf(sub[1]["component"], ev, out, depth + 1)
+    elif name == "tint":
+        t = ev.value(named.get("color"))
+        if t is not None:
+            out["base_color"] = t if isinstance(t, tuple) else (t,) * 3
+        if "base" in named:
+            _lower_bsdf(named["base"], ev, out, depth + 1)
+
+
+def _lower_mdl_body(source: str, sub_identifier: str | None,
+                    params: dict) -> dict:
+    """Extract the material body expression and lower its df graph to
+    uber-BSDF inputs. Returns {} when no recognizable body exists (the
+    parameter-name mapping then applies instead)."""
+    pat = re.compile(r"export\s+material\s+(\w+)\s*\(")
+    for m in pat.finditer(source):
+        if sub_identifier and m.group(1) != sub_identifier:
+            continue
+        end_params = _balanced(source, source.index("(", m.start()))
+        rest = source[end_params:]
+        em = re.match(r"\s*(?:\[\[[^\]]*\]\]\s*)?=\s*", rest, re.DOTALL)
+        if not em:
+            return {}
+        body = rest[em.end():]
+        lets: dict[str, str] = {}
+        lm = re.match(r"\s*let\s*\{", body)
+        if lm:
+            close = body.index("}", lm.end() - 1)
+            # crude but effective: let bindings are `type name = expr;`
+            scan = body[lm.end():]
+            depth = 0
+            end_let = 0
+            for i, ch in enumerate(scan):
+                if ch == "{":
+                    depth += 1
+                elif ch == "}":
+                    if depth == 0:
+                        end_let = i
+                        break
+                    depth -= 1
+            let_text = scan[:end_let]
+            for stmt in let_text.split(";"):
+                sm = re.match(r"\s*[\w:]+\s+(\w+)\s*=\s*(.+)$", stmt.strip(), re.DOTALL)
+                if sm:
+                    lets[sm.group(1)] = sm.group(2).strip()
+            body = scan[end_let + 1:]
+            im = re.search(r"\bin\b", body)
+            if im:
+                body = body[im.end():]
+        mm = re.search(r"\bmaterial\s*\(", body)
+        if not mm:
+            return {}
+        mat_expr = body[mm.start():_balanced(body, body.index("(", mm.start()))]
+        call = _parse_call(mat_expr)
+        if not call:
+            return {}
+        _name, named, _pos = call
+        ev = _BodyEval(params, lets)
+        out: dict = {}
+
+        if "thin_walled" in named:
+            tw = ev.value(named["thin_walled"])
+            if tw is not None:
+                out["thin_walled"] = int(bool(tw))
+        if "ior" in named:
+            v = ev.value(named["ior"])
+            if isinstance(v, tuple):
+                v = v[0]
+            if isinstance(v, (int, float)):
+                out["ior"] = float(v)
+
+        surf = named.get("surface")
+        if surf:
+            sc = _parse_call(surf.strip()) if "material_surface" in surf else None
+            if sc:
+                if "scattering" in sc[1]:
+                    _lower_bsdf(sc[1]["scattering"], ev, out)
+                emis = sc[1].get("emission")
+                if emis and "material_emission" in emis:
+                    ec = _parse_call(emis.strip())
+                    if ec:
+                        inten = ev.value(ec[1].get("intensity"))
+                        if inten is not None:
+                            out["emissive_color"] = (
+                                inten if isinstance(inten, tuple) else (float(inten),) * 3)
+                            out["emissive_intensity"] = 1.0
+        vol = named.get("volume")
+        if vol and "material_volume" in vol:
+            vc = _parse_call(vol.strip())
+            if vc:
+                a = ev.value(vc[1].get("absorption_coefficient"))
+                s = ev.value(vc[1].get("scattering_coefficient"))
+                if isinstance(a, tuple):
+                    out["volume_absorption"] = a
+                if isinstance(s, tuple):
+                    out["volume_scattering"] = s
+        geo = named.get("geometry")
+        if geo and "material_geometry" in geo:
+            gc = _parse_call(geo.strip())
+            if gc:
+                co = ev.value(gc[1].get("cutout_opacity"))
+                if isinstance(co, (int, float)):
+                    out["opacity"] = float(co)
+        return out
+    return {}
 
 
 def _extract_material_params(source: str, sub_identifier: str | None) -> dict[str, Any]:
@@ -188,6 +493,14 @@ def load_mdl_material(
             textures[uber if uber.endswith("_texture") else uber + "_texture"] = tex_path
         else:
             inputs[uber] = value
+
+    # procedural body lowering: when the material body's df graph is
+    # recognizable, its values override the parameter-NAME heuristics
+    # (reference: MdlMaterialCompiler instance-compiles the body,
+    # MdlMaterialCompiler.cpp:193-266)
+    body = _lower_mdl_body(source, sub_identifier, merged)
+    for k, v in body.items():
+        inputs[k] = v
 
     # post-process gates (OmniPBR semantics)
     if not inputs.pop("enable_emission", True):

@@ -255,6 +255,31 @@ def _build_material(prim: Prim, base_dir: str) -> MaterialDesc:
         surface_node = out.connect.rsplit(".", 1)[0]
     elif nodes:
         surface_node = next(iter(nodes))
+
+    # MDL sourceAsset shaders (the reference's single-node MDL network route,
+    # materialNetworkCompiler.cpp:635-665 _TryCompileMdlNetwork): load the
+    # .mdl file through the MDL front end, with the shader prim's authored
+    # inputs as typed parameter overrides
+    for p in prim.walk():
+        if p.type_name != "Shader" or p.path != surface_node:
+            continue
+        src_asset = _attr_val(p, "info:mdl:sourceAsset", None)
+        if src_asset is None:
+            continue
+        from gatling_tpu.render.mdl import load_mdl_material
+
+        mdl_path = str(src_asset)
+        if base_dir and not os.path.isabs(mdl_path):
+            mdl_path = os.path.join(base_dir, mdl_path)
+        sub = _attr_val(p, "info:mdl:sourceAsset:subIdentifier", None)
+        overrides = {k[len("inputs:"):]: a.value for k, a in p.attrs.items()
+                     if k.startswith("inputs:") and a.value is not None}
+        mdl_desc = load_mdl_material(
+            mdl_path, str(sub) if sub else None, overrides,
+            name=prim.path.strip("/").replace("/", "_"))
+        return MaterialDesc(path=prim.path, surface_node=mdl_desc.surface_node,
+                            nodes=mdl_desc.nodes, base_dir=mdl_desc.base_dir)
+
     return MaterialDesc(path=prim.path, surface_node=surface_node, nodes=nodes, base_dir=base_dir)
 
 

@@ -111,3 +111,93 @@ def test_gi_material_api():
     assert mat.path in scene.materials
     gi.giDestroyMaterial(scene, mat)
     assert mat.path not in scene.materials
+
+
+def test_mdl_body_diffuse(tmp_path):
+    """A procedural MDL body (df graph, not just parameter names) lowers."""
+    from gatling_tpu.render.mdl import load_mdl_material
+    from gatling_tpu.render.material import lower_material
+
+    p = tmp_path / "m.mdl"
+    p.write_text("""
+mdl 1.6;
+import ::df::*;
+export material my_mat(color tint = color(0.2, 0.4, 0.6), float bright = 0.5)
+ = material(
+    thin_walled: true,
+    surface: material_surface(
+        scattering: df::diffuse_reflection_bsdf(tint: tint * bright)
+    ),
+    geometry: material_geometry(cutout_opacity: 0.7)
+);
+""")
+    desc = load_mdl_material(p, "my_mat")
+    m = lower_material(desc)
+    import numpy as np
+
+    np.testing.assert_allclose(m.params["base_color"], (0.1, 0.2, 0.3), atol=1e-6)
+    assert m.params["thin_walled"] == 1
+    assert abs(m.params["opacity"] - 0.7) < 1e-6
+    assert m.traits.has_cutout
+
+
+def test_mdl_body_layered_glossy(tmp_path):
+    from gatling_tpu.render.mdl import load_mdl_material
+    from gatling_tpu.render.material import lower_material
+
+    p = tmp_path / "g.mdl"
+    p.write_text("""
+mdl 1.6;
+import ::df::*;
+export material glossy_mat(float rough = 0.09)
+ = let {
+     bsdf diff = df::diffuse_reflection_bsdf(tint: color(0.8, 0.1, 0.1));
+     bsdf spec = df::microfacet_ggx_smith_bsdf(roughness_u: rough);
+ } in material(
+    surface: material_surface(
+        scattering: df::fresnel_layer(ior: 1.33, layer: spec, base: diff)
+    )
+);
+""")
+    desc = load_mdl_material(p, "glossy_mat")
+    m = lower_material(desc)
+    import numpy as np
+
+    np.testing.assert_allclose(m.params["base_color"], (0.8, 0.1, 0.1), atol=1e-6)
+    assert abs(m.params["ior"] - 1.33) < 1e-6
+    assert abs(m.params["roughness"] - 0.3) < 1e-6  # sqrt(0.09)
+
+
+def test_mdl_body_emission_and_volume(tmp_path):
+    from gatling_tpu.render.mdl import load_mdl_material
+    from gatling_tpu.render.material import lower_material
+
+    p = tmp_path / "e.mdl"
+    p.write_text("""
+mdl 1.6;
+import ::df::*;
+export material lamp()
+ = material(
+    surface: material_surface(
+        scattering: df::diffuse_reflection_bsdf(tint: color(0.0)),
+        emission: material_emission(
+            emission: df::diffuse_edf(),
+            intensity: color(2.0, 1.5, 1.0)
+        )
+    ),
+    volume: material_volume(
+        absorption_coefficient: color(0.3, 0.2, 0.1),
+        scattering_coefficient: color(0.05)
+    ),
+    ior: color(1.45)
+);
+""")
+    desc = load_mdl_material(p, "lamp")
+    m = lower_material(desc)
+    import numpy as np
+
+    np.testing.assert_allclose(m.params["emissive"], (2.0, 1.5, 1.0), atol=1e-6)
+    np.testing.assert_allclose(m.params["volume_absorption"], (0.3, 0.2, 0.1), atol=1e-6)
+    np.testing.assert_allclose(m.params["volume_scattering"], (0.05,) * 3, atol=1e-6)
+    assert abs(m.params["ior"] - 1.45) < 1e-6
+    assert m.traits.is_emissive
