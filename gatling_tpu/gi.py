@@ -463,8 +463,12 @@ def render(params: GiRenderParams) -> None:
             scene._texture_pool.texels.shape[0]) > 1
         has_normal_maps = bool(
             (np.asarray(scene._material_table.normal_tex) >= 0).any())
+        has_scattering = any(
+            any(c > 0.0 for c in r.params["volume_scattering"])
+            for r in scene._lowered_materials)
         use_fused = (_jax.default_backend() == "tpu"
-                     and supports_fused(config, has_textures, has_normal_maps))
+                     and supports_fused(config, has_textures, has_normal_maps,
+                                        has_scattering))
     if use_fused:
         from gatling_tpu.ops.pallas_bounce import build_fused_scene_with_order
         from gatling_tpu.render.fused import render_pixels_fused
@@ -477,6 +481,8 @@ def render(params: GiRenderParams) -> None:
             scene._fused_scene = (fs, fstatic)
             scene._fused_order = order
         fs, fstatic = scene._fused_scene
+        if config.has_volumes:
+            fstatic = dataclasses.replace(fstatic, volumes=True)
         if has_textures:
             # split-bounce textured mode (trace -> XLA texture stage -> shade)
             from gatling_tpu.render.material import textured_params

@@ -106,7 +106,8 @@ P_BOUNCE = 5
 P_EXP2_EXPOSURE = 6
 P_TMIN = 7
 P_LIGHT_MULT = 8
-PARAMS_LEN = 9
+P_METERS = 9
+PARAMS_LEN = 10
 
 SHADOW_TMIN = 0.01  # reference: rgen:397-438 shadow ray tMin
 
@@ -118,6 +119,7 @@ HIT_ROWS = 16
 # split-bounce per-ray material rows (written by the XLA texture stage)
 PR_BASE, PR_METAL, PR_ROUGH, PR_IOR = 0, 3, 4, 5
 PR_EM, PR_TRANS, PR_THIN, PR_BFEDF = 6, 9, 10, 11
+PR_VOL_A = 12  # 12-14: volume absorption coefficient (sigma_a)
 PARAM_ROWS = 16
 
 
@@ -146,6 +148,9 @@ class FusedStatic:
     textured: bool = False
     # which uber-BSDF params have textures anywhere (prunes the XLA stage)
     textured_params: tuple[str, ...] = ()
+    # absorption-only volumes (mediumStackSize == 0 semantics): the medium
+    # flag rides the alive row (1 = outside, 2 = inside a medium)
+    volumes: bool = False
 
     @property
     def clustered(self) -> bool:
@@ -755,15 +760,19 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
     mp = [jnp.zeros((BLOCK_ROWS, 128), jnp.float32) for _ in range(11)]
     # columns of MaterialTable.packed_f used here
     # 0-2 base_color, 3 metallic, 4 roughness, 5 ior, 7-9 emissive,
-    # 14 transmission, 15 thin_walled, 24 backface_edf
+    # 14 transmission, 15 thin_walled, 24 backface_edf, 16-18 sigma_a
     mp.append(jnp.zeros((BLOCK_ROWS, 128), jnp.float32))
     cols = (0, 1, 2, 3, 4, 5, 7, 8, 9, 14, 15, 24)
+    if static.volumes:
+        cols = cols + (16, 17, 18)
+        mp.extend(jnp.zeros((BLOCK_ROWS, 128), jnp.float32) for _ in range(3))
     for mm in range(static.n_mats):
         is_m = m_id == mm
         for k, col in enumerate(cols):
             mp[k] = jnp.where(is_m, mat_ref[mm, col], mp[k])
     (base_r, base_g, base_b, metallic, roughness, ior,
-     em_r, em_g, em_b, transm, thinw, bf_edf) = mp
+     em_r, em_g, em_b, transm, thinw, bf_edf) = mp[:12]
+    va_r, va_g, va_b = (mp[12], mp[13], mp[14]) if static.volumes else (None, None, None)
 
     _shade_core(
         params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref, scratch,
@@ -776,7 +785,8 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
         front=front, dsided=dsided,
         base_r=base_r, base_g=base_g, base_b=base_b, metallic=metallic,
         roughness=roughness, ior=ior, em_r=em_r, em_g=em_g, em_b=em_b,
-        transm=transm, thinw=thinw, bf_edf=bf_edf)
+        transm=transm, thinw=thinw, bf_edf=bf_edf,
+        va_r=va_r, va_g=va_g, va_b=va_b)
 
 
 
@@ -786,11 +796,26 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
                 radx, rady, radz, rng, alive, alive_f, hit, miss, miss_rec,
                 posx, posy, posz, gnx, gny, gnz, nx, ny, nz, front, dsided,
                 base_r, base_g, base_b, metallic, roughness, ior,
-                em_r, em_g, em_b, transm, thinw, bf_edf):
+                em_r, em_g, em_b, transm, thinw, bf_edf,
+                va_r=None, va_g=None, va_b=None):
     """Emission + BSDF sampling + NEE shadow walk + RR + state writeback:
     shared by the single-kernel bounce and the textured split-bounce shade
     kernel (material params arrive as per-ray values in the latter)."""
     bounce = params_ref[P_BOUNCE]
+
+    if static.volumes:
+        # absorption-only volumes (mediumStackSize == 0, integrator:427-431):
+        # the medium flag rides the alive row (2.0 = inside). Transmittance
+        # applies on the segment INTO this hit, with the HIT material's
+        # sigma_a (the reference's stackless approximation).
+        inside = alive_f > 1.5
+        dist_m = jnp.where(hit, jnp.minimum(
+            jnp.sqrt((posx - ox) ** 2 + (posy - oy) ** 2 + (posz - oz) ** 2),
+            1e30), 0.0) * params_ref[P_METERS]
+        att = inside & hit
+        tpx = jnp.where(att, tpx * jnp.exp(-va_r * dist_m), tpx)
+        tpy = jnp.where(att, tpy * jnp.exp(-va_g * dist_m), tpy)
+        tpz = jnp.where(att, tpz * jnp.exp(-va_b * dist_m), tpz)
     # ---- emission: front face, or backface of single-sided geometry, or
     # thin-walled backface EDF (rp_main.chit:304-315) ----
     em_ok = hit & (front | (dsided <= 0.5)
@@ -1045,6 +1070,15 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
     terminate = terminate | rr_kill
 
     new_alive = alive & ~terminate
+    alive_out = new_alive.astype(jnp.float32)
+    if static.volumes:
+        # toggle the medium on transmission through non-thin-walled surfaces
+        # (integrator stack==0: medium_idx = 1 - medium_idx). f32 0/1 math:
+        # Mosaic cannot select on i1 vectors
+        toggled = hit & valid & pick_t & (thinw <= 0.5)
+        inside_f = inside.astype(jnp.float32)
+        inside_new = jnp.where(toggled, 1.0 - inside_f, inside_f)
+        alive_out = jnp.where(new_alive & (inside_new > 0.5), 2.0, alive_out)
 
     out_ref[0] = ox
     out_ref[1] = oy
@@ -1059,7 +1093,7 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
     out_ref[10] = rady
     out_ref[11] = radz
     out_ref[12] = jax.lax.bitcast_convert_type(rng, jnp.float32)
-    out_ref[13] = new_alive.astype(jnp.float32)
+    out_ref[13] = alive_out
     out_ref[14] = miss_rec
     out_ref[15] = s15 + alive_f + shadow_count
 
@@ -1394,7 +1428,10 @@ def _shade_kernel(params_ref, tri_ref, light_ref, l1_ref, l2_ref,
             roughness=par_ref[PR_ROUGH], ior=par_ref[PR_IOR],
             em_r=par_ref[PR_EM + 0], em_g=par_ref[PR_EM + 1],
             em_b=par_ref[PR_EM + 2], transm=par_ref[PR_TRANS],
-            thinw=par_ref[PR_THIN], bf_edf=par_ref[PR_BFEDF])
+            thinw=par_ref[PR_THIN], bf_edf=par_ref[PR_BFEDF],
+            va_r=par_ref[PR_VOL_A + 0] if static.volumes else None,
+            va_g=par_ref[PR_VOL_A + 1] if static.volumes else None,
+            va_b=par_ref[PR_VOL_A + 2] if static.volumes else None)
 
 
 def _tri_specs(static: FusedStatic):
@@ -1480,4 +1517,5 @@ def make_params(config, uniforms, bounce) -> jnp.ndarray:
         jnp.exp2(uniforms.camera.sensor_exposure),
         jnp.float32(0.0),  # tmin
         uniforms.light_intensity_multiplier,
+        uniforms.meters_per_scene_unit,
     ])

@@ -107,17 +107,21 @@ FUSED_AOV_MASK = (aov_bit(AovId.COLOR) | aov_bit(AovId.NORMAL)
 
 
 def supports_fused(config: RenderConfig, has_textures: bool,
-                   has_normal_maps: bool = False) -> bool:
+                   has_normal_maps: bool = False,
+                   has_scattering_volumes: bool = True) -> bool:
     """Configs the fused megakernel reproduces exactly (in distribution).
 
     NEE, dome lighting, arbitrary triangle counts, textures (split-bounce
-    kernels) and the first-hit AOVs in FUSED_AOV_MASK are supported; normal
-    maps / volumes / cutout / clipping still route to the general
+    kernels), absorption-only volumes (mediumStackSize == 0) and the
+    first-hit AOVs in FUSED_AOV_MASK are supported; normal maps /
+    scattering volumes / cutout / clipping still route to the general
     integrator.
     """
     del has_textures  # textured scenes use the split-bounce mode
+    volumes_ok = (not config.has_volumes
+                  or (config.medium_stack_size == 0 and not has_scattering_volumes))
     return (
-        not config.has_volumes
+        volumes_ok
         and not config.has_cutout
         and not config.clipping_planes
         and not has_normal_maps
@@ -145,7 +149,8 @@ def _material_rows(materials, textures, hitbuf, active=None,
         p.metallic, p.roughness, p.ior,
         p.emissive[:, 0], p.emissive[:, 1], p.emissive[:, 2],
         p.transmission, p.thin_walled.astype(jnp.float32), p.backface_edf,
-        zero, zero, zero, zero,
+        p.volume_absorption[:, 0], p.volume_absorption[:, 1],
+        p.volume_absorption[:, 2], zero,
     ], axis=0)
     assert out.shape[0] == PARAM_ROWS
     rowsbuf = out.reshape(PARAM_ROWS, nb, lanes)

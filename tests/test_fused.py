@@ -409,3 +409,56 @@ def test_fused_first_hit_aovs_match_general():
                                np.asarray(res.first.depth)[both], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(fh["texcoords"])[both],
                                np.asarray(res.first.texcoords)[both], rtol=1e-4, atol=1e-5)
+
+
+def test_fused_absorption_volumes_match_general():
+    """Absorption-only volumes (mediumStackSize == 0): a tinted glass slab in
+    front of an emissive wall must attenuate identically (in distribution)
+    through the fused kernel and the general integrator."""
+    import dataclasses
+
+    from gatling_tpu.render.material import (
+        LoweredMaterial, MaterialTraits, _DEFAULTS,
+    )
+    from gatling_tpu.scene.meshproc import build_triangulated_mesh
+    from gatling_tpu.scene.stage import MeshDesc
+    from tests.test_volumes import _quad, _uniforms
+
+    meshes = [
+        MeshDesc(path="/front", mesh=_quad(1.0), transform=np.eye(4),
+                 material="glass", double_sided=True, object_id=0),
+        MeshDesc(path="/back", mesh=_quad(-1.0, flip=True), transform=np.eye(4),
+                 material="glass", double_sided=True, object_id=1),
+        MeshDesc(path="/wall", mesh=_quad(-3.0), transform=np.eye(4),
+                 material="wall", double_sided=True, object_id=2),
+    ]
+    geom = build_geometry(meshes, {"glass": 0, "wall": 1, None: 2})
+    glass = LoweredMaterial(params=dict(_DEFAULTS), traits=MaterialTraits(), textures={})
+    glass.params.update(transmission=1.0, base_color=(0, 0, 0),
+                        volume_absorption=(0.8, 0.3, 0.05))
+    wall = LoweredMaterial(params=dict(_DEFAULTS), traits=MaterialTraits(), textures={})
+    wall.params.update(emissive=(1.0, 1.0, 1.0), base_color=(0, 0, 0))
+    table = build_material_table([glass, wall, lower_material(None)])
+
+    scene, static = build_fused_scene(geom, table, None)
+    static = dataclasses.replace(static, volumes=True)
+    cfg = RenderConfig(width=12, height=12, spp=24, max_bounces=6,
+                       jittered=False, fis=False, has_dome=False,
+                       has_volumes=True, medium_stack_size=0,
+                       rr_bounce_offset=100)
+    n = 12 * 12
+    pix = jnp.arange(n, dtype=jnp.int32)
+    uni = _uniforms()
+    with pltpu.force_tpu_interpret_mode():
+        fused = np.asarray(render_pixels_fused(
+            cfg, uni, scene, default_dome(), pix, 24, jnp.int32(0), static=static))
+    general = np.asarray(render_pixels(
+        cfg, uni, geom, table, empty_light_arrays(), default_dome(),
+        pix, 24, jnp.int32(0)).color)
+
+    f = fused.reshape(12, 12, 3)[3:-3, 3:-3].mean(axis=(0, 1))
+    g = general.reshape(12, 12, 3)[3:-3, 3:-3].mean(axis=(0, 1))
+    # absorption is visible (blue >> red after exp(-sigma*2))...
+    assert f[2] > 2.0 * f[0]
+    # ...and matches the general integrator per channel
+    np.testing.assert_allclose(f, g, rtol=0.15, atol=0.01)
