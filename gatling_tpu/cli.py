@@ -10,6 +10,7 @@ the app settings image-width/height, camera-path, aov and gamma-correction.
 from __future__ import annotations
 
 import argparse
+import os
 import re
 import sys
 import time
@@ -41,6 +42,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=[a.name.lower() for a in AovId])
     p.add_argument("--gamma-correction", action=argparse.BooleanOptionalAction, default=True,
                    help="encode output as sRGB (main.cpp:84-92)")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="progressive-accumulation checkpoint (.npz): resumed "
+                        "if it exists, written after the render")
     p.add_argument("--watch", action="store_true",
                    help="re-render whenever the scene file changes (the "
                         "shader hot-reload analog, Gi.cpp:261-285)")
@@ -68,6 +72,7 @@ def render_scene_file(
     settings: dict,
     aov: AovId = AovId.COLOR,
     camera_path: str | None = None,
+    checkpoint: str | None = None,
 ):
     """Load a USD scene and render one frame; returns (np image [H,W,C], scene)."""
     log = get_logger()
@@ -122,10 +127,17 @@ def render_scene_file(
         render_settings=merged,
         dome_light=dome,
     )
+    if checkpoint and os.path.exists(checkpoint):
+        offset = gi.giLoadCheckpoint(scene, checkpoint)
+        log.info("resumed checkpoint %s at sampleOffset %d", checkpoint, offset)
     t0 = time.monotonic()
     gi.render(params)
     log.info("rendered %dx%d @ %d spp in %.2f s", width, height,
              merged.get("spp", 1), time.monotonic() - t0)
+    if checkpoint:
+        gi.giSaveCheckpoint(scene, checkpoint)
+        log.info("wrote checkpoint %s (sampleOffset %d)", checkpoint,
+                 scene.sample_offset)
     return buf.data, scene
 
 
@@ -151,7 +163,7 @@ def main(argv: list[str] | None = None) -> int:
 
     img, _scene = render_scene_file(
         args.scene, args.image_width, args.image_height, settings, aov,
-        args.camera_path)
+        args.camera_path, checkpoint=args.checkpoint)
 
     if args.watch:
         # scene-file watcher: the efsw shader hot-reload analog

@@ -409,9 +409,20 @@ def render(params: GiRenderParams) -> None:
         scene._fused_scene = None  # kernel light table must follow
 
     if scene.dirty & DirtyFlags.FRAMEBUFFER or scene._fb_shape != (width, height):
-        scene.sample_offset = 0
-        scene._fb_shape = (width, height)
-        scene._aov_state = None
+        if getattr(scene, "_restored_checkpoint", False) and scene._fb_shape == (width, height):
+            # a freshly-restored checkpoint survives the first render's
+            # framebuffer-dirty pass (the scene was just built, so every
+            # flag is set; the restored accumulation must not be cleared)
+            scene._restored_checkpoint = False
+        else:
+            if getattr(scene, "_restored_checkpoint", False):
+                get_logger().error(
+                    "checkpoint resolution %s does not match the framebuffer "
+                    "%s; accumulation reset", scene._fb_shape, (width, height))
+                scene._restored_checkpoint = False
+            scene.sample_offset = 0
+            scene._fb_shape = (width, height)
+            scene._aov_state = None
 
     if scene._aov_state is None or set(scene._aov_state) != {_AOV_KEYS[b.aov_id] for b in params.aov_bindings}:
         scene._aov_state = _init_aov_state(params.aov_bindings, n)
@@ -651,3 +662,39 @@ def giCreateMaterialFromMdlFile(scene: GiScene, name: str, file_path: str,
 def giDestroyMaterial(scene: GiScene, mat) -> None:
     scene.materials.pop(mat.path, None)
     scene.dirty |= DirtyFlags.MATERIALS | DirtyFlags.FRAMEBUFFER
+
+
+# ---------------------------------------------------------------------------
+# on-disk checkpoint / resume of the progressive accumulation state
+# (SURVEY §5: the reference's analog is the in-memory sampleOffset contract,
+#  Gi.cpp:2125-2129,2515; the TPU build adds the optional on-disk dump)
+# ---------------------------------------------------------------------------
+
+def giSaveCheckpoint(scene: GiScene, path: str) -> None:
+    """Dump the progressive-accumulation state (AOV buffers + sampleOffset)
+    so a long render can resume across processes/preemptions."""
+    if scene._aov_state is None or scene._fb_shape is None:
+        raise ValueError("nothing to checkpoint: no frame rendered yet")
+    arrays = {k: np.asarray(v) for k, v in scene._aov_state.items()}
+    np.savez_compressed(
+        path,
+        __sample_offset__=np.int64(scene.sample_offset),
+        __fb_shape__=np.asarray(scene._fb_shape, np.int64),
+        **arrays)
+
+
+def giLoadCheckpoint(scene: GiScene, path: str) -> int:
+    """Restore a checkpoint into the scene. The next giRender continues
+    accumulating from the stored sampleOffset. Returns that offset."""
+    with np.load(path) as data:
+        fb = tuple(int(x) for x in data["__fb_shape__"])
+        aovs = {k: jnp.asarray(v) for k, v in data.items()
+                if not k.startswith("__")}
+        offset = int(data["__sample_offset__"])
+    scene._aov_state = aovs
+    scene._fb_shape = fb
+    scene.sample_offset = offset
+    # the restored buffers must not be cleared by the dirty engine
+    scene.dirty &= ~DirtyFlags.FRAMEBUFFER
+    scene._restored_checkpoint = True
+    return offset
