@@ -440,15 +440,39 @@ def _extract_material_params(source: str, sub_identifier: str | None) -> dict[st
     return {}
 
 
+BUNDLED_MDL_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "mdl")
+
+
+def resolve_mdl_path(file_path: str, base_dir: str = "") -> str:
+    """MDL module resolution: the given path, then GATLING_MDL_PATHS
+    entries, then the bundled Omni-compatible modules (the search-path
+    analog of MdlRuntime's configured module paths + the reference's
+    bundled src/gi/mdl, rendererPlugin.cpp:45-73)."""
+    candidates = [file_path]
+    if base_dir and not os.path.isabs(file_path):
+        candidates.insert(0, os.path.join(base_dir, file_path))
+    fname = os.path.basename(file_path)
+    for d in os.environ.get("GATLING_MDL_PATHS", "").split(os.pathsep):
+        if d:
+            candidates.append(os.path.join(d, fname))
+    candidates.append(os.path.join(BUNDLED_MDL_DIR, fname))
+    for c in candidates:
+        if os.path.isfile(c):
+            return c
+    return file_path
+
+
 def load_mdl_material(
     file_path: str | os.PathLike,
     sub_identifier: str | None = None,
     user_params: dict[str, Any] | None = None,
     name: str = "mdl",
+    base_dir: str = "",
 ) -> MaterialDesc:
     """giCreateMaterialFromMdlFile analog: .mdl file + subIdentifier +
     typed parameter overrides -> material network."""
-    file_path = str(file_path)
+    file_path = resolve_mdl_path(str(file_path), base_dir)
     try:
         with open(file_path, "r", encoding="utf-8", errors="replace") as f:
             source = f.read()

@@ -268,9 +268,9 @@ def _build_material(prim: Prim, base_dir: str) -> MaterialDesc:
             continue
         from gatling_tpu.render.mdl import load_mdl_material
 
-        mdl_path = str(src_asset)
-        if base_dir and not os.path.isabs(mdl_path):
-            mdl_path = os.path.join(base_dir, mdl_path)
+        from gatling_tpu.render.mdl import resolve_mdl_path
+
+        mdl_path = resolve_mdl_path(str(src_asset), base_dir)
         sub = _attr_val(p, "info:mdl:sourceAsset:subIdentifier", None)
         overrides = {k[len("inputs:"):]: a.value for k, a in p.attrs.items()
                      if k.startswith("inputs:") and a.value is not None}

@@ -201,3 +201,34 @@ export material lamp()
     np.testing.assert_allclose(m.params["volume_scattering"], (0.05,) * 3, atol=1e-6)
     assert abs(m.params["ior"] - 1.45) < 1e-6
     assert m.traits.is_emissive
+
+
+def test_bundled_omni_mdl_modules():
+    """TurboSquid-style assets reference ::OmniPBR/::OmniGlass by file name;
+    the bundled Omni-compatible modules resolve via the MDL search path
+    (the reference ships NVIDIA's originals for the same purpose)."""
+    from gatling_tpu.render.material import lower_material
+    from gatling_tpu.render.mdl import load_mdl_material, resolve_mdl_path
+
+    assert resolve_mdl_path("OmniPBR.mdl").endswith("gatling_tpu/mdl/OmniPBR.mdl")
+
+    m = lower_material(load_mdl_material(
+        "OmniPBR.mdl", "OmniPBR",
+        {"diffuse_color_constant": (0.1, 0.5, 0.9),
+         "metallic_constant": 1.0,
+         "reflection_roughness_constant": 0.3}))
+    import numpy as np
+
+    np.testing.assert_allclose(m.params["base_color"], (0.1, 0.5, 0.9), atol=1e-6)
+    assert m.params["metallic"] == 1.0
+    assert abs(m.params["roughness"] - 0.3) < 1e-6
+
+    g = lower_material(load_mdl_material(
+        "OmniGlass.mdl", "OmniGlass", {"glass_color": (0.8, 0.9, 1.0)}))
+    assert g.params["transmission"] == 1.0
+    assert g.params["volume_absorption"][0] > g.params["volume_absorption"][2]
+    assert abs(g.params["ior"] - 1.491) < 1e-4
+
+    s = lower_material(load_mdl_material(
+        "OmniSurface.mdl", "OmniSurface", {"emission_weight": 1.0}))
+    assert s.params["base_color"][0] > 0.5
