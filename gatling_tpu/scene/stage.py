@@ -484,21 +484,58 @@ def build_scene(stage: Stage) -> SceneDesc:
         protos = prim.rels.get("prototypes", [])
         proto_idx = np.asarray(_attr_val(prim, "protoIndices", []), np.int64)
         inst_mats = _instance_transforms(prim)
+
+        # per-instance displayColor (the instance-primvar subset of
+        # instancer.cpp:138-189: per-instance data forwarded to prototypes)
+        dc = prim.attrs.get("primvars:displayColor")
+        inst_colors = None
+        if dc is not None and isinstance(dc.value, list) and len(dc.value) == len(inst_mats):
+            inst_colors = np.asarray([[float(c) for c in v][:3] for v in dc.value])
+
         for p_i, proto_path in enumerate(protos):
             proto = stage.find(proto_path)
             if proto is None:
                 continue
-            sel = inst_mats[proto_idx == p_i]
+            sel_mask = proto_idx == p_i
+            sel = inst_mats[sel_mask]
             if len(sel) == 0:
                 continue
             # instance-of-this-proto -> world, expanded over all parent bases
             mats = np.stack([m @ b for b in bases for m in sel])
+            colors = None
+            if inst_colors is not None:
+                colors = np.tile(inst_colors[sel_mask], (len(bases), 1))
 
             def proto_walk(p: Prim, rel: np.ndarray) -> None:
                 rel2 = local_transform(p) @ rel
                 if p.type_name == "Mesh":
                     xforms = np.stack([rel2 @ mm for mm in mats])
-                    add_mesh_prim(p, np.eye(4), instance_transforms=xforms)
+                    if colors is None or p.rels.get("material:binding"):
+                        add_mesh_prim(p, np.eye(4), instance_transforms=xforms)
+                    else:
+                        # unbound prototypes take per-instance displayColor:
+                        # group instances by color into fallback materials
+                        groups: dict[tuple, list[int]] = {}
+                        for i, c in enumerate(colors):
+                            groups.setdefault(tuple(np.round(c, 4)), []).append(i)
+                        for gi, (ckey, idxs) in enumerate(sorted(groups.items())):
+                            before = len(scene.meshes)
+                            add_mesh_prim(p, np.eye(4),
+                                          instance_transforms=xforms[idxs])
+                            mpath = f"{prim.path}{p.path}/__instColor{gi}"
+                            node = ShaderNode(
+                                path=mpath + "/s", shader_id="UsdPreviewSurface",
+                                inputs={"diffuseColor": ckey},
+                                input_connections={})
+                            scene.materials[mpath] = MaterialDesc(
+                                path=mpath, surface_node=node.path,
+                                nodes={node.path: node})
+                            for m in scene.meshes[before:]:
+                                # override the prototype-level displayColor
+                                # fallback add_mesh_prim may have assigned
+                                if m.material is None or m.material.endswith(
+                                        "/__displayColor"):
+                                    m.material = mpath
                 elif p.type_name == "PointInstancer":
                     handle_instancer(p, np.stack([rel2 @ mm for mm in mats]))
                     return  # its prototypes are reached through recursion

@@ -247,3 +247,41 @@ def PointInstancer "Outer"
     expected = sorted([(0.0, 0.0, 0.0), (0.0, 10.0, 0.0), (0.0, 20.0, 0.0),
                        (100.0, 0.0, 0.0), (100.0, 10.0, 0.0), (100.0, 20.0, 0.0)])
     assert origins == expected
+
+
+def test_instancer_display_color_primvar():
+    """Per-instance displayColor (instancer.cpp:138-189 subset): unbound
+    prototypes split into per-color fallback materials."""
+    from gatling_tpu.scene.stage import build_scene
+    from gatling_tpu.scene.usda import parse_usda
+
+    stage = parse_usda("""#usda 1.0
+def PointInstancer "Inst"
+{
+    point3f[] positions = [(0, 0, 0), (5, 0, 0), (10, 0, 0)]
+    int[] protoIndices = [0, 0, 0]
+    color3f[] primvars:displayColor = [(1, 0, 0), (0, 1, 0), (1, 0, 0)]
+    rel prototypes = [</Inst/Protos/Tri>]
+    def Scope "Protos"
+    {
+        def Mesh "Tri"
+        {
+            point3f[] points = [(0, 0, 0), (1, 0, 0), (0, 1, 0)]
+            int[] faceVertexCounts = [3]
+            int[] faceVertexIndices = [0, 1, 2]
+        }
+    }
+}
+""")
+    scene = build_scene(stage)
+    # two distinct colors -> two mesh groups with two fallback materials
+    assert len(scene.meshes) == 2
+    mats = {m.material for m in scene.meshes}
+    assert len(mats) == 2 and None not in mats
+    counts = sorted(m.instance_transforms.shape[0] for m in scene.meshes)
+    assert counts == [1, 2]  # green x1, red x2
+    colors = set()
+    for m in scene.meshes:
+        node = scene.materials[m.material].nodes[scene.materials[m.material].surface_node]
+        colors.add(tuple(node.inputs["diffuseColor"]))
+    assert colors == {(1.0, 0.0, 0.0), (0.0, 1.0, 0.0)}
