@@ -129,6 +129,46 @@ def supports_fused(config: RenderConfig, has_textures: bool,
     )
 
 
+def _material_rows_chunked(materials, textures, hitbuf, active, live_prefix):
+    """Alive-prefix chunked texture stage: rays are kept sorted alive-first
+    between bounces, so the per-bounce XLA stage only runs over chunks that
+    contain live rays — the stage cost shrinks with the live set instead of
+    paying full-frame gathers on every bounce x spp iteration (the measured
+    round-2 textured bottleneck, PERF.md). live_prefix is an index bound
+    covering every live ray (== the live count when sorted)."""
+    rows_h, nb, lanes = hitbuf.shape
+    eighth = -(-nb // 8)
+    chunk_nb = max(8, -(-eighth // 8) * 8)  # ~nb/8, whole [8,128] blocks
+    n_chunks = -(-nb // chunk_nb)
+    chunk_rays = chunk_nb * lanes
+
+    if n_chunks <= 1:
+        return _material_rows(materials, textures, hitbuf, active)
+
+    # pad to whole chunks so scan outputs stack back exactly
+    nb_pad = n_chunks * chunk_nb
+    hb_p = hitbuf if nb_pad == nb else jnp.pad(
+        hitbuf, ((0, 0), (0, nb_pad - nb), (0, 0)))
+
+    def step(_, i):
+        def compute(hb):
+            chunk = jax.lax.dynamic_slice(
+                hb, (0, i * chunk_nb, 0), (rows_h, chunk_nb, lanes))
+            return _material_rows(materials, textures, chunk, active)
+
+        y = jax.lax.cond(
+            i * chunk_rays < live_prefix, compute,
+            lambda hb: jnp.zeros((PARAM_ROWS, chunk_nb, lanes), jnp.float32),
+            hb_p)
+        return 0, y
+
+    # scan stacks chunk outputs in place — no O(frame) carry copies like a
+    # while_loop + dynamic_update_slice would pay per chunk
+    _, ys = jax.lax.scan(step, 0, jnp.arange(n_chunks, dtype=jnp.int32))
+    par = jnp.swapaxes(ys, 0, 1).reshape(PARAM_ROWS, nb_pad, lanes)
+    return par[:, :nb] if nb_pad != nb else par
+
+
 def _material_rows(materials, textures, hitbuf, active=None,
                    return_params=False):
     """The XLA stage between trace_step and shade_step: per-ray material
@@ -183,8 +223,12 @@ def render_pixels_fused(
     px = pixel_index % config.width
     py = pixel_index // config.width
     nee = bool(config.nee)
-    # ray compaction/sorting only pays off when the cluster walk exists
+    # ray compaction/sorting pays off when the cluster walk exists
+    # (coherence bounds cluster DMAs) or in textured mode (the alive-first
+    # prefix bounds the per-bounce XLA texture stage + lets whole kernel
+    # blocks take the dead-block early-out)
     sort_rays = static.clustered
+    sort_alive = static.textured and not static.clustered
     if sort_rays:
         scene_lo = jnp.min(scene.l1_aabbs[0:3], axis=1)
         scene_hi = jnp.max(scene.l1_aabbs[3:6], axis=1)
@@ -255,16 +299,45 @@ def render_pixels_fused(
             start_bounce = 1
 
         def cond(carry2):
-            bounce, st, _orig = carry2
+            bounce, st, _orig, _perm = carry2
             return (bounce < config.max_bounces) & (jnp.max(st[13]) > 0.5)
 
         def body(carry2):
-            bounce, st, orig_ = carry2
+            bounce, st, orig_, perm_ = carry2
             params = make_params(config, uniforms, bounce)
             if static.textured:
+                if sort_alive:
+                    # dead rays never revive, so the live set always sits in
+                    # [0, prefix). Re-partition (argsort costs ~a stage
+                    # chunk) only when deaths have made the prefix >=2x
+                    # looser than the live count.
+                    alive_flat = st[13].reshape(-1) > 0.5
+                    iota = jnp.arange(alive_flat.shape[0], dtype=jnp.int32)
+                    prefix_len = jnp.max(jnp.where(alive_flat, iota, -1)) + 1
+                    alive_n = jnp.sum(alive_flat.astype(jnp.int32))
+
+                    def repartition(s, o):
+                        keys = jnp.where(s[13] > 0.5, 0, 1).astype(
+                            jnp.uint32).reshape(-1)
+                        order = jnp.argsort(keys)
+                        return (_sort_state(s, order), o[order],
+                                jnp.maximum(alive_n, 1))
+
+                    do_sort = alive_n * 2 < prefix_len
+                    st, orig_, prefix_len = jax.lax.cond(
+                        do_sort, repartition,
+                        lambda s, o: (s, o, prefix_len), st, orig_)
+                    perm_ = perm_ | do_sort
+                else:
+                    # clustered: the coherence sort below keeps dead rays
+                    # last, so the live prefix is always tight
+                    alive_flat = st[13].reshape(-1) > 0.5
+                    iota = jnp.arange(alive_flat.shape[0], dtype=jnp.int32)
+                    prefix_len = jnp.max(jnp.where(alive_flat, iota, -1)) + 1
                 hitbuf = trace_step(params, scene, st, static=static)
-                parbuf = _material_rows(materials, textures, hitbuf,
-                                        static.textured_params or None)
+                parbuf = _material_rows_chunked(
+                    materials, textures, hitbuf,
+                    static.textured_params or None, prefix_len)
                 st = shade_step(params, scene, st, hitbuf, parbuf,
                                 static=static, nee=nee)
             else:
@@ -274,12 +347,17 @@ def render_pixels_fused(
                 order = jnp.argsort(keys)
                 st = _sort_state(st, order)
                 orig_ = orig_[order]
-            return bounce + 1, st, orig_
+                perm_ = jnp.bool_(True)
+            return bounce + 1, st, orig_, perm_
 
-        _, state, orig = jax.lax.while_loop(
-            cond, body, (jnp.int32(start_bounce), state, orig))
-        if sort_rays:
-            state = _sort_state(state, jnp.argsort(orig))
+        _, state, orig, permuted = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(start_bounce), state, orig, jnp.bool_(False)))
+        if sort_rays or sort_alive:
+            state = jax.lax.cond(
+                permuted,
+                lambda s, o: _sort_state(s, jnp.argsort(o)),
+                lambda s, o: s, state, orig)
         radiance = unpack_radiance(state, r)
 
         if config.has_dome:

@@ -202,3 +202,4 @@ def sample_pool(pool: TexturePool, tex_id: jnp.ndarray, uv: jnp.ndarray) -> jnp.
     c11 = texel(x0 + 1, y0 + 1)
     out = (c00 * (1 - fx) + c10 * fx) * (1 - fy) + (c01 * (1 - fx) + c11 * fx) * fy
     return out * pool.scale[t] + pool.bias[t]
+

@@ -75,6 +75,48 @@ def test_scale_bias(checker_file):
     np.testing.assert_allclose(out[0, :3], [1, 1, 1], atol=1e-5)  # 1*2-1
 
 
+def test_param_rows_chunked_matches_material_rows(checker_file):
+    """The chunked alive-prefix texture stage must reproduce _material_rows
+    exactly over the alive prefix (rays beyond it are dead and masked by the
+    shade kernel)."""
+    import jax
+
+    from gatling_tpu.ops.pallas_bounce import (
+        H_MAT, H_UVX, H_UVY, HIT_ROWS, PARAM_ROWS,
+    )
+    from gatling_tpu.render.fused import _material_rows, _material_rows_chunked
+    from gatling_tpu.render.material import (
+        LoweredMaterial, MaterialTraits, build_materials, lower_material,
+    )
+
+    rows = [lower_material(None) for _ in range(3)]
+    rows[0].textures["base_color"] = TextureRef(file_path=checker_file)
+    rows[1].textures["roughness"] = TextureRef(file_path=checker_file,
+                                               channel="g")
+    rows[2].params["base_color"] = (0.9, 0.2, 0.1)
+    table, pool = build_materials(rows)
+
+    rng = np.random.default_rng(3)
+    nb, lanes = 24, 128
+    n = nb * lanes
+    hit = np.zeros((HIT_ROWS, nb, lanes), np.float32)
+    hit[H_MAT] = rng.integers(0, 3, size=(nb, lanes))
+    hit[H_UVX] = rng.uniform(-1, 2, size=(nb, lanes))
+    hit[H_UVY] = rng.uniform(-1, 2, size=(nb, lanes))
+    hitbuf = jnp.asarray(hit)
+
+    ref = np.asarray(_material_rows(table, pool, hitbuf))
+    for alive in (n, 1000, 1):
+        got = np.asarray(jax.jit(
+            lambda h, a: _material_rows_chunked(table, pool, h, None, a)
+        )(hitbuf, jnp.int32(alive)))
+        assert got.shape == (PARAM_ROWS, nb, lanes)
+        flat_ref = ref.reshape(PARAM_ROWS, -1)[:, :alive]
+        flat_got = got.reshape(PARAM_ROWS, -1)[:, :alive]
+        # same math; XLA FMA contraction may differ at the last ulp
+        np.testing.assert_allclose(flat_got, flat_ref, rtol=2e-7, atol=1e-7)
+
+
 def test_texture_dedup(checker_file):
     from gatling_tpu.render.material import LoweredMaterial, MaterialTraits, build_materials
 
