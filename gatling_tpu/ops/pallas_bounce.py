@@ -94,6 +94,56 @@ TRI_ROWS = 32
 CLUSTER_SIZE = 128
 L1_FAN = 16  # clusters per level-1 AABB group
 
+# Clustered-mode row layout [CLU_TRI_ROWS, 128] — a permutation of the
+# canonical TR_* rows that puts each Baldwin-Weber quad at an 8-ALIGNED
+# sublane offset (Mosaic vreg tiles are (8,128); lane-concatenating
+# sublane-misaligned slices does not legalize). The matrix walk contracts
+# rows q..q+7 per quad against a LHS whose columns 4-7 are zero, so the
+# attr rows parked in each quad's upper half contribute exactly 0.
+CLU_N = 0     # 0-2 n, 3 d0  | 4-6 gn, 7 mat
+CLU_GN = 4
+CLU_MAT = 7
+CLU_R1 = 8    # 8-10 r1, 11 c1 | 12-14 n0, 15 dsided
+CLU_N0 = 12
+CLU_DS = 15
+CLU_R2 = 16   # 16-18 r2, 19 c2 | 20-22 n1
+CLU_N1 = 20
+CLU_N2 = 24   # 24-26 n2
+CLU_UV = 28   # 28-33 uv0.xy uv1.xy uv2.xy
+CLU_TRI_ROWS = 40
+# canonical row -> clustered row (BW quads + attrs)
+CLU_ROW_MAP = (
+    (TR_N, CLU_N), (TR_N + 1, CLU_N + 1), (TR_N + 2, CLU_N + 2),
+    (TR_D0, CLU_N + 3),
+    (TR_R1, CLU_R1), (TR_R1 + 1, CLU_R1 + 1), (TR_R1 + 2, CLU_R1 + 2),
+    (TR_R1 + 3, CLU_R1 + 3),
+    (TR_R2, CLU_R2), (TR_R2 + 1, CLU_R2 + 1), (TR_R2 + 2, CLU_R2 + 2),
+    (TR_R2 + 3, CLU_R2 + 3),
+    (TR_GN, CLU_GN), (TR_GN + 1, CLU_GN + 1), (TR_GN + 2, CLU_GN + 2),
+    (TR_MAT, CLU_MAT),
+    (TR_N0, CLU_N0), (TR_N0 + 1, CLU_N0 + 1), (TR_N0 + 2, CLU_N0 + 2),
+    (TR_DS, CLU_DS),
+    (TR_N1, CLU_N1), (TR_N1 + 1, CLU_N1 + 1), (TR_N1 + 2, CLU_N1 + 2),
+    (TR_N2, CLU_N2), (TR_N2 + 1, CLU_N2 + 1), (TR_N2 + 2, CLU_N2 + 2),
+    (TR_UV, CLU_UV), (TR_UV + 1, CLU_UV + 1), (TR_UV + 2, CLU_UV + 2),
+    (TR_UV + 3, CLU_UV + 3), (TR_UV + 4, CLU_UV + 4), (TR_UV + 5, CLU_UV + 5),
+)
+# canonical BW row -> clustered row, for the scalar occlusion walk
+CLU_BW_FWD = {src: dst for src, dst in CLU_ROW_MAP[:12]}
+
+# VMEM group cache: every DMA costs ~13 us FIXED on v5e (measured,
+# size-independent), so cluster groups are cached across the sequential
+# grid programs of one bounce — Morton-sorted ray blocks visit
+# overlapping group sets, and the whole group space is only n_l1 entries.
+# Direct-mapped, prime slot count to avoid stride collisions.
+CACHE_SLOTS = 23
+
+# profiling switches (timing surgery only; wrong images when set)
+import os as _os  # noqa: E402
+_PROF_NODMA = _os.environ.get("GATLING_WALK_NODMA", "") == "1"
+_PROF_NOMXU = _os.environ.get("GATLING_WALK_NOMXU", "") == "1"
+_PROF_NOP2 = _os.environ.get("GATLING_WALK_NOP2", "") == "1"
+
 # light table columns ([L, LIGHT_COLS] SMEM; layout per type, see builder)
 LIGHT_COLS = 20
 LT_SPHERE, LT_DISTANT, LT_RECT, LT_DISK = 0, 1, 2, 3
@@ -362,9 +412,12 @@ def build_fused_scene_with_order(
     n_l1 = -(-n_clusters // L1_FAN)
     c_pad = n_l1 * L1_FAN
     t_pad = c_pad * CLUSTER_SIZE
-    rows_p = np.zeros((t_pad, TRI_ROWS), np.float32)
-    rows_p[:n_real] = rows
-    tris = rows_p.reshape(c_pad, CLUSTER_SIZE, TRI_ROWS).transpose(0, 2, 1).copy()
+    # remap canonical rows into the quad-aligned clustered layout (CLU_*)
+    rows_p = np.zeros((t_pad, CLU_TRI_ROWS), np.float32)
+    src_rows = [src for src, _ in CLU_ROW_MAP]
+    dst_rows = [dst for _, dst in CLU_ROW_MAP]
+    rows_p[:n_real, dst_rows] = rows[:, src_rows]
+    tris = rows_p.reshape(c_pad, CLUSTER_SIZE, CLU_TRI_ROWS).transpose(0, 2, 1).copy()
 
     # cluster AABBs (vectorized; padding triangles carry empty boxes)
     v0 = np.asarray(geom.v0, np.float64)
@@ -497,83 +550,246 @@ def _safe_inv(d):
     return 1.0 / jnp.where(tiny, jnp.where(d >= 0.0, 1e-20, -1e-20), d)
 
 
-def _trace_clustered_closest(tri_hbm, l1_ref, l2_ref, scratch, sem, acc,
-                             ox, oy, oz, dx, dy, dz, tmin, alive_f, *, n_l1,
-                             want_uv=False):
-    """Two-level culled closest-hit walk; result accumulates in the VMEM
-    scratch `acc` ([CLU_ACC_ROWS, 8, 128]).
+def _cluster_walk_plan(state, l1_aabbs):
+    """XLA prelude for the clustered walk: per ray block, the L1 groups
+    sorted by conservative distance (block origin box -> group box), the
+    sorted distances, and the global scene box.
 
-    Two passes keep the hot loop lean: pass 1 walks every intersected
-    cluster carrying only (best_t, u, v, winning tri index) — ~12 SMEM
-    scalar reads per triangle instead of ~26 — and pass 2 re-visits only
-    the WINNING clusters (typically far fewer than intersected ones) to
-    fetch the 14 shading attributes by index match.
-
-    acc rows: 0 best_t, 1 u, 2 v, 3 win_idx (global tri id as f32),
-    4-6 gn, 7-15 n0/n1/n2, 16 mat, 17 dsided.
+    The kernel walks groups in this order while `dist[k] <= max over alive
+    rays of best_t`: every triangle in group g is at least dist[k] away from
+    every ray origin in the block (unit directions => hit t >= Euclidean
+    distance), so once the nearest remaining group is beyond every ray's
+    current cap, ALL remaining groups are too — the walk stops. This is the
+    TPU-block analog of ordered BVH traversal with early termination
+    (hardware traversal, CgpuVk.cpp:2695-2854); correctness never depends on
+    the order, only pruning efficiency does.
     """
-    acc[0] = jnp.full((BLOCK_ROWS, 128), FLOAT_MAX, jnp.float32)
+    n_blocks = state.shape[1] // BLOCK_ROWS
+    o = state[0:3].reshape(3, n_blocks, BLOCK_ROWS * 128)
+    alive = (state[13] > 0.5).reshape(1, n_blocks, BLOCK_ROWS * 128)
+    big = jnp.float32(FLOAT_MAX)
+    b_lo = jnp.min(jnp.where(alive, o, big), axis=2)  # [3, B]
+    b_hi = jnp.max(jnp.where(alive, o, -big), axis=2)
+    g_lo = l1_aabbs[0:3]  # [3, n_l1]
+    g_hi = l1_aabbs[3:6]
+    gap = jnp.maximum(0.0, jnp.maximum(
+        g_lo[:, None, :] - b_hi[:, :, None],
+        b_lo[:, :, None] - g_hi[:, None, :]))  # [3, B, n_l1]
+    # clamp before squaring: FLOAT_MAX gaps (empty boxes / dead blocks)
+    # must order last without overflowing to nan via inf-inf downstream
+    dist = jnp.sqrt(jnp.sum(jnp.minimum(gap, 1e18) ** 2, axis=0))  # [B, n_l1]
+    order = jnp.argsort(dist, axis=1).astype(jnp.int32)
+    dist_sorted = jnp.take_along_axis(dist, order, axis=1)
+    gbox = jnp.concatenate([
+        jnp.min(jnp.where(g_lo <= 1e30, g_lo, big), axis=1),
+        jnp.max(jnp.where(g_hi >= -1e30, g_hi, -big), axis=1),
+        jnp.zeros(2, jnp.float32)])
+
+    # transposed ray matrix for the in-kernel MXU intersection:
+    # [B, 1024, LHS_COLS] with (o,1 | d,0 | scene-exit cap | spare).
+    # Dead rays get cap -1 so no triangle test can register for them.
+    o_flat = state[0:3].reshape(3, n_blocks, BLOCK_ROWS * 128)
+    d_flat = state[3:6].reshape(3, n_blocks, BLOCK_ROWS * 128)
+    a_flat = alive[0]
+    inv = jnp.where(jnp.abs(d_flat) < 1e-20,
+                    jnp.where(d_flat >= 0.0, 1e-20, -1e-20), d_flat)
+    ex = jnp.maximum((gbox[0:3][:, None, None] - o_flat) / inv,
+                     (gbox[3:6][:, None, None] - o_flat) / inv)
+    cap = jnp.maximum(jnp.min(ex, axis=0), 0.0) * 1.0001 + 1e-3
+    cap = jnp.where(a_flat, cap, -1.0)
+    ones = jnp.ones_like(cap)
+    zeros = jnp.zeros_like(cap)
+    lhs = jnp.stack([
+        jnp.stack([o_flat[0], o_flat[1], o_flat[2], ones,
+                   zeros, zeros, zeros, zeros], axis=-1),
+        jnp.stack([d_flat[0], d_flat[1], d_flat[2], zeros,
+                   zeros, zeros, zeros, zeros], axis=-1),
+        jnp.stack([cap, zeros, zeros, zeros,
+                   zeros, zeros, zeros, zeros], axis=-1),
+    ], axis=1)  # [B, 3, 1024, 8]
+
+    # [B, 1, n_l1]: Mosaic SMEM blocks need the last two dims full-size,
+    # so the per-block axis leads
+    return order[:, None, :], dist_sorted[:, None, :], gbox, lhs
+
+
+def _trace_clustered_matrix(tri_hbm, l1_ref, l2_ref, order_ref, dist_ref,
+                            gbox_ref, lhs_ref, groups, gsem, tags, best128,
+                            clus128, attrs_acc, acc,
+                            ox, oy, oz, dx, dy, dz, tmin, alive_f, *, n_l1,
+                            want_uv=False):
+    """Matrix-form ordered closest-hit walk (round-3 clustered tracer).
+
+    Measured on v5e (PERF.md): every DMA costs ~13 us FIXED regardless of
+    size, and the scalar 128-triangle loop costs ~110 cycles/triangle
+    (serialized dynamic SMEM scalar reads). This version therefore
+    (a) DMAs a whole L1 GROUP of 16 clusters per copy (one fixed cost for
+        256 KB instead of 16), HBM->VMEM,
+    (b) intersects each surviving cluster with TWO MXU matmuls
+        ([1024,4] rays x [4,384] Baldwin-Weber rows -> plane/u/v products
+        for all 128 triangles at once) plus vectorized [1024,128] selects,
+        replacing the per-triangle scalar loop entirely,
+    (c) keeps per-(ray,lane) running best/cluster arrays across the walk and
+        resolves the argmin once at the end,
+    (d) fetches the winner's 32 attribute rows with ONE one-hot matmul per
+        winning cluster ([1024,128] x [128,32]) in pass 2.
+
+    The transposed ray matrix (lhs_ref [1024, 16]: o,1 | d,0 | cap) comes
+    from the XLA prelude (_cluster_walk_plan); the group walk keeps the
+    near-to-far order + global early exit of the ordered walk. Results land
+    in `acc` in ray layout: 0 best_t, 1 u, 2 v, 3 win tri index (-1 = miss),
+    4-17 attrs, 18-19 uv (want_uv).
+    """
     for i in range(1, CLU_ACC_ROWS):
         acc[i] = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
     acc[3] = jnp.full((BLOCK_ROWS, 128), -1.0, jnp.float32)
     ivx, ivy, ivz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
-    # dead rays must not drag clusters in: give them an empty interval
-    tmin_r = jnp.where(alive_f > 0.5, tmin, FLOAT_MAX)
+    alive = alive_f > 0.5
+    tmin_r = jnp.where(alive, tmin, FLOAT_MAX)
 
-    def tread(row, t):
-        return scratch[row, t]
+    # per-ray scene-exit cap (slab exit vs the global box) for slab tests
+    ex = jnp.maximum((gbox_ref[0] - ox) * ivx, (gbox_ref[3] - ox) * ivx)
+    ey = jnp.maximum((gbox_ref[1] - oy) * ivy, (gbox_ref[4] - oy) * ivy)
+    ez = jnp.maximum((gbox_ref[2] - oz) * ivz, (gbox_ref[5] - oz) * ivz)
+    t_exit = jnp.minimum(jnp.minimum(ex, ey), ez)
+    cap = jnp.maximum(t_exit, 0.0) * 1.0001 + 1e-3
+    acc[0] = jnp.where(alive, cap, 0.0)
 
-    # ---- pass 1: closest hit as (t, u, v, index) ----
-    def l1_body(g, _):
+    best128[...] = jnp.full((RAY_BLOCK, 128), FLOAT_MAX, jnp.float32)
+    clus128[...] = jnp.full((RAY_BLOCK, 128), -1.0, jnp.float32)
+    lhs_o = lhs_ref[0, 0]  # [1024, 8]: (o, 1, 0, 0, 0, 0)
+    lhs_d = lhs_ref[0, 1]  # [1024, 8]: (d, 0, 0, 0, 0, 0)
+    cap_t = lhs_ref[0, 2, :, 0:1]  # [1024, 1]; -1 for dead rays
+    lane_f = jax.lax.broadcasted_iota(
+        jnp.int32, (RAY_BLOCK, 128), 1).astype(jnp.float32)
+
+    # group cache: scratch persists across the sequential grid programs of
+    # one pallas_call, so Morton-adjacent ray blocks reuse each other's
+    # group fetches (every DMA is ~13 us fixed cost — the secondary-bounce
+    # bottleneck). Tags are invalidated once by the first program.
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for slot_i in range(CACHE_SLOTS):
+            tags[slot_i] = -1
+
+    def fetch_group(g):
+        slot = jax.lax.rem(g, CACHE_SLOTS)
+        if _PROF_NODMA:
+            return slot
+
+        @pl.when(tags[slot] != g)
+        def _():
+            cp = pltpu.make_async_copy(
+                tri_hbm.at[pl.ds(g * L1_FAN, L1_FAN)], groups.at[slot], gsem)
+            cp.start()
+            cp.wait()
+            tags[slot] = g
+
+        return slot
+
+    # ---- pass 1: per-(ray, lane) best t + cluster over ordered groups ----
+    def l1_cond(carry):
+        k, max_best = carry
+        return (k < n_l1) & (dist_ref[0, 0, jnp.minimum(k, n_l1 - 1)] <= max_best)
+
+    def l1_body(carry):
+        k, _max_best = carry
+        g = order_ref[0, 0, k]
         hit1 = _slab_test(l1_ref, g, ox, oy, oz, ivx, ivy, ivz, tmin_r, acc[0])
         any1 = jnp.max(hit1.astype(jnp.float32)) > 0.5
 
         @pl.when(any1)
         def _():
+            slot = fetch_group(g)
+
             def l2_body(b, __):
                 c = g * L1_FAN + b
-                hit2 = _slab_test(l2_ref, c, ox, oy, oz, ivx, ivy, ivz, tmin_r, acc[0])
+                hit2 = _slab_test(l2_ref, c, ox, oy, oz, ivx, ivy, ivz,
+                                  tmin_r, acc[0])
                 any2 = jnp.max(hit2.astype(jnp.float32)) > 0.5
 
                 @pl.when(any2)
                 def _():
-                    cp = pltpu.make_async_copy(tri_hbm.at[c], scratch, sem)
-                    cp.start()
-                    cp.wait()
-                    base = (c * CLUSTER_SIZE).astype(jnp.float32)
+                    tri = groups[slot, b]  # [CLU_TRI_ROWS, 128]
 
-                    def body(t, carry):
-                        best_t, bu, bv, bidx = carry
-                        tt, u, v, ok = _tri_hit_test(
-                            tread, t, ox, oy, oz, dx, dy, dz, tmin)
-                        better = ok & (tt < best_t)
-                        return (jnp.where(better, tt, best_t),
-                                jnp.where(better, u, bu),
-                                jnp.where(better, v, bv),
-                                jnp.where(better, base + t, bidx))
+                    # TWO [1024,8]x[8,384] MXU products cover all three
+                    # Baldwin-Weber quads for origins and directions: the
+                    # quads sit at 8-aligned sublanes (CLU layout) so the
+                    # lane-concat legalizes, and lhs columns 4-7 are zero
+                    # so the attr rows parked in each quad's upper half
+                    # contribute nothing. bf16x6 (HIGHEST) keeps f32-class
+                    # relative t accuracy — hit selection parity with the
+                    # f32 scalar path inside test tolerances.
+                    ro = jnp.concatenate(
+                        [tri[CLU_N:CLU_N + 8], tri[CLU_R1:CLU_R1 + 8],
+                         tri[CLU_R2:CLU_R2 + 8]], axis=1)  # [8, 384]
 
-                    out = jax.lax.fori_loop(
-                        0, CLUSTER_SIZE, body,
-                        (acc[0], acc[1], acc[2], acc[3]))
-                    acc[0], acc[1], acc[2], acc[3] = out
+                    def prod(lhs):
+                        if _PROF_NOMXU:
+                            return jnp.broadcast_to(ro[0:1, :] + lhs[0, 0],
+                                                    (RAY_BLOCK, 384))
+                        return jax.lax.dot_general(
+                            lhs, ro, (((1,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+
+                    po = prod(lhs_o)
+                    pd = prod(lhs_d)
+                    nd = pd[:, 0:128]
+                    okm = jnp.abs(nd) > 1e-12
+                    inv = jnp.where(okm, 1.0 / jnp.where(okm, nd, 1.0), 0.0)
+                    tt = -po[:, 0:128] * inv
+                    u = po[:, 128:256] + tt * pd[:, 128:256]
+                    v = po[:, 256:384] + tt * pd[:, 256:384]
+                    okm = (okm & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                           & (tt > tmin) & (tt < cap_t))
+                    cur = best128[...]
+                    bet = okm & (tt < cur)
+                    best128[...] = jnp.where(bet, tt, cur)
+                    clus128[...] = jnp.where(bet, c.astype(jnp.float32), clus128[...])
                 return 0
 
             jax.lax.fori_loop(0, L1_FAN, l2_body, 0)
-        return 0
 
-    jax.lax.fori_loop(0, n_l1, l1_body, 0)
+            # lazy per-ray cap tighten (slab pruning); only after a group
+            # actually ran — the reduce+relayout is not free
+            bt = jnp.min(best128[...], axis=1)  # [1024]
+            acc[0] = jnp.minimum(acc[0], bt.reshape(BLOCK_ROWS, 128))
 
-    # ---- pass 2: attribute fetch from the winning clusters ----
-    win_idx = acc[3]
-    win_cluster = jnp.floor(win_idx * (1.0 / CLUSTER_SIZE))
-    hit_any = win_idx >= 0.0
+        return k + 1, jnp.max(jnp.where(alive, acc[0], 0.0))
+
+    jax.lax.while_loop(
+        l1_cond, l1_body,
+        (jnp.int32(0), jnp.max(jnp.where(alive, acc[0], 0.0))))
+
+    # ---- winner resolve: argmin over lanes, then back to ray layout ----
+    bfin = best128[...]
+    cfin = clus128[...]
+    bt = jnp.min(bfin, axis=1)  # [1024]
+    ismin = (bfin == bt[:, None]) & (cfin >= 0.0)
+    wt = jnp.min(jnp.where(ismin, cfin * 128.0 + lane_f, FLOAT_MAX), axis=1)
+    win_t = jnp.where(wt < 1e30, wt, -1.0)  # [1024] global tri id or -1
+    acc[0] = bt.reshape(BLOCK_ROWS, 128)
+    acc[3] = win_t.reshape(BLOCK_ROWS, 128)
+
+    # ---- pass 2: one-hot matmul attribute fetch from winning clusters ----
+    win8 = acc[3]
+    hit_any = win8 >= 0.0
+    win_cluster = jnp.floor(win8 * (1.0 / CLUSTER_SIZE))
+    win_group = jnp.floor(win_cluster * (1.0 / L1_FAN))
+    g_min = jnp.min(jnp.where(hit_any, win_group, jnp.float32(n_l1))).astype(jnp.int32)
+    g_max = jnp.max(jnp.where(hit_any, win_group, -1.0)).astype(jnp.int32)
+    attrs_acc[...] = jnp.zeros((RAY_BLOCK, CLU_TRI_ROWS), jnp.float32)
+    win_col = win_t[:, None]  # [1024, 1]
 
     def a1_body(g, _):
-        in_g = hit_any & (jnp.floor(win_cluster * (1.0 / L1_FAN)) == g)
+        in_g = hit_any & (win_group == g)
         any1 = jnp.max(in_g.astype(jnp.float32)) > 0.5
 
         @pl.when(any1)
         def _():
+            slot = fetch_group(g)
+
             def a2_body(b, __):
                 c = g * L1_FAN + b
                 in_c = hit_any & (win_cluster == c)
@@ -581,98 +797,133 @@ def _trace_clustered_closest(tri_hbm, l1_ref, l2_ref, scratch, sem, acc,
 
                 @pl.when(any2)
                 def _():
-                    cp = pltpu.make_async_copy(tri_hbm.at[c], scratch, sem)
-                    cp.start()
-                    cp.wait()
                     base = (c * CLUSTER_SIZE).astype(jnp.float32)
-                    rows = (TR_GN, TR_GN + 1, TR_GN + 2,
-                            TR_N0, TR_N0 + 1, TR_N0 + 2,
-                            TR_N1, TR_N1 + 1, TR_N1 + 2,
-                            TR_N2, TR_N2 + 1, TR_N2 + 2,
-                            TR_MAT, TR_DS)
-                    bw = 1.0 - acc[1] - acc[2]
-
-                    def body(t, carry):
-                        match = win_idx == (base + t)
-                        out = tuple(
-                            jnp.where(match, scratch[row, t], cur)
-                            for row, cur in zip(rows, carry[:14]))
-                        if want_uv:
-                            uvx = (bw * scratch[TR_UV + 0, t]
-                                   + acc[1] * scratch[TR_UV + 2, t]
-                                   + acc[2] * scratch[TR_UV + 4, t])
-                            uvy = (bw * scratch[TR_UV + 1, t]
-                                   + acc[1] * scratch[TR_UV + 3, t]
-                                   + acc[2] * scratch[TR_UV + 5, t])
-                            out = out + (jnp.where(match, uvx, carry[14]),
-                                         jnp.where(match, uvy, carry[15]))
-                        return out
-
-                    init = tuple(acc[4 + i] for i in range(14))
-                    if want_uv:
-                        init = init + (acc[18], acc[19])
-                    out = jax.lax.fori_loop(0, CLUSTER_SIZE, body, init)
-                    for i in range(14):
-                        acc[4 + i] = out[i]
-                    if want_uv:
-                        acc[18] = out[14]
-                        acc[19] = out[15]
+                    onehot = (win_col == base + lane_f).astype(jnp.float32)
+                    attrs_acc[...] = attrs_acc[...] + jax.lax.dot_general(
+                        onehot, groups[slot, b], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
                 return 0
 
             jax.lax.fori_loop(0, L1_FAN, a2_body, 0)
         return 0
 
-    jax.lax.fori_loop(0, n_l1, a1_body, 0)
+    if not _PROF_NOP2:
+        jax.lax.fori_loop(g_min, g_max + 1, a1_body, 0)
+
+    # attrs to ray layout: [1024, 32] -> [32, 8, 128]
+    rows40 = jnp.transpose(attrs_acc[...], (1, 0)).reshape(
+        CLU_TRI_ROWS, BLOCK_ROWS, 128)
+    attr_rows = (CLU_GN, CLU_GN + 1, CLU_GN + 2,
+                 CLU_N0, CLU_N0 + 1, CLU_N0 + 2,
+                 CLU_N1, CLU_N1 + 1, CLU_N1 + 2,
+                 CLU_N2, CLU_N2 + 1, CLU_N2 + 2,
+                 CLU_MAT, CLU_DS)
+    for i, row in enumerate(attr_rows):
+        acc[4 + i] = rows40[row]
+
+    # u, v recomputed from the winner's Baldwin-Weber rows (pass 1 keeps
+    # only t per lane; this is cheaper than carrying u/v arrays)
+    px = ox + acc[0] * dx
+    py = oy + acc[0] * dy
+    pz = oz + acc[0] * dz
+    u = (rows40[CLU_R1] * px + rows40[CLU_R1 + 1] * py
+         + rows40[CLU_R1 + 2] * pz + rows40[CLU_R1 + 3])
+    v = (rows40[CLU_R2] * px + rows40[CLU_R2 + 1] * py
+         + rows40[CLU_R2 + 2] * pz + rows40[CLU_R2 + 3])
+    acc[1] = jnp.where(hit_any, u, 0.0)
+    acc[2] = jnp.where(hit_any, v, 0.0)
+    if want_uv:
+        w = 1.0 - acc[1] - acc[2]
+        acc[18] = (w * rows40[CLU_UV] + acc[1] * rows40[CLU_UV + 2]
+                   + acc[2] * rows40[CLU_UV + 4])
+        acc[19] = (w * rows40[CLU_UV + 1] + acc[1] * rows40[CLU_UV + 3]
+                   + acc[2] * rows40[CLU_UV + 5])
 
 
 def _trace_clustered_occluded(tri_hbm, l1_ref, l2_ref, scratch, sem, acc,
                               ox, oy, oz, dx, dy, dz, dist, active, *, n_l1):
-    """Occlusion walk: acc[0] accumulates the occluded flag (f32 0/1)."""
+    """Occlusion walk: acc[0] accumulates the occluded flag (f32 0/1).
+
+    Shadow origins are this bounce's hit points, so the XLA walk plan
+    (computed from the pre-trace origins) does not apply; instead the walk
+    computes the shadow-origin box IN KERNEL and skips groups whose
+    conservative distance exceeds every unresolved ray's light distance —
+    plus a while-loop exit once every shadow ray is resolved (the
+    terminate-on-first-hit dispatch of rgen:397-438)."""
     acc[0] = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
     ivx, ivy, ivz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
     tmin_r = jnp.where(active, SHADOW_TMIN, FLOAT_MAX)
     tcap = jnp.where(active, dist, -FLOAT_MAX)
 
+    # shadow-origin box over active rays (squared-distance comparisons)
+    big = jnp.float32(FLOAT_MAX)
+    sb_lo = [jnp.min(jnp.where(active, c, big)) for c in (ox, oy, oz)]
+    sb_hi = [jnp.max(jnp.where(active, c, -big)) for c in (ox, oy, oz)]
+    max_d0 = jnp.max(jnp.where(active, dist, 0.0))
+
     def tread(row, t):
-        return scratch[row, t]
+        # scratch holds a clustered-layout cluster; remap the canonical
+        # Baldwin-Weber row ids (row is a Python int at trace time)
+        return scratch[CLU_BW_FWD[row], t]
 
-    def l1_body(g, _):
-        # unresolved = active & not occluded; resolved rays prune the walk
-        open_r = active & (acc[0] < 0.5)
-        tmin_w = jnp.where(open_r, tmin_r, FLOAT_MAX)
-        hit1 = _slab_test(l1_ref, g, ox, oy, oz, ivx, ivy, ivz, tmin_w, tcap)
-        any1 = jnp.max(hit1.astype(jnp.float32)) > 0.5
+    def occl_cond(carry):
+        g, n_open, _max_d = carry
+        return (g < n_l1) & (n_open > 0.0)
 
-        @pl.when(any1)
+    def occl_body(carry):
+        g, _n_open, max_d = carry
+        # conservative group distance from the shadow-origin box
+        d2 = jnp.float32(0.0)
+        for ax in range(3):
+            gap = jnp.maximum(
+                0.0, jnp.maximum(l1_ref[ax, g] - sb_hi[ax],
+                                 sb_lo[ax] - l1_ref[3 + ax, g]))
+            gap = jnp.minimum(gap, 1e18)
+            d2 = d2 + gap * gap
+
+        @pl.when(d2 <= max_d * max_d)
         def _():
-            def l2_body(b, __):
-                c = g * L1_FAN + b
-                open2 = active & (acc[0] < 0.5)
-                tmin_w2 = jnp.where(open2, tmin_r, FLOAT_MAX)
-                hit2 = _slab_test(l2_ref, c, ox, oy, oz, ivx, ivy, ivz, tmin_w2, tcap)
-                any2 = jnp.max(hit2.astype(jnp.float32)) > 0.5
+            # unresolved = active & not occluded; resolved rays prune the walk
+            open_r = active & (acc[0] < 0.5)
+            tmin_w = jnp.where(open_r, tmin_r, FLOAT_MAX)
+            hit1 = _slab_test(l1_ref, g, ox, oy, oz, ivx, ivy, ivz, tmin_w, tcap)
+            any1 = jnp.max(hit1.astype(jnp.float32)) > 0.5
 
-                @pl.when(any2)
-                def _():
-                    cp = pltpu.make_async_copy(tri_hbm.at[c], scratch, sem)
-                    cp.start()
-                    cp.wait()
+            @pl.when(any1)
+            def _():
+                def l2_body(b, __):
+                    c = g * L1_FAN + b
+                    open2 = active & (acc[0] < 0.5)
+                    tmin_w2 = jnp.where(open2, tmin_r, FLOAT_MAX)
+                    hit2 = _slab_test(l2_ref, c, ox, oy, oz, ivx, ivy, ivz, tmin_w2, tcap)
+                    any2 = jnp.max(hit2.astype(jnp.float32)) > 0.5
 
-                    # f32 0/1 carry: Mosaic cannot legalize i1 vector
-                    # loop carries (scf.for legalization failure)
-                    def body(t, occ):
-                        tt, _u, _v, ok = _tri_hit_test(
-                            tread, t, ox, oy, oz, dx, dy, dz, SHADOW_TMIN)
-                        return jnp.maximum(
-                            occ, (ok & (tt < dist)).astype(jnp.float32))
+                    @pl.when(any2)
+                    def _():
+                        cp = pltpu.make_async_copy(tri_hbm.at[c], scratch, sem)
+                        cp.start()
+                        cp.wait()
 
-                    acc[0] = jax.lax.fori_loop(0, CLUSTER_SIZE, body, acc[0])
-                return 0
+                        # f32 0/1 carry: Mosaic cannot legalize i1 vector
+                        # loop carries (scf.for legalization failure)
+                        def body(t, occ):
+                            tt, _u, _v, ok = _tri_hit_test(
+                                tread, t, ox, oy, oz, dx, dy, dz, SHADOW_TMIN)
+                            return jnp.maximum(
+                                occ, (ok & (tt < dist)).astype(jnp.float32))
 
-            jax.lax.fori_loop(0, L1_FAN, l2_body, 0)
-        return 0
+                        acc[0] = jax.lax.fori_loop(0, CLUSTER_SIZE, body, acc[0])
+                    return 0
 
-    jax.lax.fori_loop(0, n_l1, l1_body, 0)
+                jax.lax.fori_loop(0, L1_FAN, l2_body, 0)
+
+        open_n = active & (acc[0] < 0.5)
+        return (g + 1, jnp.max(open_n.astype(jnp.float32)),
+                jnp.max(jnp.where(open_n, dist, 0.0)))
+
+    jax.lax.while_loop(
+        occl_cond, occl_body,
+        (jnp.int32(0), jnp.max(active.astype(jnp.float32)), max_d0))
 
 
 # ---------------------------------------------------------------------------
@@ -680,7 +931,14 @@ def _trace_clustered_occluded(tri_hbm, l1_ref, l2_ref, scratch, sem, acc,
 # ---------------------------------------------------------------------------
 
 def _bounce_kernel(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
-                   state_ref, out_ref, *scratch, static: FusedStatic, nee: bool):
+                   *rest, static: FusedStatic, nee: bool):
+    if static.clustered:
+        (order_ref, dist_ref, gbox_ref, lhs_ref,
+         state_ref, out_ref, *scratch) = rest
+        plan = (order_ref, dist_ref, gbox_ref, lhs_ref)
+    else:
+        state_ref, out_ref, *scratch = rest
+        plan = None
     # dead-block early out: later bounces have mostly-terminated blocks and
     # skip the whole triangle loop (the SIMT analog: warp-level exit)
     any_alive = jnp.max(state_ref[13]) > 0.5
@@ -692,11 +950,12 @@ def _bounce_kernel(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
     @pl.when(any_alive)
     def _():
         _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
-                     state_ref, out_ref, scratch, static=static, nee=nee)
+                     plan, state_ref, out_ref, scratch, static=static, nee=nee)
 
 
 def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
-                 state_ref, out_ref, scratch, *, static: FusedStatic, nee: bool):
+                 plan, state_ref, out_ref, scratch, *, static: FusedStatic,
+                 nee: bool):
     s = lambda c: state_ref[c]  # [8,128]  # noqa: E731
 
     ox, oy, oz = s(0), s(1), s(2)
@@ -711,14 +970,19 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
 
     # ---- closest-hit search ----
     if static.clustered:
-        tri_scratch, sem, acc = scratch
-        _trace_clustered_closest(
-            tri_ref, l1_ref, l2_ref, tri_scratch, sem, acc,
+        order_ref, dist_ref, gbox_ref, lhs_ref = plan
+        acc = scratch[2]
+        _trace_clustered_matrix(
+            tri_ref, l1_ref, l2_ref, order_ref, dist_ref, gbox_ref, lhs_ref,
+            scratch[3], scratch[4], scratch[5], scratch[6], scratch[7],
+            scratch[8], acc,
             ox, oy, oz, dx, dy, dz, tmin, alive_f, n_l1=static.n_l1)
         best_t, u, v = acc[0], acc[1], acc[2]
         (gnx, gny, gnz, n0x, n0y, n0z,
          n1x, n1y, n1z, n2x, n2y, n2z, mat_f, dsided) = tuple(
             acc[4 + i] for i in range(14))
+        # best_t caps at the scene-box exit; the hit flag is the win index
+        hit = alive & (acc[3] >= 0.0)
     else:
         def tread(row, t):
             return tri_ref[row, t]
@@ -727,8 +991,8 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
         (best_t, u, v, gnx, gny, gnz, n0x, n0y, n0z,
          n1x, n1y, n1z, n2x, n2y, n2z, mat_f, dsided) = jax.lax.fori_loop(
             0, static.n_tris, body, _hit_carry_init())
+        hit = alive & (best_t < FLOAT_MAX)
 
-    hit = alive & (best_t < FLOAT_MAX)
     miss = alive & ~hit
 
     # ---- miss: constant background; dome radiance is applied by the XLA
@@ -1026,7 +1290,7 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
 
             # shadow occlusion from the offset origin toward the light
             if static.clustered:
-                tri_scratch, sem, acc = scratch
+                tri_scratch, sem, acc = scratch[0], scratch[1], scratch[2]
                 _trace_clustered_occluded(
                     tri_ref, l1_ref, l2_ref, tri_scratch, sem, acc,
                     ox, oy, oz, ldx, ldy, ldz, ldist, do_trace, n_l1=static.n_l1)
@@ -1265,18 +1529,42 @@ def unpack_radiance(state, r: int):
     return unpack_rows(state, 9, 3, r)
 
 
+def _plan_specs(static: FusedStatic):
+    """in_specs + per-block index maps for the XLA-computed walk plan."""
+    return [
+        pl.BlockSpec((1, 1, static.n_l1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),  # L1 walk order
+        pl.BlockSpec((1, 1, static.n_l1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),  # sorted L1 distances
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # global scene box [8]
+        pl.BlockSpec((1, 3, RAY_BLOCK, 8), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),  # transposed ray matrix
+    ]
+
+
 @partial(jax.jit, static_argnames=("static", "nee"))
 def bounce_step(params, scene: FusedScene, state, *, static: FusedStatic, nee: bool):
     """One fused bounce over the whole ray state [16, R/128, 128]."""
     n_blocks = state.shape[1] // BLOCK_ROWS
     kernel = partial(_bounce_kernel, static=static, nee=nee)
+    plan_specs: list = []
+    plan_args: tuple = ()
     if static.clustered:
         tri_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch_shapes = [
-            pltpu.SMEM((TRI_ROWS, CLUSTER_SIZE), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((CLU_TRI_ROWS, CLUSTER_SIZE), jnp.float32),  # occl
+            pltpu.SemaphoreType.DMA,                            # occlusion
             pltpu.VMEM((CLU_ACC_ROWS, BLOCK_ROWS, 128), jnp.float32),
+            pltpu.VMEM((CACHE_SLOTS, L1_FAN, CLU_TRI_ROWS, 128),
+                       jnp.float32),                            # group cache
+            pltpu.SemaphoreType.DMA,                            # group sem
+            pltpu.SMEM((CACHE_SLOTS,), jnp.int32),              # cache tags
+            pltpu.VMEM((RAY_BLOCK, 128), jnp.float32),          # best/lane
+            pltpu.VMEM((RAY_BLOCK, 128), jnp.float32),          # cluster/lane
+            pltpu.VMEM((RAY_BLOCK, CLU_TRI_ROWS), jnp.float32), # attr matmul
         ]
+        plan_args = _cluster_walk_plan(state, scene.l1_aabbs)
+        plan_specs = _plan_specs(static)
     else:
         # triangle table lives in SMEM: the kernel reads per-triangle
         # SCALARS broadcast against the whole ray block, and only SMEM
@@ -1293,19 +1581,23 @@ def bounce_step(params, scene: FusedScene, state, *, static: FusedStatic, nee: b
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lights
             pl.BlockSpec(memory_space=pltpu.SMEM),  # L1 AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # L2 AABBs
+            *plan_specs,
             pl.BlockSpec((STATE_ROWS, BLOCK_ROWS, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((STATE_ROWS, BLOCK_ROWS, 128), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(state.shape, jnp.float32),
-        input_output_aliases={6: 0},
+        input_output_aliases={6 + len(plan_specs): 0},
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # the group cache + [1024,384] matmul temporaries exceed the
+            # default 16M scoped-vmem budget in clustered mode
+            vmem_limit_bytes=(64 * 1024 * 1024 if static.clustered else None),
         ),
     )(params, scene.tris, scene.mats, scene.lights,
-      scene.l1_aabbs, scene.l2_aabbs, state)
+      scene.l1_aabbs, scene.l2_aabbs, *plan_args, state)
 
 
 
@@ -1314,8 +1606,13 @@ def bounce_step(params, scene: FusedScene, state, *, static: FusedStatic, nee: b
 # split-bounce textured mode: trace and shade as separate kernels
 # ---------------------------------------------------------------------------
 
-def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, state_ref, hit_ref,
-                  *scratch, static: FusedStatic):
+def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, *rest,
+                  static: FusedStatic):
+    if static.clustered:
+        (order_ref, dist_ref, gbox_ref, lhs_ref,
+         state_ref, hit_ref, *scratch) = rest
+    else:
+        state_ref, hit_ref, *scratch = rest
     any_alive = jnp.max(state_ref[13]) > 0.5
 
     @pl.when(jnp.logical_not(any_alive))
@@ -1332,9 +1629,11 @@ def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, state_ref, hit_ref,
         tmin = params_ref[P_TMIN]
 
         if static.clustered:
-            tri_scratch, sem, acc = scratch
-            _trace_clustered_closest(
-                tri_ref, l1_ref, l2_ref, tri_scratch, sem, acc,
+            acc = scratch[2]
+            _trace_clustered_matrix(
+                tri_ref, l1_ref, l2_ref, order_ref, dist_ref, gbox_ref,
+                lhs_ref, scratch[3], scratch[4], scratch[5], scratch[6],
+                scratch[7], scratch[8], acc,
                 ox, oy, oz, dx, dy, dz, tmin, alive_f, n_l1=static.n_l1,
                 want_uv=True)
             best_t, u, v = acc[0], acc[1], acc[2]
@@ -1342,6 +1641,7 @@ def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, state_ref, hit_ref,
              n1x, n1y, n1z, n2x, n2y, n2z, mat_f, dsided) = tuple(
                 acc[4 + i] for i in range(14))
             uvx, uvy = acc[18], acc[19]
+            hit = alive & (acc[3] >= 0.0)
         else:
             def tread(row, t):
                 return tri_ref[row, t]
@@ -1352,8 +1652,7 @@ def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, state_ref, hit_ref,
              n1x, n1y, n1z, n2x, n2y, n2z, mat_f, dsided,
              uvx, uvy) = jax.lax.fori_loop(
                 0, static.n_tris, body, _hit_carry_init(want_uv=True))
-
-        hit = alive & (best_t < FLOAT_MAX)
+            hit = alive & (best_t < FLOAT_MAX)
 
         posx = ox + best_t * dx
         posy = oy + best_t * dy
@@ -1438,9 +1737,16 @@ def _tri_specs(static: FusedStatic):
     if static.clustered:
         tri_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch_shapes = [
-            pltpu.SMEM((TRI_ROWS, CLUSTER_SIZE), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((CLU_TRI_ROWS, CLUSTER_SIZE), jnp.float32),  # occl
+            pltpu.SemaphoreType.DMA,                            # occlusion
             pltpu.VMEM((CLU_ACC_ROWS, BLOCK_ROWS, 128), jnp.float32),
+            pltpu.VMEM((CACHE_SLOTS, L1_FAN, CLU_TRI_ROWS, 128),
+                       jnp.float32),                            # group cache
+            pltpu.SemaphoreType.DMA,                            # group sem
+            pltpu.SMEM((CACHE_SLOTS,), jnp.int32),              # cache tags
+            pltpu.VMEM((RAY_BLOCK, 128), jnp.float32),          # best/lane
+            pltpu.VMEM((RAY_BLOCK, 128), jnp.float32),          # cluster/lane
+            pltpu.VMEM((RAY_BLOCK, CLU_TRI_ROWS), jnp.float32), # attr matmul
         ]
     else:
         tri_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -1459,6 +1765,11 @@ def trace_step(params, scene: FusedScene, state, *, static: FusedStatic):
     n_blocks = state.shape[1] // BLOCK_ROWS
     tri_spec, scratch_shapes = _tri_specs(static)
     kernel = partial(_trace_kernel, static=static)
+    plan_specs: list = []
+    plan_args: tuple = ()
+    if static.clustered:
+        plan_args = _cluster_walk_plan(state, scene.l1_aabbs)
+        plan_specs = _plan_specs(static)
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -1467,13 +1778,17 @@ def trace_step(params, scene: FusedScene, state, *, static: FusedStatic):
             tri_spec,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # L1 AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # L2 AABBs
+            *plan_specs,
             _block_spec(STATE_ROWS),
         ],
         out_specs=_block_spec(HIT_ROWS),
         out_shape=jax.ShapeDtypeStruct((HIT_ROWS,) + state.shape[1:], jnp.float32),
         scratch_shapes=scratch_shapes,
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
-    )(params, scene.tris, scene.l1_aabbs, scene.l2_aabbs, state)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=(64 * 1024 * 1024 if static.clustered else None),
+        ),
+    )(params, scene.tris, scene.l1_aabbs, scene.l2_aabbs, *plan_args, state)
 
 
 @partial(jax.jit, static_argnames=("static", "nee"))
@@ -1501,7 +1816,10 @@ def shade_step(params, scene: FusedScene, state, hitbuf, parbuf, *,
         out_shape=jax.ShapeDtypeStruct(state.shape, jnp.float32),
         input_output_aliases={5: 0},
         scratch_shapes=scratch_shapes,
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=(64 * 1024 * 1024 if static.clustered else None),
+        ),
     )(params, scene.tris, scene.lights, scene.l1_aabbs, scene.l2_aabbs,
       state, hitbuf, parbuf)
 
