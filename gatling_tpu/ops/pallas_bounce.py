@@ -138,6 +138,10 @@ CLU_BW_FWD = {src: dst for src, dst in CLU_ROW_MAP[:12]}
 # Direct-mapped, prime slot count to avoid stride collisions.
 CACHE_SLOTS = 23
 
+# cluster tables at or below this size live wholly in VMEM (v5e has
+# 128 MiB physical VMEM; leave room for state blocks + dot temporaries)
+CLU_VMEM_MAX_BYTES = 56 * 1024 * 1024
+
 # profiling switches (timing surgery only; wrong images when set)
 import os as _os  # noqa: E402
 _PROF_NODMA = _os.environ.get("GATLING_WALK_NODMA", "") == "1"
@@ -201,6 +205,11 @@ class FusedStatic:
     # absorption-only volumes (mediumStackSize == 0 semantics): the medium
     # flag rides the alive row (1 = outside, 2 = inside a medium)
     volumes: bool = False
+    # clustered mode with the WHOLE cluster table resident in VMEM (fits
+    # under CLU_VMEM_MAX_BYTES): no per-group DMA/cache at all — Mosaic
+    # fetches the unchanging input block once per pallas_call. Measured:
+    # DMA was 61% of an unsorted secondary bounce (PERF.md attribution).
+    clu_vmem: bool = False
 
     @property
     def clustered(self) -> bool:
@@ -437,8 +446,12 @@ def build_fused_scene_with_order(
     l1[0:3] = l2min.reshape(n_l1, L1_FAN, 3).min(axis=1).T
     l1[3:6] = l2max.reshape(n_l1, L1_FAN, 3).max(axis=1).T
 
+    clu_vmem = tris.nbytes <= CLU_VMEM_MAX_BYTES
+    if _os.environ.get("GATLING_CLU_VMEM", "") in ("0", "1"):
+        clu_vmem = _os.environ["GATLING_CLU_VMEM"] == "1"
     static = FusedStatic(n_tris=n_real, n_mats=int(table.packed_f.shape[0]),
-                         n_clusters=n_clusters, n_l1=n_l1, light_types=light_types)
+                         n_clusters=n_clusters, n_l1=n_l1,
+                         light_types=light_types, clu_vmem=clu_vmem)
     scene = FusedScene(
         tris=jnp.asarray(tris),
         mats=jnp.asarray(table.packed_f),
@@ -566,6 +579,7 @@ def _cluster_walk_plan(state, l1_aabbs):
     """
     n_blocks = state.shape[1] // BLOCK_ROWS
     o = state[0:3].reshape(3, n_blocks, BLOCK_ROWS * 128)
+    d = state[3:6].reshape(3, n_blocks, BLOCK_ROWS * 128)
     alive = (state[13] > 0.5).reshape(1, n_blocks, BLOCK_ROWS * 128)
     big = jnp.float32(FLOAT_MAX)
     b_lo = jnp.min(jnp.where(alive, o, big), axis=2)  # [3, B]
@@ -578,6 +592,51 @@ def _cluster_walk_plan(state, l1_aabbs):
     # clamp before squaring: FLOAT_MAX gaps (empty boxes / dead blocks)
     # must order last without overflowing to nan via inf-inf downstream
     dist = jnp.sqrt(jnp.sum(jnp.minimum(gap, 1e18) ** 2, axis=0))  # [B, n_l1]
+
+    # direction-aware group mask (interval arithmetic): the origin-box
+    # distance alone sorts groups BEHIND the rays early and lets the walk
+    # scan every group along the scene diagonal whenever one miss ray keeps
+    # its cap at scene exit (measured: 88 of 145 L1 iterations/block on
+    # sphere_field primaries, ~40% of the walk time in loop+slab overhead).
+    # A conservative block-frustum slab test — origins in [b_lo,b_hi],
+    # directions in [d_lo,d_hi], interval-safe reciprocals, axes whose
+    # direction interval straddles 0 contribute (-inf, +inf) — masks
+    # never-crossed groups to distance 3e37 so they sort last and the
+    # while-loop's `dist <= max_best` exit never reaches them.
+    d_lo = jnp.min(jnp.where(alive, d, big), axis=2)  # [3, B]
+    d_hi = jnp.max(jnp.where(alive, d, -big), axis=2)
+    pos = d_lo > 0.0
+    neg = d_hi < 0.0
+    mono = pos | neg  # direction sign fixed across the block on this axis
+    safe_lo = jnp.where(mono, d_lo, 1.0)
+    safe_hi = jnp.where(mono, d_hi, 1.0)
+    iv_a = 1.0 / safe_lo  # interval endpoints of 1/d (order unknown)
+    iv_b = 1.0 / safe_hi
+    iv_lo = jnp.minimum(iv_a, iv_b)[:, :, None]  # [3, B, 1]
+    iv_hi = jnp.maximum(iv_a, iv_b)[:, :, None]
+
+    def _imul(s_lo, s_hi):
+        # interval product (s_lo..s_hi) * (iv_lo..iv_hi), endpointwise
+        p1, p2 = s_lo * iv_lo, s_lo * iv_hi
+        p3, p4 = s_hi * iv_lo, s_hi * iv_hi
+        return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+                jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
+
+    s0_lo = g_lo[:, None, :] - b_hi[:, :, None]  # (plane_lo - o) interval
+    s0_hi = g_lo[:, None, :] - b_lo[:, :, None]
+    s1_lo = g_hi[:, None, :] - b_hi[:, :, None]
+    s1_hi = g_hi[:, None, :] - b_lo[:, :, None]
+    t0_lo, t0_hi = _imul(s0_lo, s0_hi)
+    t1_lo, t1_hi = _imul(s1_lo, s1_hi)
+    ent = jnp.minimum(t0_lo, t1_lo)  # [3, B, n_l1] entry lower bound
+    ext = jnp.maximum(t0_hi, t1_hi)  # exit upper bound
+    mono_b = mono[:, :, None]
+    ent = jnp.where(mono_b, ent, -big)
+    ext = jnp.where(mono_b, ext, big)
+    ten = jnp.maximum(jnp.max(ent, axis=0), 0.0)  # [B, n_l1]
+    tex = jnp.min(ext, axis=0)
+    crossed = (ten <= tex) & (tex >= 0.0)
+    dist = jnp.where(crossed, dist, 3e37)
     order = jnp.argsort(dist, axis=1).astype(jnp.int32)
     dist_sorted = jnp.take_along_axis(dist, order, axis=1)
     gbox = jnp.concatenate([
@@ -613,8 +672,8 @@ def _cluster_walk_plan(state, l1_aabbs):
     return order[:, None, :], dist_sorted[:, None, :], gbox, lhs
 
 
-def _trace_clustered_matrix(tri_hbm, l1_ref, l2_ref, order_ref, dist_ref,
-                            gbox_ref, lhs_ref, groups, gsem, tags, best128,
+def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
+                            gbox_ref, lhs_ref, cache, best128,
                             clus128, attrs_acc, acc,
                             ox, oy, oz, dx, dy, dz, tmin, alive_f, *, n_l1,
                             want_uv=False):
@@ -623,16 +682,23 @@ def _trace_clustered_matrix(tri_hbm, l1_ref, l2_ref, order_ref, dist_ref,
     Measured on v5e (PERF.md): every DMA costs ~13 us FIXED regardless of
     size, and the scalar 128-triangle loop costs ~110 cycles/triangle
     (serialized dynamic SMEM scalar reads). This version therefore
-    (a) DMAs a whole L1 GROUP of 16 clusters per copy (one fixed cost for
-        256 KB instead of 16), HBM->VMEM,
-    (b) intersects each surviving cluster with TWO MXU matmuls
-        ([1024,4] rays x [4,384] Baldwin-Weber rows -> plane/u/v products
-        for all 128 triangles at once) plus vectorized [1024,128] selects,
-        replacing the per-triangle scalar loop entirely,
+    (a) keeps the whole cluster table VMEM-resident when it fits
+        (cache is None, tri_ref is a VMEM input fetched once per
+        pallas_call); otherwise DMAs whole L1 GROUPS of 16 clusters
+        (one fixed cost for 256 KB instead of 16) behind a direct-mapped
+        group cache that persists across grid programs,
+    (b) intersects each surviving cluster on the MXU: Baldwin-Weber
+        plane/u/v products for all (1024 rays x 128 tris) at once as
+        bf16 hi/lo split matmuls — three one-pass bf16 products
+        reproduce the f32 result to ~2^-16 relative (the bf16x3
+        emulation XLA calls HIGH, which Mosaic does not expose) at a
+        quarter of the HIGHEST (bf16x6 per operand pair) MXU passes,
     (c) keeps per-(ray,lane) running best/cluster arrays across the walk and
         resolves the argmin once at the end,
-    (d) fetches the winner's 32 attribute rows with ONE one-hot matmul per
-        winning cluster ([1024,128] x [128,32]) in pass 2.
+    (d) fetches the winner's attribute rows with ONE one-hot matmul per
+        winning cluster ([1024,128] x [128,40]) in pass 2, then recomputes
+        the winner's t/u/v EXACTLY from the f32 rows — the bf16 split
+        decides only WHICH triangle wins, never the shading-state math.
 
     The transposed ray matrix (lhs_ref [1024, 16]: o,1 | d,0 | cap) comes
     from the XLA prelude (_cluster_walk_plan); the group walk keeps the
@@ -663,16 +729,29 @@ def _trace_clustered_matrix(tri_hbm, l1_ref, l2_ref, order_ref, dist_ref,
     lane_f = jax.lax.broadcasted_iota(
         jnp.int32, (RAY_BLOCK, 128), 1).astype(jnp.float32)
 
-    # group cache: scratch persists across the sequential grid programs of
-    # one pallas_call, so Morton-adjacent ray blocks reuse each other's
-    # group fetches (every DMA is ~13 us fixed cost — the secondary-bounce
-    # bottleneck). Tags are invalidated once by the first program.
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        for slot_i in range(CACHE_SLOTS):
-            tags[slot_i] = -1
+    # hi/lo bf16 split of the stacked (origins | directions) ray matrix,
+    # done once per block: a.hi + a.lo reproduces a to ~2^-24 relative
+    lhs2 = jnp.concatenate([lhs_o, lhs_d], axis=0)  # [2048, 8]
+    lhs_hi = lhs2.astype(jnp.bfloat16)
+    lhs_lo = (lhs2 - lhs_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    if cache is not None:
+        groups, gsem, tags = cache
+
+        # group cache: scratch persists across the sequential grid programs
+        # of one pallas_call, so Morton-adjacent ray blocks reuse each
+        # other's group fetches (every DMA is ~13 us fixed cost — the
+        # secondary-bounce bottleneck). Tags are invalidated once by the
+        # first program.
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for slot_i in range(CACHE_SLOTS):
+                tags[slot_i] = -1
 
     def fetch_group(g):
+        """Make group g's 16 clusters readable; returns the read handle."""
+        if cache is None:
+            return g  # VMEM-resident: read tri_ref[g*L1_FAN+b] directly
         slot = jax.lax.rem(g, CACHE_SLOTS)
         if _PROF_NODMA:
             return slot
@@ -680,12 +759,18 @@ def _trace_clustered_matrix(tri_hbm, l1_ref, l2_ref, order_ref, dist_ref,
         @pl.when(tags[slot] != g)
         def _():
             cp = pltpu.make_async_copy(
-                tri_hbm.at[pl.ds(g * L1_FAN, L1_FAN)], groups.at[slot], gsem)
+                tri_ref.at[pl.ds(g * L1_FAN, L1_FAN)], groups.at[slot], gsem)
             cp.start()
             cp.wait()
             tags[slot] = g
 
         return slot
+
+    def cluster_rows(handle, b):
+        """[CLU_TRI_ROWS, 128] f32 rows of cluster b within a fetched group."""
+        if cache is None:
+            return tri_ref[handle * L1_FAN + b]
+        return groups[handle, b]
 
     # ---- pass 1: per-(ray, lane) best t + cluster over ordered groups ----
     def l1_cond(carry):
@@ -700,7 +785,7 @@ def _trace_clustered_matrix(tri_hbm, l1_ref, l2_ref, order_ref, dist_ref,
 
         @pl.when(any1)
         def _():
-            slot = fetch_group(g)
+            handle = fetch_group(g)
 
             def l2_body(b, __):
                 c = g * L1_FAN + b
@@ -710,31 +795,37 @@ def _trace_clustered_matrix(tri_hbm, l1_ref, l2_ref, order_ref, dist_ref,
 
                 @pl.when(any2)
                 def _():
-                    tri = groups[slot, b]  # [CLU_TRI_ROWS, 128]
+                    tri = cluster_rows(handle, b)  # [CLU_TRI_ROWS, 128]
 
-                    # TWO [1024,8]x[8,384] MXU products cover all three
-                    # Baldwin-Weber quads for origins and directions: the
-                    # quads sit at 8-aligned sublanes (CLU layout) so the
-                    # lane-concat legalizes, and lhs columns 4-7 are zero
-                    # so the attr rows parked in each quad's upper half
-                    # contribute nothing. bf16x6 (HIGHEST) keeps f32-class
-                    # relative t accuracy — hit selection parity with the
-                    # f32 scalar path inside test tolerances.
+                    # ONE stacked (o|d) x rows product covers all three
+                    # Baldwin-Weber quads: the quads sit at 8-aligned
+                    # sublanes (CLU layout) so the lane-concat legalizes,
+                    # and lhs columns 4-7 are zero so the attr rows parked
+                    # in each quad's upper half contribute nothing. The
+                    # product runs as three one-pass bf16 hi/lo matmuls
+                    # (~2^-16 relative error — selection only; the winner's
+                    # t/u/v are recomputed exactly in pass 2).
                     ro = jnp.concatenate(
                         [tri[CLU_N:CLU_N + 8], tri[CLU_R1:CLU_R1 + 8],
                          tri[CLU_R2:CLU_R2 + 8]], axis=1)  # [8, 384]
 
-                    def prod(lhs):
-                        if _PROF_NOMXU:
-                            return jnp.broadcast_to(ro[0:1, :] + lhs[0, 0],
-                                                    (RAY_BLOCK, 384))
-                        return jax.lax.dot_general(
-                            lhs, ro, (((1,), (0,)), ((), ())),
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)
+                    if _PROF_NOMXU:
+                        p = jnp.broadcast_to(ro[0:1, :] + lhs2[0, 0],
+                                             (2 * RAY_BLOCK, 384))
+                    else:
+                        ro_hi = ro.astype(jnp.bfloat16)
+                        ro_lo = (ro - ro_hi.astype(jnp.float32)).astype(
+                            jnp.bfloat16)
 
-                    po = prod(lhs_o)
-                    pd = prod(lhs_d)
+                        def bdot(a, b_):
+                            return jax.lax.dot_general(
+                                a, b_, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+                        p = (bdot(lhs_hi, ro_hi) + bdot(lhs_hi, ro_lo)
+                             + bdot(lhs_lo, ro_hi))  # [2048, 384]
+                    po = p[0:RAY_BLOCK]
+                    pd = p[RAY_BLOCK:2 * RAY_BLOCK]
                     nd = pd[:, 0:128]
                     okm = jnp.abs(nd) > 1e-12
                     inv = jnp.where(okm, 1.0 / jnp.where(okm, nd, 1.0), 0.0)
@@ -788,7 +879,7 @@ def _trace_clustered_matrix(tri_hbm, l1_ref, l2_ref, order_ref, dist_ref,
 
         @pl.when(any1)
         def _():
-            slot = fetch_group(g)
+            handle = fetch_group(g)
 
             def a2_body(b, __):
                 c = g * L1_FAN + b
@@ -800,7 +891,8 @@ def _trace_clustered_matrix(tri_hbm, l1_ref, l2_ref, order_ref, dist_ref,
                     base = (c * CLUSTER_SIZE).astype(jnp.float32)
                     onehot = (win_col == base + lane_f).astype(jnp.float32)
                     attrs_acc[...] = attrs_acc[...] + jax.lax.dot_general(
-                        onehot, groups[slot, b], (((1,), (1,)), ((), ())),
+                        onehot, cluster_rows(handle, b),
+                        (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
                 return 0
 
@@ -821,8 +913,17 @@ def _trace_clustered_matrix(tri_hbm, l1_ref, l2_ref, order_ref, dist_ref,
     for i, row in enumerate(attr_rows):
         acc[4 + i] = rows40[row]
 
-    # u, v recomputed from the winner's Baldwin-Weber rows (pass 1 keeps
-    # only t per lane; this is cheaper than carrying u/v arrays)
+    # t, u, v recomputed EXACTLY (f32) from the winner's Baldwin-Weber
+    # rows: the bf16-split pass-1 products only pick the winner; all
+    # shading-state math downstream is full precision
+    ndw = (rows40[CLU_N] * dx + rows40[CLU_N + 1] * dy
+           + rows40[CLU_N + 2] * dz)
+    pow_ = (rows40[CLU_N] * ox + rows40[CLU_N + 1] * oy
+            + rows40[CLU_N + 2] * oz + rows40[CLU_N + 3])
+    nd_safe = jnp.where(jnp.abs(ndw) > 1e-20,
+                        ndw, jnp.where(ndw >= 0.0, 1e-20, -1e-20))
+    acc[0] = jnp.where(hit_any, -pow_ / nd_safe, acc[0])
+
     px = ox + acc[0] * dx
     py = oy + acc[0] * dy
     pz = oz + acc[0] * dz
@@ -971,11 +1072,11 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
     # ---- closest-hit search ----
     if static.clustered:
         order_ref, dist_ref, gbox_ref, lhs_ref = plan
-        acc = scratch[2]
+        acc, cache, best128, clus128, attrs_acc = _clu_scratch_views(
+            scratch, static)
         _trace_clustered_matrix(
             tri_ref, l1_ref, l2_ref, order_ref, dist_ref, gbox_ref, lhs_ref,
-            scratch[3], scratch[4], scratch[5], scratch[6], scratch[7],
-            scratch[8], acc,
+            cache, best128, clus128, attrs_acc, acc,
             ox, oy, oz, dx, dy, dz, tmin, alive_f, n_l1=static.n_l1)
         best_t, u, v = acc[0], acc[1], acc[2]
         (gnx, gny, gnz, n0x, n0y, n0z,
@@ -1549,28 +1650,13 @@ def bounce_step(params, scene: FusedScene, state, *, static: FusedStatic, nee: b
     kernel = partial(_bounce_kernel, static=static, nee=nee)
     plan_specs: list = []
     plan_args: tuple = ()
+    # non-clustered: triangle table lives in SMEM — the kernel reads
+    # per-triangle SCALARS broadcast against the whole ray block, and only
+    # SMEM supports dynamic scalar indexing
+    tri_spec, scratch_shapes = _tri_specs(static)
     if static.clustered:
-        tri_spec = pl.BlockSpec(memory_space=pl.ANY)
-        scratch_shapes = [
-            pltpu.SMEM((CLU_TRI_ROWS, CLUSTER_SIZE), jnp.float32),  # occl
-            pltpu.SemaphoreType.DMA,                            # occlusion
-            pltpu.VMEM((CLU_ACC_ROWS, BLOCK_ROWS, 128), jnp.float32),
-            pltpu.VMEM((CACHE_SLOTS, L1_FAN, CLU_TRI_ROWS, 128),
-                       jnp.float32),                            # group cache
-            pltpu.SemaphoreType.DMA,                            # group sem
-            pltpu.SMEM((CACHE_SLOTS,), jnp.int32),              # cache tags
-            pltpu.VMEM((RAY_BLOCK, 128), jnp.float32),          # best/lane
-            pltpu.VMEM((RAY_BLOCK, 128), jnp.float32),          # cluster/lane
-            pltpu.VMEM((RAY_BLOCK, CLU_TRI_ROWS), jnp.float32), # attr matmul
-        ]
         plan_args = _cluster_walk_plan(state, scene.l1_aabbs)
         plan_specs = _plan_specs(static)
-    else:
-        # triangle table lives in SMEM: the kernel reads per-triangle
-        # SCALARS broadcast against the whole ray block, and only SMEM
-        # supports dynamic scalar indexing
-        tri_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-        scratch_shapes = []
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -1594,7 +1680,7 @@ def bounce_step(params, scene: FusedScene, state, *, static: FusedStatic, nee: b
             dimension_semantics=("arbitrary",),
             # the group cache + [1024,384] matmul temporaries exceed the
             # default 16M scoped-vmem budget in clustered mode
-            vmem_limit_bytes=(64 * 1024 * 1024 if static.clustered else None),
+            vmem_limit_bytes=_clu_vmem_limit(static),
         ),
     )(params, scene.tris, scene.mats, scene.lights,
       scene.l1_aabbs, scene.l2_aabbs, *plan_args, state)
@@ -1629,11 +1715,11 @@ def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, *rest,
         tmin = params_ref[P_TMIN]
 
         if static.clustered:
-            acc = scratch[2]
+            acc, cache, best128, clus128, attrs_acc = _clu_scratch_views(
+                scratch, static)
             _trace_clustered_matrix(
                 tri_ref, l1_ref, l2_ref, order_ref, dist_ref, gbox_ref,
-                lhs_ref, scratch[3], scratch[4], scratch[5], scratch[6],
-                scratch[7], scratch[8], acc,
+                lhs_ref, cache, best128, clus128, attrs_acc, acc,
                 ox, oy, oz, dx, dy, dz, tmin, alive_f, n_l1=static.n_l1,
                 want_uv=True)
             best_t, u, v = acc[0], acc[1], acc[2]
@@ -1735,15 +1821,26 @@ def _shade_kernel(params_ref, tri_ref, light_ref, l1_ref, l2_ref,
 
 def _tri_specs(static: FusedStatic):
     if static.clustered:
-        tri_spec = pl.BlockSpec(memory_space=pl.ANY)
+        if static.clu_vmem:
+            # whole cluster table as a VMEM input: the index map is
+            # constant, so Mosaic's pipeline fetches it once per
+            # pallas_call and keeps it resident across grid programs
+            tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        else:
+            tri_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch_shapes = [
             pltpu.SMEM((CLU_TRI_ROWS, CLUSTER_SIZE), jnp.float32),  # occl
             pltpu.SemaphoreType.DMA,                            # occlusion
             pltpu.VMEM((CLU_ACC_ROWS, BLOCK_ROWS, 128), jnp.float32),
-            pltpu.VMEM((CACHE_SLOTS, L1_FAN, CLU_TRI_ROWS, 128),
-                       jnp.float32),                            # group cache
-            pltpu.SemaphoreType.DMA,                            # group sem
-            pltpu.SMEM((CACHE_SLOTS,), jnp.int32),              # cache tags
+        ]
+        if not static.clu_vmem:
+            scratch_shapes += [
+                pltpu.VMEM((CACHE_SLOTS, L1_FAN, CLU_TRI_ROWS, 128),
+                           jnp.float32),                        # group cache
+                pltpu.SemaphoreType.DMA,                        # group sem
+                pltpu.SMEM((CACHE_SLOTS,), jnp.int32),          # cache tags
+            ]
+        scratch_shapes += [
             pltpu.VMEM((RAY_BLOCK, 128), jnp.float32),          # best/lane
             pltpu.VMEM((RAY_BLOCK, 128), jnp.float32),          # cluster/lane
             pltpu.VMEM((RAY_BLOCK, CLU_TRI_ROWS), jnp.float32), # attr matmul
@@ -1752,6 +1849,27 @@ def _tri_specs(static: FusedStatic):
         tri_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         scratch_shapes = []
     return tri_spec, scratch_shapes
+
+
+def _clu_scratch_views(scratch, static: FusedStatic):
+    """(acc, cache-or-None, best128, clus128, attrs_acc) from the scratch
+    list laid out by _tri_specs (scratch[0:2] are the occlusion SMEM+sem)."""
+    acc = scratch[2]
+    if static.clu_vmem:
+        cache = None
+        best128, clus128, attrs_acc = scratch[3], scratch[4], scratch[5]
+    else:
+        cache = (scratch[3], scratch[4], scratch[5])
+        best128, clus128, attrs_acc = scratch[6], scratch[7], scratch[8]
+    return acc, cache, best128, clus128, attrs_acc
+
+
+def _clu_vmem_limit(static: FusedStatic):
+    """Scoped-VMEM budget: the resident cluster table (up to 56 MB) plus
+    state blocks and dot temporaries; v5e has 128 MiB physical VMEM."""
+    if not static.clustered:
+        return None
+    return 100 * 1024 * 1024 if static.clu_vmem else 64 * 1024 * 1024
 
 
 def _block_spec(rows):
@@ -1786,7 +1904,7 @@ def trace_step(params, scene: FusedScene, state, *, static: FusedStatic):
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=(64 * 1024 * 1024 if static.clustered else None),
+            vmem_limit_bytes=_clu_vmem_limit(static),
         ),
     )(params, scene.tris, scene.l1_aabbs, scene.l2_aabbs, *plan_args, state)
 
@@ -1818,7 +1936,7 @@ def shade_step(params, scene: FusedScene, state, hitbuf, parbuf, *,
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=(64 * 1024 * 1024 if static.clustered else None),
+            vmem_limit_bytes=_clu_vmem_limit(static),
         ),
     )(params, scene.tris, scene.lights, scene.l1_aabbs, scene.l2_aabbs,
       state, hitbuf, parbuf)

@@ -237,6 +237,57 @@ def test_fused_stats_counts_segments():
     assert segs.max() <= 2.0 * cfg.max_bounces
 
 
+def test_fused_clustered_multigroup_walk_mask():
+    """Multiple L1 groups exercise the direction-aware group mask in the
+    XLA walk plan (groups a block never crosses sort to distance 3e37 and
+    the ordered walk must still find every hit): a 5x5 sphere grid spans
+    >= 2 L1 groups; bounce-0 state parity vs the resident walk."""
+    from gatling_tpu.ops.pallas_bounce import bounce_step, make_params, pack_state
+    from gatling_tpu.scene.examples import _uv_sphere
+    from gatling_tpu.scene.meshproc import build_triangulated_mesh
+    from gatling_tpu.scene.stage import MeshDesc
+
+    pts, counts, idx = _uv_sphere(8, 8)
+    sphere = build_triangulated_mesh(pts, counts, idx)
+    meshes = []
+    for i in range(25):
+        xf = np.eye(4)
+        xf[3, :3] = [3.0 * (i % 5 - 2), 3.0 * (i // 5 - 2), 0.0]
+        meshes.append(MeshDesc(path=f"/s{i}", mesh=sphere, transform=xf,
+                               material=None, double_sided=False, object_id=i))
+    geom = build_geometry(meshes, {None: 0})
+    table = build_material_table([lower_material(None)])
+    _geom_unused, _table_unused, uni = _cornell()
+
+    res_scene, res_static = build_fused_scene(geom, table, None,
+                                              resident_max=4096)
+    clu_scene, clu_static = build_fused_scene(geom, table, None,
+                                              resident_max=0)
+    assert res_static.n_clusters == 0
+    assert clu_static.n_l1 >= 2, clu_static
+
+    # rays from several origins/directions: axis rows, diagonals, misses
+    n = 64
+    gy, gz = np.meshgrid(np.linspace(-7, 7, 8), np.linspace(-2, 2, 8))
+    origins = np.stack([np.full(n, -12.0), gy.ravel(), gz.ravel()], axis=1)
+    dirs = np.tile(np.array([[1.0, 0.2, 0.0]]), (n, 1))
+    dirs[n // 2:] = [0.6, 0.6, 0.1]
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    state = pack_state(jnp.asarray(origins, jnp.float32),
+                       jnp.asarray(dirs, jnp.float32),
+                       jnp.arange(n, dtype=jnp.uint32), 1024)
+    cfg = RenderConfig(width=8, height=8, spp=1, max_bounces=2,
+                       has_dome=False, rr_bounce_offset=100)
+    params = make_params(cfg, uni, jnp.int32(0))
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(bounce_step(params, res_scene, state,
+                                   static=res_static, nee=False))
+        b = np.asarray(bounce_step(params, clu_scene, state,
+                                   static=clu_static, nee=False))
+    assert a[13].sum() > 0 and a[13].sum() < n
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_fused_clustered_refit_matches_rebuild():
     """Transform edits refit the clustered tables under the CACHED Morton
     order (stable static shapes, no recompile); the result must match a
