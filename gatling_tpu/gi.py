@@ -470,8 +470,9 @@ def render(params: GiRenderParams) -> None:
 
         from gatling_tpu.render.fused import supports_fused
 
-        has_textures = scene._texture_pool is not None and int(
-            scene._texture_pool.texels.shape[0]) > 1
+        has_textures = scene._texture_pool is not None and (
+            int(scene._texture_pool.texels.shape[0]) > 1
+            or int(scene._texture_pool.texels_u32.shape[0]) > 1)
         has_normal_maps = bool(
             (np.asarray(scene._material_table.normal_tex) >= 0).any())
         has_scattering = any(

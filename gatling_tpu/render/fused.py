@@ -130,43 +130,42 @@ def supports_fused(config: RenderConfig, has_textures: bool,
 
 
 def _material_rows_chunked(materials, textures, hitbuf, active, live_prefix):
-    """Alive-prefix chunked texture stage: rays are kept sorted alive-first
-    between bounces, so the per-bounce XLA stage only runs over chunks that
-    contain live rays — the stage cost shrinks with the live set instead of
-    paying full-frame gathers on every bounce x spp iteration (the measured
+    """Alive-prefix texture stage: rays are kept sorted alive-first between
+    bounces, so the per-bounce XLA stage only runs over a prefix covering
+    the live set — the stage cost shrinks with aliveness instead of paying
+    full-frame gathers on every bounce x spp iteration (the measured
     round-2 textured bottleneck, PERF.md). live_prefix is an index bound
-    covering every live ray (== the live count when sorted)."""
-    rows_h, nb, lanes = hitbuf.shape
-    eighth = -(-nb // 8)
-    chunk_nb = max(8, -(-eighth // 8) * 8)  # ~nb/8, whole [8,128] blocks
-    n_chunks = -(-nb // chunk_nb)
-    chunk_rays = chunk_nb * lanes
+    covering every live ray (== the live count when sorted).
 
-    if n_chunks <= 1:
+    Implemented as a lax.switch over halving STATIC prefix sizes (each
+    branch slices, computes, zero-pads): a chunked lax.scan measured a
+    ~25 ms fixed overhead at 1200sq from the cond'd chunk writes + output
+    restacking, which the switch avoids entirely."""
+    rows_h, nb, lanes = hitbuf.shape
+    sizes = [nb]
+    while len(sizes) < 5 and sizes[-1] > 8:
+        half = max(8, -(-sizes[-1] // 2 // 8) * 8)
+        if half == sizes[-1]:
+            break
+        sizes.append(half)
+    sizes = sorted(set(sizes))  # ascending row counts
+    if len(sizes) <= 1:
         return _material_rows(materials, textures, hitbuf, active)
 
-    # pad to whole chunks so scan outputs stack back exactly
-    nb_pad = n_chunks * chunk_nb
-    hb_p = hitbuf if nb_pad == nb else jnp.pad(
-        hitbuf, ((0, 0), (0, nb_pad - nb), (0, 0)))
+    def branch(sz):
+        def f(hb):
+            chunk = jax.lax.slice(hb, (0, 0, 0), (rows_h, sz, lanes))
+            out = _material_rows(materials, textures, chunk, active)
+            if sz == nb:
+                return out
+            return jnp.pad(out, ((0, 0), (0, nb - sz), (0, 0)))
+        return f
 
-    def step(_, i):
-        def compute(hb):
-            chunk = jax.lax.dynamic_slice(
-                hb, (0, i * chunk_nb, 0), (rows_h, chunk_nb, lanes))
-            return _material_rows(materials, textures, chunk, active)
-
-        y = jax.lax.cond(
-            i * chunk_rays < live_prefix, compute,
-            lambda hb: jnp.zeros((PARAM_ROWS, chunk_nb, lanes), jnp.float32),
-            hb_p)
-        return 0, y
-
-    # scan stacks chunk outputs in place — no O(frame) carry copies like a
-    # while_loop + dynamic_update_slice would pay per chunk
-    _, ys = jax.lax.scan(step, 0, jnp.arange(n_chunks, dtype=jnp.int32))
-    par = jnp.swapaxes(ys, 0, 1).reshape(PARAM_ROWS, nb_pad, lanes)
-    return par[:, :nb] if nb_pad != nb else par
+    live_rows = (live_prefix + lanes - 1) // lanes
+    idx = jnp.int32(0)
+    for sz in sizes[:-1]:
+        idx = idx + (live_rows > sz).astype(jnp.int32)
+    return jax.lax.switch(idx, [branch(sz) for sz in sizes], hitbuf)
 
 
 def _material_rows(materials, textures, hitbuf, active=None,

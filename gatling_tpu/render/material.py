@@ -350,11 +350,26 @@ def build_material_table(
     return _pack_material_table(table)
 
 
+def _gather_rows(table2d: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Row gather [R, C] from a small table. TPU gathers are element-count
+    bound (~1 element/cycle); for the material-table sizes this is a
+    one-hot [R, M] x [M, C] MXU matmul instead — integer columns (slot
+    ids < 2^24) stay exact through f32 accumulation."""
+    m = int(table2d.shape[0])
+    if m > 128:
+        return table2d[ids]
+    onehot = (ids[:, None] == jnp.arange(m, dtype=ids.dtype)[None, :])
+    dense = onehot.astype(jnp.float32) @ table2d.astype(jnp.float32)
+    if jnp.issubdtype(table2d.dtype, jnp.integer):
+        return jnp.round(dense).astype(table2d.dtype)
+    return dense
+
+
 def gather_params(table: MaterialTable, material_ids: jnp.ndarray) -> BsdfParams:
     """Gather per-ray BSDF parameters from the table (texture lookups are
     applied on top by the integrator when slots are >= 0). One packed row
     gather + column slices."""
-    pf = table.packed_f[material_ids]  # [R, 23]
+    pf = _gather_rows(table.packed_f, material_ids)  # [R, 23]
     return BsdfParams(
         base_color=pf[:, MF_BASE:MF_BASE + 3],
         metallic=pf[:, MF_METAL],
@@ -385,10 +400,11 @@ def apply_textures(table: MaterialTable, pool, params: BsdfParams,
     parameter saves 4 bilinear texel gathers per ray (see textured_params)."""
     from gatling_tpu.render.texture import sample_pool
 
-    if int(pool.offset.shape[0]) <= 1 and int(pool.texels.shape[0]) <= 1:
+    if (int(pool.offset.shape[0]) <= 1 and int(pool.texels.shape[0]) <= 1
+            and int(pool.texels_u32.shape[0]) <= 1):
         return params
 
-    pi = table.packed_i[material_ids]  # [R, 9]: slots + channels
+    pi = _gather_rows(table.packed_i, material_ids)  # [R, 9]: slots + channels
 
     def rgb(col, constant):
         slot = pi[:, col]
@@ -429,9 +445,10 @@ def perturb_normal(table: MaterialTable, pool, material_ids: jnp.ndarray,
     """Tangent-space normal mapping (UsdPreviewSurface `normal` input)."""
     from gatling_tpu.render.texture import sample_pool
 
-    if int(pool.offset.shape[0]) <= 1 and int(pool.texels.shape[0]) <= 1:
+    if (int(pool.offset.shape[0]) <= 1 and int(pool.texels.shape[0]) <= 1
+            and int(pool.texels_u32.shape[0]) <= 1):
         return n
-    slot = table.packed_i[material_ids][:, 5]
+    slot = _gather_rows(table.packed_i, material_ids)[:, 5]
     nm = sample_pool(pool, slot, uv)[:, :3]
     mapped = nm[:, 0:1] * t + nm[:, 1:2] * b + jnp.maximum(nm[:, 2:3], 1e-3) * n
     mapped = mapped / jnp.maximum(jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-20)

@@ -55,9 +55,23 @@ class TextureRef:
 
 
 class TexturePool(NamedTuple):
-    """Device texture pool: flat texels + per-slot records."""
+    """Device texture pool: flat texels + per-slot records.
 
-    texels: jnp.ndarray  # [N, 4] f32 linear
+    When every texture in the pool is exactly representable as 8-bit RGBA
+    (the PNG/JPEG/TGA majority), `texels_u32` holds the pool as ONE packed
+    uint32 per texel and `texels` shrinks to a dummy: a bilinear tap then
+    gathers 1 element instead of 4 (TPU gathers are element-count-bound —
+    measured 4x on the split-bounce texture stage), and sRGB decode moves
+    after the tap (bit-exact vs decode-at-upload since the 8-bit codes are
+    the source data). HDR pools (EXR/HDR inputs) keep the f32 path."""
+
+    texels: jnp.ndarray  # [N, 4] f32 linear ([1,4] dummy when packed)
+    texels_u32: jnp.ndarray  # [N] u32 rgba8 raw codes ([1] dummy when not)
+    # [N, 4] u32: each texel's 2x2 neighborhood (self, +x, +y, +x+y) with
+    # repeat wrap baked in — ONE gather row per bilinear tap instead of 4
+    # (built when packed and every slot wraps repeat; [1,4] dummy else)
+    texels_q22: jnp.ndarray
+    is_srgb: jnp.ndarray  # [T] i32 1 = decode sRGB after unpack (packed)
     offset: jnp.ndarray  # [T] i32 flat offset of texture start
     width: jnp.ndarray  # [T] i32
     height: jnp.ndarray  # [T] i32
@@ -70,10 +84,21 @@ class TexturePool(NamedTuple):
     def count(self) -> int:
         return self.offset.shape[0]
 
+    @property
+    def packed(self) -> bool:
+        return self.texels_u32.shape[0] > 1
+
+    @property
+    def bilinear_packed(self) -> bool:
+        return self.texels_q22.shape[0] > 1
+
 
 def empty_pool() -> TexturePool:
     return TexturePool(
         texels=jnp.zeros((1, 4), jnp.float32),
+        texels_u32=jnp.zeros((1,), jnp.uint32),
+        texels_q22=jnp.zeros((1, 4), jnp.uint32),
+        is_srgb=jnp.zeros((1,), jnp.int32),
         offset=jnp.zeros((1,), jnp.int32),
         width=jnp.ones((1,), jnp.int32),
         height=jnp.ones((1,), jnp.int32),
@@ -93,10 +118,11 @@ class TextureManager:
 
     def __init__(self) -> None:
         self._image_cache: dict[str, np.ndarray] = {}  # path -> linear RGBA f32
+        # path -> (raw RGBA f32 as decoded, is_hdr) for u32 pool packing
+        self._raw_cache: dict[str, tuple[np.ndarray, bool]] = {}
 
-    def _load(self, ref: TextureRef) -> np.ndarray:
-        key = (ref.file_path, ref.is_srgb)
-        cached = self._image_cache.get(key)
+    def _load_raw(self, ref: TextureRef) -> tuple[np.ndarray, bool]:
+        cached = self._raw_cache.get(ref.file_path)
         if cached is not None:
             return cached
         try:
@@ -106,14 +132,24 @@ class TextureManager:
             if raw is None:
                 raise FileNotFoundError(ref.file_path)
             img = imgio.load_image(raw)
-            rgba = img.as_float_rgba()
-            if ref.is_srgb and not img.is_hdr:
-                rgba = np.concatenate(
-                    [_srgb_to_linear(rgba[..., :3]), rgba[..., 3:]], axis=-1)
+            rgba = img.as_float_rgba().astype(np.float32)
+            hdr = bool(img.is_hdr)
         except Exception:  # noqa: BLE001
             # 1x1 black fallback (TextureManager.cpp:253-267)
             get_logger().error("texture load failed: %s", ref.file_path)
-            rgba = np.zeros((1, 1, 4), np.float32)
+            rgba, hdr = np.zeros((1, 1, 4), np.float32), False
+        self._raw_cache[ref.file_path] = (rgba, hdr)
+        return self._raw_cache[ref.file_path]
+
+    def _load(self, ref: TextureRef) -> np.ndarray:
+        key = (ref.file_path, ref.is_srgb)
+        cached = self._image_cache.get(key)
+        if cached is not None:
+            return cached
+        rgba, hdr = self._load_raw(ref)
+        if ref.is_srgb and not hdr:
+            rgba = np.concatenate(
+                [_srgb_to_linear(rgba[..., :3]), rgba[..., 3:]], axis=-1)
         self._image_cache[key] = rgba.astype(np.float32)
         return self._image_cache[key]
 
@@ -124,10 +160,22 @@ class TextureManager:
         if len(refs) > MAX_TEXTURE_COUNT:
             raise ValueError(f"too many textures ({len(refs)} > {MAX_TEXTURE_COUNT})")
         texels = []
+        raws, srgbs = [], []
+        packable = True
         offsets, widths, heights, ws, wt, scales, biases = [], [], [], [], [], [], []
         off = 0
         for ref in refs:
             img = self._load(ref)
+            raw, hdr = self._load_raw(ref)
+            codes = np.round(raw * 255.0)
+            if hdr or raw.size == 0 or np.abs(raw * 255.0 - codes).max() > 1e-3 \
+                    or codes.min() < 0 or codes.max() > 255:
+                packable = False
+            else:
+                c = codes.astype(np.uint32).reshape(-1, 4)
+                raws.append(c[:, 0] | (c[:, 1] << 8) | (c[:, 2] << 16)
+                            | (c[:, 3] << 24))
+                srgbs.append(1 if ref.is_srgb else 0)
             h, w = img.shape[:2]
             texels.append(img.reshape(-1, 4))
             offsets.append(off)
@@ -138,8 +186,39 @@ class TextureManager:
             scales.append(ref.scale)
             biases.append(ref.bias)
             off += h * w
+        if packable:
+            tex_f32 = jnp.zeros((1, 4), jnp.float32)
+            # trailing dummy element: `packed` (shape > 1) must hold even
+            # for a single-texel pool
+            tex_u32 = jnp.asarray(np.concatenate(
+                raws + [np.zeros(1, np.uint32)]))
+            is_srgb = jnp.asarray(np.array(srgbs, np.int32))
+        else:
+            tex_f32 = jnp.asarray(np.concatenate(texels, axis=0))
+            tex_u32 = jnp.zeros((1,), jnp.uint32)
+            is_srgb = jnp.zeros((len(refs),), jnp.int32)
+        all_repeat = all(w == WRAP_REPEAT for w in ws + wt)
+        if packable and all_repeat:
+            # 2x2-neighborhood rows (repeat wrap baked in): a bilinear tap
+            # becomes ONE gathered [4]-row instead of 4 separate gathers
+            q22 = []
+            for codes, w, h in zip(raws, widths, heights):
+                c = codes.reshape(h, w)
+                q = np.stack([c,
+                              np.roll(c, -1, axis=1),
+                              np.roll(c, -1, axis=0),
+                              np.roll(np.roll(c, -1, axis=0), -1, axis=1)],
+                             axis=-1)
+                q22.append(q.reshape(-1, 4))
+            q22.append(np.zeros((1, 4), np.uint32))
+            tex_q22 = jnp.asarray(np.concatenate(q22, axis=0))
+        else:
+            tex_q22 = jnp.zeros((1, 4), jnp.uint32)
         return TexturePool(
-            texels=jnp.asarray(np.concatenate(texels, axis=0)),
+            texels=tex_f32,
+            texels_u32=tex_u32,
+            texels_q22=tex_q22,
+            is_srgb=is_srgb,
             offset=jnp.asarray(np.array(offsets, np.int32)),
             width=jnp.asarray(np.array(widths, np.int32)),
             height=jnp.asarray(np.array(heights, np.int32)),
@@ -165,8 +244,20 @@ def _wrap_coord(x: jnp.ndarray, size: jnp.ndarray, mode: jnp.ndarray):
     return idx, valid
 
 
+def _filter_mode() -> str:
+    """Texture filter: 'bilinear' (default, reference parity) or 'nearest'
+    (GATLING_TEX_FILTER=nearest). XLA TPU gathers cost ~8 cycles per
+    gathered row regardless of width (measured), so nearest is ~4x cheaper
+    per lookup. Process-level switch: set before the first render (jitted
+    graphs bake the mode in)."""
+    import os
+
+    return os.environ.get("GATLING_TEX_FILTER", "bilinear")
+
+
 def sample_pool(pool: TexturePool, tex_id: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear texture lookup for a batch of rays.
+    """Texture lookup for a batch of rays (bilinear, or nearest under
+    GATLING_TEX_FILTER=nearest).
 
     tex_id [R] i32 (values < 0 are sampled as slot 0 — callers select the
     constant via jnp.where), uv [R,2] in UsdUVTexture convention
@@ -190,16 +281,65 @@ def sample_pool(pool: TexturePool, tex_id: jnp.ndarray, uv: jnp.ndarray) -> jnp.
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
 
-    def texel(xi, yi):
-        xi_w, vx = _wrap_coord(xi, w, ws)
-        yi_w, vy = _wrap_coord(yi, h, wt)
-        val = pool.texels[off + yi_w * w + xi_w]
-        return jnp.where((vx & vy)[:, None], val, 0.0)
+    if pool.packed:
+        srgb = (pool.is_srgb[t] > 0)[:, None]
 
-    c00 = texel(x0, y0)
-    c10 = texel(x0 + 1, y0)
-    c01 = texel(x0, y0 + 1)
-    c11 = texel(x0 + 1, y0 + 1)
-    out = (c00 * (1 - fx) + c10 * fx) * (1 - fy) + (c01 * (1 - fx) + c11 * fx) * fy
+        def unpack(code):
+            # u32 rgba8 -> [R,4] f32 linear; sRGB decoded after the tap:
+            # bit-exact vs decode-at-upload because the u32 codes ARE the
+            # 8-bit source data
+            val = jnp.stack([
+                (code & 0xFF).astype(jnp.float32),
+                ((code >> 8) & 0xFF).astype(jnp.float32),
+                ((code >> 16) & 0xFF).astype(jnp.float32),
+                ((code >> 24) & 0xFF).astype(jnp.float32),
+            ], axis=-1) * (1.0 / 255.0)
+            c = val[:, :3]
+            lin = jnp.where(c <= 0.04045, c / 12.92,
+                            ((c + 0.055) / 1.055) ** 2.4)
+            return jnp.concatenate(
+                [jnp.where(srgb, lin, c), val[:, 3:]], axis=-1)
+
+    bilinear = _filter_mode() != "nearest"
+    if bilinear and pool.bilinear_packed:
+        # fast bilinear: ONE gathered [4]-row per tap — the 2x2
+        # neighborhood was baked per texel at build time (repeat wrap).
+        # XLA TPU gathers cost ~8 cycles per gathered row regardless of
+        # row width (measured: 2.5x on the full textured frame).
+        xw = jnp.mod(x0, w)
+        yw = jnp.mod(y0, h)
+        rowq = pool.texels_q22[off + yw * w + xw]  # [R, 4] u32
+        c00 = unpack(rowq[:, 0])
+        c10 = unpack(rowq[:, 1])
+        c01 = unpack(rowq[:, 2])
+        c11 = unpack(rowq[:, 3])
+        out = ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+               + (c01 * (1 - fx) + c11 * fx) * fy)
+        return out * pool.scale[t] + pool.bias[t]
+
+    if pool.packed:
+        # one u32 gather per tap (4x less gathered data than f32x4)
+        def texel(xi, yi):
+            xi_w, vx = _wrap_coord(xi, w, ws)
+            yi_w, vy = _wrap_coord(yi, h, wt)
+            code = pool.texels_u32[off + yi_w * w + xi_w]
+            return jnp.where((vx & vy)[:, None], unpack(code), 0.0)
+    else:
+        def texel(xi, yi):
+            xi_w, vx = _wrap_coord(xi, w, ws)
+            yi_w, vy = _wrap_coord(yi, h, wt)
+            val = pool.texels[off + yi_w * w + xi_w]
+            return jnp.where((vx & vy)[:, None], val, 0.0)
+
+    if not bilinear:
+        out = texel(jnp.round(x).astype(jnp.int32),
+                    jnp.round(y).astype(jnp.int32))
+    else:
+        c00 = texel(x0, y0)
+        c10 = texel(x0 + 1, y0)
+        c01 = texel(x0, y0 + 1)
+        c11 = texel(x0 + 1, y0 + 1)
+        out = ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+               + (c01 * (1 - fx) + c11 * fx) * fy)
     return out * pool.scale[t] + pool.bias[t]
 

@@ -231,12 +231,16 @@ def Xform "Root"
     scene = tmp_path / "scene.usda"
     scene.write_text(usda)
     out = tmp_path / "husk_out.png"
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # explicit compile cache: the subprocess pays a full jit compile
+    # otherwise, which can exceed the timeout on a loaded machine
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               JAX_COMPILATION_CACHE_DIR=os.environ.get(
+                   "JAX_COMPILATION_CACHE_DIR", "/tmp/gatling_jax_cache"))
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "dist", "houdini", "husk_gatling.py"),
          str(scene), "-o", str(out), "--res", "16", "16", "--pixel-samples", "2",
          "--gatling:max-bounces", "1"],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=500)
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=560)
     assert proc.returncode == 0, proc.stderr[-2000:]
     from PIL import Image
 
