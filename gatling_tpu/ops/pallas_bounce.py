@@ -128,8 +128,6 @@ CLU_ROW_MAP = (
     (TR_UV, CLU_UV), (TR_UV + 1, CLU_UV + 1), (TR_UV + 2, CLU_UV + 2),
     (TR_UV + 3, CLU_UV + 3), (TR_UV + 4, CLU_UV + 4), (TR_UV + 5, CLU_UV + 5),
 )
-# canonical BW row -> clustered row, for the scalar occlusion walk
-CLU_BW_FWD = {src: dst for src, dst in CLU_ROW_MAP[:12]}
 
 # VMEM group cache: every DMA costs ~13 us FIXED on v5e (measured,
 # size-independent), so cluster groups are cached across the sequential
@@ -672,6 +670,73 @@ def _cluster_walk_plan(state, l1_aabbs):
     return order[:, None, :], dist_sorted[:, None, :], gbox, lhs
 
 
+def _cluster_reader(tri_ref, cache, *, init_tags):
+    """(fetch_group, cluster_rows) over either the VMEM-resident cluster
+    table (cache None) or the DMA'd group cache. init_tags must be True
+    for exactly ONE walk per kernel (the first), so later walks in the same
+    program reuse warm cache entries."""
+    if cache is None:
+        def fetch_group(g):
+            return g
+
+        def cluster_rows(handle, b):
+            return tri_ref[handle * L1_FAN + b]
+
+        return fetch_group, cluster_rows
+
+    groups, gsem, tags = cache
+    if init_tags:
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for slot_i in range(CACHE_SLOTS):
+                tags[slot_i] = -1
+
+    def fetch_group(g):
+        slot = jax.lax.rem(g, CACHE_SLOTS)
+        if _PROF_NODMA:
+            return slot
+
+        @pl.when(tags[slot] != g)
+        def _():
+            cp = pltpu.make_async_copy(
+                tri_ref.at[pl.ds(g * L1_FAN, L1_FAN)], groups.at[slot], gsem)
+            cp.start()
+            cp.wait()
+            tags[slot] = g
+
+        return slot
+
+    def cluster_rows(handle, b):
+        return groups[handle, b]
+
+    return fetch_group, cluster_rows
+
+
+def _bw_products(lhs_hi, lhs_lo, tri):
+    """Baldwin-Weber products for one cluster: stacked (o|d) x the three
+    8-aligned quads, as three one-pass bf16 hi/lo matmuls (~2^-16 relative).
+    Returns (po, pd), each [RAY_BLOCK, 384] f32."""
+    ro = jnp.concatenate(
+        [tri[CLU_N:CLU_N + 8], tri[CLU_R1:CLU_R1 + 8],
+         tri[CLU_R2:CLU_R2 + 8]], axis=1)  # [8, 384]
+
+    if _PROF_NOMXU:
+        p = jnp.broadcast_to(ro[0:1, :] + lhs_hi[0, 0].astype(jnp.float32),
+                             (2 * RAY_BLOCK, 384))
+    else:
+        ro_hi = ro.astype(jnp.bfloat16)
+        ro_lo = (ro - ro_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def bdot(a, b_):
+            return jax.lax.dot_general(
+                a, b_, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        p = (bdot(lhs_hi, ro_hi) + bdot(lhs_hi, ro_lo)
+             + bdot(lhs_lo, ro_hi))  # [2048, 384]
+    return p[0:RAY_BLOCK], p[RAY_BLOCK:2 * RAY_BLOCK]
+
+
 def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
                             gbox_ref, lhs_ref, cache, best128,
                             clus128, attrs_acc, acc,
@@ -735,42 +800,13 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
     lhs_hi = lhs2.astype(jnp.bfloat16)
     lhs_lo = (lhs2 - lhs_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-    if cache is not None:
-        groups, gsem, tags = cache
-
-        # group cache: scratch persists across the sequential grid programs
-        # of one pallas_call, so Morton-adjacent ray blocks reuse each
-        # other's group fetches (every DMA is ~13 us fixed cost — the
-        # secondary-bounce bottleneck). Tags are invalidated once by the
-        # first program.
-        @pl.when(pl.program_id(0) == 0)
-        def _():
-            for slot_i in range(CACHE_SLOTS):
-                tags[slot_i] = -1
-
-    def fetch_group(g):
-        """Make group g's 16 clusters readable; returns the read handle."""
-        if cache is None:
-            return g  # VMEM-resident: read tri_ref[g*L1_FAN+b] directly
-        slot = jax.lax.rem(g, CACHE_SLOTS)
-        if _PROF_NODMA:
-            return slot
-
-        @pl.when(tags[slot] != g)
-        def _():
-            cp = pltpu.make_async_copy(
-                tri_ref.at[pl.ds(g * L1_FAN, L1_FAN)], groups.at[slot], gsem)
-            cp.start()
-            cp.wait()
-            tags[slot] = g
-
-        return slot
-
-    def cluster_rows(handle, b):
-        """[CLU_TRI_ROWS, 128] f32 rows of cluster b within a fetched group."""
-        if cache is None:
-            return tri_ref[handle * L1_FAN + b]
-        return groups[handle, b]
+    # group cache (non-resident mode): scratch persists across the
+    # sequential grid programs of one pallas_call, so Morton-adjacent ray
+    # blocks reuse each other's group fetches (every DMA is ~13 us fixed
+    # cost — the secondary-bounce bottleneck). Tags are invalidated once by
+    # the first program; the NEE occlusion walk reuses the warm cache.
+    fetch_group, cluster_rows = _cluster_reader(tri_ref, cache,
+                                                init_tags=True)
 
     # ---- pass 1: per-(ray, lane) best t + cluster over ordered groups ----
     def l1_cond(carry):
@@ -795,37 +831,15 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
 
                 @pl.when(any2)
                 def _():
-                    tri = cluster_rows(handle, b)  # [CLU_TRI_ROWS, 128]
-
                     # ONE stacked (o|d) x rows product covers all three
                     # Baldwin-Weber quads: the quads sit at 8-aligned
                     # sublanes (CLU layout) so the lane-concat legalizes,
                     # and lhs columns 4-7 are zero so the attr rows parked
-                    # in each quad's upper half contribute nothing. The
-                    # product runs as three one-pass bf16 hi/lo matmuls
-                    # (~2^-16 relative error — selection only; the winner's
-                    # t/u/v are recomputed exactly in pass 2).
-                    ro = jnp.concatenate(
-                        [tri[CLU_N:CLU_N + 8], tri[CLU_R1:CLU_R1 + 8],
-                         tri[CLU_R2:CLU_R2 + 8]], axis=1)  # [8, 384]
-
-                    if _PROF_NOMXU:
-                        p = jnp.broadcast_to(ro[0:1, :] + lhs2[0, 0],
-                                             (2 * RAY_BLOCK, 384))
-                    else:
-                        ro_hi = ro.astype(jnp.bfloat16)
-                        ro_lo = (ro - ro_hi.astype(jnp.float32)).astype(
-                            jnp.bfloat16)
-
-                        def bdot(a, b_):
-                            return jax.lax.dot_general(
-                                a, b_, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-
-                        p = (bdot(lhs_hi, ro_hi) + bdot(lhs_hi, ro_lo)
-                             + bdot(lhs_lo, ro_hi))  # [2048, 384]
-                    po = p[0:RAY_BLOCK]
-                    pd = p[RAY_BLOCK:2 * RAY_BLOCK]
+                    # in each quad's upper half contribute nothing
+                    # (selection only; the winner's t/u/v are recomputed
+                    # exactly in pass 2).
+                    po, pd = _bw_products(lhs_hi, lhs_lo,
+                                          cluster_rows(handle, b))
                     nd = pd[:, 0:128]
                     okm = jnp.abs(nd) > 1e-12
                     inv = jnp.where(okm, 1.0 / jnp.where(okm, nd, 1.0), 0.0)
@@ -941,17 +955,24 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
                    + acc[2] * rows40[CLU_UV + 5])
 
 
-def _trace_clustered_occluded(tri_hbm, l1_ref, l2_ref, scratch, sem, acc,
+def _trace_clustered_occluded(tri_ref, l1_ref, l2_ref, cache, occ128, acc,
                               ox, oy, oz, dx, dy, dz, dist, active, *, n_l1):
-    """Occlusion walk: acc[0] accumulates the occluded flag (f32 0/1).
+    """Occlusion walk (matrix form): acc[0] accumulates the occluded flag
+    (f32 0/1).
 
     Shadow origins are this bounce's hit points, so the XLA walk plan
     (computed from the pre-trace origins) does not apply; instead the walk
     computes the shadow-origin box IN KERNEL and skips groups whose
     conservative distance exceeds every unresolved ray's light distance —
     plus a while-loop exit once every shadow ray is resolved (the
-    terminate-on-first-hit dispatch of rgen:397-438)."""
+    terminate-on-first-hit dispatch of rgen:397-438). Each surviving
+    cluster runs the same bf16 hi/lo split MXU products as the closest-hit
+    walk, with any-hit semantics: no argmin, no attribute pass, and the
+    ~2^-16 relative t error only perturbs edge-grazing shadow rays. In
+    cached (non-resident) mode the group cache stays warm from the
+    closest-hit walk of the same bounce."""
     acc[0] = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
+    occ128[...] = jnp.zeros((RAY_BLOCK, 128), jnp.float32)
     ivx, ivy, ivz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
     tmin_r = jnp.where(active, SHADOW_TMIN, FLOAT_MAX)
     tcap = jnp.where(active, dist, -FLOAT_MAX)
@@ -962,10 +983,32 @@ def _trace_clustered_occluded(tri_hbm, l1_ref, l2_ref, scratch, sem, acc,
     sb_hi = [jnp.max(jnp.where(active, c, -big)) for c in (ox, oy, oz)]
     max_d0 = jnp.max(jnp.where(active, dist, 0.0))
 
-    def tread(row, t):
-        # scratch holds a clustered-layout cluster; remap the canonical
-        # Baldwin-Weber row ids (row is a Python int at trace time)
-        return scratch[CLU_BW_FWD[row], t]
+    # stacked (o | d) ray matrix built in kernel ([8,128] rows flatten to
+    # the same ray order as the XLA plan's), split hi/lo once
+    def flat(v):
+        return v.reshape(RAY_BLOCK)
+
+    one = jnp.ones((RAY_BLOCK,), jnp.float32)
+    zero = jnp.zeros((RAY_BLOCK,), jnp.float32)
+    zero2 = jnp.zeros((2 * RAY_BLOCK,), jnp.float32)
+    # component-major stack + transpose: Mosaic legalizes the (8, 2048)
+    # -> (2048, 8) transpose but NOT a lane-minor stack of 1D vectors
+    lhs2 = jnp.transpose(jnp.stack(
+        [jnp.concatenate([flat(ox), flat(dx)]),
+         jnp.concatenate([flat(oy), flat(dy)]),
+         jnp.concatenate([flat(oz), flat(dz)]),
+         jnp.concatenate([one, zero]),
+         zero2, zero2, zero2, zero2], axis=0))  # [2048, 8]
+    lhs_hi = lhs2.astype(jnp.bfloat16)
+    lhs_lo = (lhs2 - lhs_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # [1024, 1] light distances via the same transpose (the direct
+    # flat[:, None] broadcast is an unsupported Mosaic shape cast here)
+    aux = jnp.transpose(jnp.stack(
+        [jnp.concatenate([flat(tcap), zero]), zero2], axis=0))  # [2048, 2]
+    dist_col = aux[0:RAY_BLOCK, 0:1]
+
+    fetch_group, cluster_rows = _cluster_reader(tri_ref, cache,
+                                                init_tags=False)
 
     def occl_cond(carry):
         g, n_open, _max_d = carry
@@ -992,31 +1035,35 @@ def _trace_clustered_occluded(tri_hbm, l1_ref, l2_ref, scratch, sem, acc,
 
             @pl.when(any1)
             def _():
+                handle = fetch_group(g)
+
                 def l2_body(b, __):
                     c = g * L1_FAN + b
-                    open2 = active & (acc[0] < 0.5)
-                    tmin_w2 = jnp.where(open2, tmin_r, FLOAT_MAX)
-                    hit2 = _slab_test(l2_ref, c, ox, oy, oz, ivx, ivy, ivz, tmin_w2, tcap)
+                    hit2 = _slab_test(l2_ref, c, ox, oy, oz, ivx, ivy, ivz,
+                                      tmin_w, tcap)
                     any2 = jnp.max(hit2.astype(jnp.float32)) > 0.5
 
                     @pl.when(any2)
                     def _():
-                        cp = pltpu.make_async_copy(tri_hbm.at[c], scratch, sem)
-                        cp.start()
-                        cp.wait()
-
-                        # f32 0/1 carry: Mosaic cannot legalize i1 vector
-                        # loop carries (scf.for legalization failure)
-                        def body(t, occ):
-                            tt, _u, _v, ok = _tri_hit_test(
-                                tread, t, ox, oy, oz, dx, dy, dz, SHADOW_TMIN)
-                            return jnp.maximum(
-                                occ, (ok & (tt < dist)).astype(jnp.float32))
-
-                        acc[0] = jax.lax.fori_loop(0, CLUSTER_SIZE, body, acc[0])
+                        po, pd = _bw_products(lhs_hi, lhs_lo,
+                                              cluster_rows(handle, b))
+                        nd = pd[:, 0:128]
+                        okm = jnp.abs(nd) > 1e-12
+                        inv = jnp.where(okm, 1.0 / jnp.where(okm, nd, 1.0), 0.0)
+                        tt = -po[:, 0:128] * inv
+                        u = po[:, 128:256] + tt * pd[:, 128:256]
+                        v = po[:, 256:384] + tt * pd[:, 256:384]
+                        okm = (okm & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                               & (tt > SHADOW_TMIN) & (tt < dist_col))
+                        occ128[...] = jnp.maximum(occ128[...],
+                                                  okm.astype(jnp.float32))
                     return 0
 
                 jax.lax.fori_loop(0, L1_FAN, l2_body, 0)
+                # fold lanes into the per-ray flag once per group (drives
+                # the slab pruning + early exit)
+                occ_r = jnp.max(occ128[...], axis=1)  # [1024]
+                acc[0] = jnp.maximum(acc[0], occ_r.reshape(BLOCK_ROWS, 128))
 
         open_n = active & (acc[0] < 0.5)
         return (g + 1, jnp.max(open_n.astype(jnp.float32)),
@@ -1391,9 +1438,10 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
 
             # shadow occlusion from the offset origin toward the light
             if static.clustered:
-                tri_scratch, sem, acc = scratch[0], scratch[1], scratch[2]
+                acc, cache, occ128, _clus, _attrs = _clu_scratch_views(
+                    scratch, static)
                 _trace_clustered_occluded(
-                    tri_ref, l1_ref, l2_ref, tri_scratch, sem, acc,
+                    tri_ref, l1_ref, l2_ref, cache, occ128, acc,
                     ox, oy, oz, ldx, ldy, ldz, ldist, do_trace, n_l1=static.n_l1)
                 occluded = acc[0] > 0.5
             else:
@@ -1829,8 +1877,6 @@ def _tri_specs(static: FusedStatic):
         else:
             tri_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch_shapes = [
-            pltpu.SMEM((CLU_TRI_ROWS, CLUSTER_SIZE), jnp.float32),  # occl
-            pltpu.SemaphoreType.DMA,                            # occlusion
             pltpu.VMEM((CLU_ACC_ROWS, BLOCK_ROWS, 128), jnp.float32),
         ]
         if not static.clu_vmem:
@@ -1853,14 +1899,15 @@ def _tri_specs(static: FusedStatic):
 
 def _clu_scratch_views(scratch, static: FusedStatic):
     """(acc, cache-or-None, best128, clus128, attrs_acc) from the scratch
-    list laid out by _tri_specs (scratch[0:2] are the occlusion SMEM+sem)."""
-    acc = scratch[2]
+    list laid out by _tri_specs. best128 doubles as the occlusion walk's
+    per-lane flag array (the closest-hit walk is done with it by then)."""
+    acc = scratch[0]
     if static.clu_vmem:
         cache = None
-        best128, clus128, attrs_acc = scratch[3], scratch[4], scratch[5]
+        best128, clus128, attrs_acc = scratch[1], scratch[2], scratch[3]
     else:
-        cache = (scratch[3], scratch[4], scratch[5])
-        best128, clus128, attrs_acc = scratch[6], scratch[7], scratch[8]
+        cache = (scratch[1], scratch[2], scratch[3])
+        best128, clus128, attrs_acc = scratch[4], scratch[5], scratch[6]
     return acc, cache, best128, clus128, attrs_acc
 
 
