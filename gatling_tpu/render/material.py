@@ -152,14 +152,19 @@ def _resolve_input(desc: MaterialDesc, node: ShaderNode, name: str, default,
     value has the shape of `default` (scalar stays scalar).
     """
     from gatling_tpu.render.shadergraph import GraphLowering
+    from gatling_tpu.render.texture import baked_ref
 
     gv = GraphLowering(desc).eval_input(node, name, default, color_hint)
     if isinstance(default, (int, float, bool)) or default is None:
         value = float(gv.constant[0])
     else:
         value = gv.constant[: max(len(tuple(default)), 3)]
-    is_srgb = gv.texture.is_srgb if gv.texture is not None else False
-    return value, gv.texture, is_srgb
+    tex = gv.texture
+    if gv.expr is not None:
+        # non-affine subtree: bake the exact composite into one pool slot
+        tex = baked_ref(gv.expr)
+    is_srgb = tex.is_srgb if tex is not None else False
+    return value, tex, is_srgb
 
 
 def lower_material(desc: MaterialDesc | None) -> LoweredMaterial:

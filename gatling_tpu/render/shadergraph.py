@@ -12,13 +12,15 @@ exactly that representation:
                | affine(texture): s*T + b (one texture + folded math)
 
 Supported nodes: UsdUVTexture / image / tiledimage leaves, constant,
-multiply, divide, add, subtract, mix (constant mix factor), normalmap,
-convert, swizzle/extract, UsdPrimvarReader*/texcoord/geompropvalue
-(fallback constants). Chains of any depth fold as long as they stay affine
-in a single texture; anything beyond (two textures in one binary op, clamp
-on a texture, procedural nodes) degrades EXPLICITLY — a warning names the
-node and the evaluator keeps the texture-carrying operand — never the
-silent take-the-first-input folding this replaces.
+multiply, divide, add, subtract, mix, clamp, normalmap, convert,
+swizzle/extract, UsdPrimvarReader*/texcoord/geompropvalue (fallback
+constants). Chains of any depth fold as long as they stay affine in a
+single texture; anything beyond (two textures in one binary op, a textured
+mix factor, clamp or divide over a texture) carries the EXACT subtree as an
+Expr, which the texture manager BAKES into a composite texture at
+pool-build time (render/texture.py TextureManager._eval_bake) — exact at
+texel centers, one pool slot at render time, no per-ray procedural cost.
+Only genuinely unknown nodes fall back to constants (logged).
 """
 
 from __future__ import annotations
@@ -44,49 +46,90 @@ def _vec4(v: Any, default=(0.0, 0.0, 0.0, 1.0)) -> tuple[float, float, float, fl
 
 
 @dataclasses.dataclass(frozen=True)
+class Expr:
+    """Exact (non-affine) shader-graph subtree, kept alongside the affine
+    approximation so the texture manager can BAKE it into a composite
+    texture at pool-build time (render/texture.py _eval_bake): per-ray
+    procedural evaluation would pay the measured ~8-cycles-per-gathered-row
+    XLA cost per texture node, while a baked composite costs the same one
+    gather as any other texture — exact at texel centers (all leaves are
+    sampled with the same uv in this material model)."""
+
+    op: str  # const | tex | multiply | divide | add | subtract | mix | clamp | extract
+    const: tuple[float, float, float, float] | None = None
+    tex: TextureRef | None = None
+    args: tuple["Expr", ...] = ()
+    channel: str = ""
+
+
+def _const_expr(c) -> Expr:
+    return Expr(op="const", const=_vec4(c))
+
+
+@dataclasses.dataclass(frozen=True)
 class GraphValue:
     """A lowered shader-graph subtree: rgba constant, optionally modulating
     one texture via the pool-level affine (value = sample*scale + bias,
-    with `constant` as the connection's fallback value)."""
+    with `constant` as the connection's fallback value). When the subtree
+    is NOT affine in a single texture, `expr` carries the exact program
+    (constant/texture then hold the affine approximation)."""
 
     constant: tuple[float, float, float, float]
     texture: TextureRef | None = None
+    expr: Expr | None = None
+
+    @property
+    def exact(self) -> Expr:
+        """The exact subtree as an Expr (for baking)."""
+        if self.expr is not None:
+            return self.expr
+        if self.texture is not None:
+            return Expr(op="tex", tex=self.texture)
+        return _const_expr(self.constant)
 
     def with_affine(self, scale=(1, 1, 1, 1), bias=(0, 0, 0, 0)) -> "GraphValue":
         """Compose value -> value*scale + bias."""
         s = _vec4(scale, (1, 1, 1, 1))
         b = _vec4(bias, (0, 0, 0, 0))
         const = tuple(c * sc + bc for c, sc, bc in zip(self.constant, s, b))
+        expr = None
+        if self.expr is not None:
+            expr = Expr(op="add", args=(
+                Expr(op="multiply", args=(self.expr, _const_expr(s))),
+                _const_expr(b)))
         if self.texture is None:
-            return GraphValue(constant=const)
+            return GraphValue(constant=const, expr=expr)
         ts = tuple(a * b2 for a, b2 in zip(self.texture.scale, s))
         tb = tuple(a * s2 + b2 for a, s2, b2 in zip(self.texture.bias, s, b))
         return GraphValue(
             constant=const,
-            texture=dataclasses.replace(self.texture, scale=ts, bias=tb))
+            texture=dataclasses.replace(self.texture, scale=ts, bias=tb),
+            expr=expr)
 
 
 def _binary(op: str, a: GraphValue, b: GraphValue, node_id: str) -> GraphValue:
-    """Fold a binary node. Affine-preserving combinations fold exactly;
-    a texture on both sides cannot be represented — warn and keep `a`'s
-    texture modulated by `b`'s constant (the documented degradation)."""
-    if a.texture is not None and b.texture is not None:
-        get_logger().warning(
-            "shader graph: %s combines two textures (%s, %s); approximating "
-            "the second operand by its fallback constant", node_id,
-            os.path.basename(a.texture.file_path),
-            os.path.basename(b.texture.file_path))
-        b = GraphValue(constant=b.constant)
+    """Fold a binary node. Affine-preserving combinations fold exactly into
+    the pool-level scale/bias; anything beyond (a texture on both sides, a
+    division by a texture, an already-non-affine operand) records the exact
+    Expr for composite baking and keeps the affine form as the fallback."""
+    nonaffine = (a.expr is not None or b.expr is not None
+                 or (a.texture is not None and b.texture is not None)
+                 or (op == "divide" and b.texture is not None))
+    if nonaffine:
+        get_logger().info(
+            "shader graph: %s is not affine in one texture; baking a "
+            "composite texture", node_id)
+        expr = Expr(op=op, args=(a.exact, b.exact))
+        approx = _binary(op,
+                         GraphValue(constant=a.constant, texture=a.texture),
+                         GraphValue(constant=b.constant), node_id)
+        return dataclasses.replace(approx, expr=expr)
 
     if op == "multiply":
         if b.texture is not None:
             a, b = b, a
         return a.with_affine(scale=b.constant)
     if op == "divide":
-        if b.texture is not None:
-            get_logger().warning(
-                "shader graph: %s divides by a texture; using its fallback", node_id)
-            b = GraphValue(constant=b.constant)
         inv = tuple(1.0 / c if c != 0.0 else 0.0 for c in b.constant)
         return a.with_affine(scale=inv)
     if op == "add":
@@ -102,19 +145,22 @@ def _binary(op: str, a: GraphValue, b: GraphValue, node_id: str) -> GraphValue:
 
 
 def _mix(fg: GraphValue, bg: GraphValue, mix: GraphValue, node_id: str) -> GraphValue:
-    """MaterialX mix: out = fg*mix + bg*(1-mix)."""
-    if mix.texture is not None:
-        get_logger().warning(
-            "shader graph: %s has a textured mix factor; using its fallback",
-            node_id)
-        mix = GraphValue(constant=mix.constant)
+    """MaterialX mix: out = fg*mix + bg*(1-mix). Affine when at most one
+    operand carries a texture and the factor is constant; anything beyond
+    bakes a composite texture."""
+    n_tex = sum(v.texture is not None for v in (fg, bg, mix))
+    if (fg.expr is not None or bg.expr is not None or mix.expr is not None
+            or n_tex > 1 or mix.texture is not None):
+        get_logger().info(
+            "shader graph: %s is not affine in one texture; baking a "
+            "composite texture", node_id)
+        expr = Expr(op="mix", args=(fg.exact, bg.exact, mix.exact))
+        approx = _mix(GraphValue(constant=fg.constant, texture=fg.texture),
+                      GraphValue(constant=bg.constant),
+                      GraphValue(constant=mix.constant), node_id)
+        return dataclasses.replace(approx, expr=expr)
     m = mix.constant
     one_m = tuple(1.0 - c for c in m)
-    if fg.texture is not None and bg.texture is not None:
-        get_logger().warning(
-            "shader graph: %s mixes two textures; approximating bg by its "
-            "fallback constant", node_id)
-        bg = GraphValue(constant=bg.constant)
     if bg.texture is not None:
         return bg.with_affine(
             scale=one_m, bias=tuple(f * c for f, c in zip(fg.constant, m)))
@@ -222,11 +268,11 @@ class GraphLowering:
             lo = ev("low", (0.0, 0.0, 0.0, 0.0)).constant
             hi = ev("high", (1.0, 1.0, 1.0, 1.0)).constant
             const = tuple(min(max(c, l), h) for c, l, h in zip(v.constant, lo, hi))
-            if v.texture is not None:
-                get_logger().warning(
-                    "shader graph: clamp@%s on a texture is not folded "
-                    "(values pass through unclamped)", node.path)
-                return GraphValue(constant=const, texture=v.texture)
+            if v.texture is not None or v.expr is not None:
+                # clamp is not affine: bake the exact composite
+                expr = Expr(op="clamp",
+                            args=(v.exact, _const_expr(lo), _const_expr(hi)))
+                return GraphValue(constant=const, texture=v.texture, expr=expr)
             return GraphValue(constant=const)
         if sid == "convert":
             return ev("in", default, color_hint)
@@ -236,6 +282,9 @@ class GraphLowering:
             if len(ch) == 1 and ch in _CH:
                 i = _CH[ch]
                 const = (v.constant[i],) * 4
+                if v.expr is not None:
+                    return GraphValue(constant=const, texture=v.texture, expr=Expr(
+                        op="extract", channel=ch, args=(v.expr,)))
                 if v.texture is not None:
                     return GraphValue(constant=const, texture=dataclasses.replace(
                         v.texture, channel=ch))

@@ -52,6 +52,10 @@ class TextureRef:
     scale: tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
     bias: tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
     channel: str = "rgb"  # rgb / r / g / b / a
+    # non-affine shader-graph subtree to BAKE into this texture's pixels at
+    # load time (render/shadergraph.py Expr); file_path is then a synthetic
+    # baked:// cache key
+    bake: "object | None" = None
 
 
 class TexturePool(NamedTuple):
@@ -109,6 +113,31 @@ def empty_pool() -> TexturePool:
     )
 
 
+def baked_ref(expr, channel: str = "rgb") -> TextureRef:
+    """TextureRef for a non-affine shader-graph composite (baked at pool
+    build, TextureManager._eval_bake). Wrap modes come from the first
+    texture leaf; the synthetic baked:// path is the cache key."""
+    import hashlib
+
+    def first_leaf(e):
+        if e.op == "tex":
+            return e.tex
+        for a in e.args:
+            leaf = first_leaf(a)
+            if leaf is not None:
+                return leaf
+        return None
+
+    leaf = first_leaf(expr)
+    key = hashlib.md5(repr(expr).encode()).hexdigest()[:16]
+    return TextureRef(
+        file_path=f"baked://{key}",
+        is_srgb=True,  # baked LDR composites are stored sRGB-encoded
+        wrap_s=leaf.wrap_s if leaf is not None else "repeat",
+        wrap_t=leaf.wrap_t if leaf is not None else "repeat",
+        channel=channel, bake=expr)
+
+
 def _srgb_to_linear(c: np.ndarray) -> np.ndarray:
     return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4).astype(np.float32)
 
@@ -121,10 +150,99 @@ class TextureManager:
         # path -> (raw RGBA f32 as decoded, is_hdr) for u32 pool packing
         self._raw_cache: dict[str, tuple[np.ndarray, bool]] = {}
 
+    def _resize(self, img: np.ndarray, h: int, w: int) -> np.ndarray:
+        """Bilinear resize [h0,w0,4] -> [h,w,4] (for baking mixed-resolution
+        composites)."""
+        h0, w0 = img.shape[:2]
+        if (h0, w0) == (h, w):
+            return img
+        ys = (np.arange(h) + 0.5) * h0 / h - 0.5
+        xs = (np.arange(w) + 0.5) * w0 / w - 0.5
+        y0 = np.clip(np.floor(ys).astype(int), 0, h0 - 1)
+        x0 = np.clip(np.floor(xs).astype(int), 0, w0 - 1)
+        y1 = np.minimum(y0 + 1, h0 - 1)
+        x1 = np.minimum(x0 + 1, w0 - 1)
+        fy = np.clip(ys - y0, 0, 1)[:, None, None]
+        fx = np.clip(xs - x0, 0, 1)[None, :, None]
+        a = img[y0][:, x0] * (1 - fx) + img[y0][:, x1] * fx
+        b = img[y1][:, x0] * (1 - fx) + img[y1][:, x1] * fx
+        return (a * (1 - fy) + b * fy).astype(np.float32)
+
+    def _eval_bake(self, expr) -> np.ndarray:
+        """Evaluate a shader-graph Expr to a LINEAR rgba image on the host
+        (the composite-baking backend of render/shadergraph.py): texture
+        leaves load through the cache with their own sRGB/affine applied,
+        constants broadcast, mixed resolutions bilinearly upsample to the
+        largest leaf."""
+        if expr.op == "const":
+            return np.asarray(expr.const, np.float32).reshape(1, 1, 4)
+        if expr.op == "tex":
+            ref = expr.tex
+            img = self._load(ref) * np.asarray(ref.scale, np.float32) \
+                + np.asarray(ref.bias, np.float32)
+            if ref.channel in ("r", "g", "b", "a"):
+                i = "rgba".index(ref.channel)
+                img = np.repeat(img[..., i:i + 1], 4, axis=-1)
+            return img.astype(np.float32)
+        args = [self._eval_bake(a) for a in expr.args]
+        h = max(a.shape[0] for a in args)
+        w = max(a.shape[1] for a in args)
+        args = [self._resize(a, h, w) if a.shape[:2] != (1, 1) else a
+                for a in args]
+        if expr.op == "multiply":
+            return args[0] * args[1]
+        if expr.op == "divide":
+            d = args[1]
+            return np.where(d != 0.0, args[0] / np.where(d != 0.0, d, 1.0), 0.0)
+        if expr.op == "add":
+            return args[0] + args[1]
+        if expr.op == "subtract":
+            return args[0] - args[1]
+        if expr.op == "mix":
+            fg, bg, m = args
+            return fg * m + bg * (1.0 - m)
+        if expr.op == "clamp":
+            return np.clip(args[0], args[1], args[2])
+        if expr.op == "extract":
+            i = "rgba".index(expr.channel)
+            return np.repeat(args[0][..., i:i + 1], 4, axis=-1)
+        raise ValueError(f"unbakeable shader expr op: {expr.op}")
+
+    def _bake_shape(self, expr) -> tuple[int, int, int]:
+        """(H, W, 4) of a baked composite: the largest leaf resolution."""
+        if expr.op == "tex":
+            img, _hdr = self._load_raw(expr.tex)
+            return (img.shape[0], img.shape[1], 4)
+        if expr.op == "const":
+            return (1, 1, 4)
+        shapes = [self._bake_shape(a) for a in expr.args]
+        return (max(s[0] for s in shapes), max(s[1] for s in shapes), 4)
+
     def _load_raw(self, ref: TextureRef) -> tuple[np.ndarray, bool]:
         cached = self._raw_cache.get(ref.file_path)
         if cached is not None:
             return cached
+        if ref.bake is not None:
+            # bake the composite; store sRGB-encoded when LDR so the pool
+            # stays u32-packable (ref.is_srgb must be True for the decode)
+            linear = np.broadcast_to(self._eval_bake(ref.bake),
+                                     self._bake_shape(ref.bake)).copy()
+            if linear.min() >= 0.0 and linear.max() <= 1.0:
+                rgb = linear[..., :3]
+                enc = np.where(rgb <= 0.0031308, rgb * 12.92,
+                               1.055 * np.maximum(rgb, 1e-12) ** (1 / 2.4) - 0.055)
+                raw = np.concatenate([enc, linear[..., 3:]], axis=-1)
+                # quantize to the 8-bit codes the u32 pool stores, so the
+                # f32 fallback path sees the same values (half-step sRGB
+                # error — the same class as any LDR source texture)
+                raw = np.round(np.clip(raw, 0.0, 1.0) * 255.0) / 255.0
+                out = (raw.astype(np.float32), False)
+            else:
+                # HDR result: keep linear floats (pool falls back to f32);
+                # _load skips the sRGB decode via the hdr flag
+                out = (linear.astype(np.float32), True)
+            self._raw_cache[ref.file_path] = out
+            return out
         try:
             from gatling_tpu.render.assets import read_asset
 

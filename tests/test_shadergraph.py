@@ -106,35 +106,68 @@ def test_mix_constant_factor():
     np.testing.assert_allclose(gv.texture.bias[:3], [0.05] * 3, atol=1e-7)
 
 
-def test_two_textures_warn_and_degrade():
-    from gatling_tpu.utils.log import get_logger
-
-    class _Capture(logging.Handler):
-        def __init__(self):
-            super().__init__(level=logging.WARNING)
-            self.messages = []
-
-        def emit(self, record):
-            self.messages.append(record.getMessage())
-
+def test_two_textures_records_exact_expr():
+    """multiply(texA, texB) is non-affine: the affine approximation keeps
+    texA scaled by texB's fallback AND the exact subtree rides along as an
+    Expr for composite baking."""
     nodes = [
         _node("/s", "surf", conns={"in": ("/mul", "out")}),
         _node("/mul", "multiply", {}, {"in1": ("/t", "out"), "in2": ("/t2", "out")}),
         _tex_node(),
         _tex_node("/t2", "/tmp/other.png"),
     ]
-    cap = _Capture()
-    logger = get_logger()
-    logger.addHandler(cap)
-    try:
-        gv = _eval(_mat(nodes, "/s"))
-    finally:
-        logger.removeHandler(cap)
+    gv = _eval(_mat(nodes, "/s"))
     assert gv.texture is not None
     assert gv.texture.file_path.endswith("does_not_matter.png")
     # second texture approximated by its fallback 0.5 -> scale
     np.testing.assert_allclose(gv.texture.scale[:3], [0.5] * 3)
-    assert any("two textures" in m for m in cap.messages)
+    assert gv.expr is not None and gv.expr.op == "multiply"
+    assert gv.expr.args[0].tex.file_path.endswith("does_not_matter.png")
+    assert gv.expr.args[1].tex.file_path.endswith("other.png")
+
+
+def test_two_texture_multiply_bakes_exact_composite(tmp_path):
+    """End to end: a multiply of two real images lowers to a baked pool
+    slot whose samples equal the per-texel product (exact at texel centers,
+    within the 8-bit sRGB quantization of the baked store)."""
+    rng = np.random.default_rng(7)
+    paths = []
+    for i in range(2):
+        img = np.zeros((4, 4, 4), np.uint8)
+        img[..., :3] = rng.integers(0, 256, size=(4, 4, 3))
+        img[..., 3] = 255
+        p = str(tmp_path / f"bake_{i}.png")
+        imgio.write_image_file(p, img)
+        paths.append(p)
+
+    nodes = [
+        _node("/s", "UsdPreviewSurface", {},
+              {"diffuseColor": ("/mul", "out")}),
+        _node("/mul", "multiply", {},
+              {"in1": ("/t", "out"), "in2": ("/t2", "out")}),
+        _node("/t", "image", {"file": paths[0]}),
+        _node("/t2", "image", {"file": paths[1]}),
+    ]
+    mat = lower_material(_mat(nodes, "/s"))
+    ref = mat.textures["base_color"]
+    assert ref.bake is not None and ref.file_path.startswith("baked://")
+
+    tm = TextureManager()
+    pool = tm.build_pool([ref])
+    # sample every texel center and compare against the numpy product
+    # (both sources are raw non-sRGB here: is_srgb defaults come from the
+    # 'auto' colorspace inference with color_hint, images stay linear codes)
+    xs, ys = np.meshgrid(np.arange(4), np.arange(4))
+    uv = jnp.asarray(np.stack([(xs.ravel() + 0.5) / 4,
+                               1.0 - (ys.ravel() + 0.5) / 4], axis=-1),
+                     jnp.float32)
+    got = np.asarray(sample_pool(pool, jnp.zeros(16, jnp.int32), uv))[:, :3]
+    # leaves keep their inferred colorspaces: in1 inherits the color hint
+    # (sRGB), in2 stays raw — mirror exactly what the bake evaluates
+    a = tm._load(ref.bake.args[0].tex)
+    b = tm._load(ref.bake.args[1].tex)
+    want = (a * b).reshape(-1, 4)[:, :3]
+    np.testing.assert_allclose(got, want, atol=2.5 / 255.0)
 
 
 def test_extract_channel():
