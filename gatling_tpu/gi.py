@@ -320,6 +320,17 @@ def _init_aov_state(bindings: list[GiAovBinding], n: int) -> dict[str, jnp.ndarr
     return state
 
 
+def _parallel_devices(settings, n_pixels: int) -> int:
+    """Resolved parallelDevices setting, clamped to the available jax
+    devices (1 = single-device, the default)."""
+    import jax as _jax
+
+    want = int(settings.get("parallelDevices", 1) or 1)
+    if want <= 1:
+        return 1
+    return max(1, min(want, len(_jax.devices())))
+
+
 def render(params: GiRenderParams) -> None:
     """giRender analog (reference: Gi.cpp:1989-2524). Resolves dirty state,
     rebuilds device caches, dispatches the frame, copies AOVs to host."""
@@ -507,12 +518,27 @@ def render(params: GiRenderParams) -> None:
         need_mats = has_textures or want_first
         from gatling_tpu.render.texture import empty_pool as _empty_pool
 
-        out = render_pixels_fused(
-            config, uniforms, fs, scene._dome_data or default_dome(), pix,
-            config.spp, uniforms.sample_offset, static=fstatic,
-            materials=scene._material_table if need_mats else None,
-            textures=(scene._texture_pool or _empty_pool()) if need_mats else None,
-            want_first_hit=want_first, with_stats=want_first)
+        n_par = _parallel_devices(s, n)
+        if n_par > 1 and not want_first and not has_textures \
+                and n % (n_par * 1024) == 0:
+            # multi-device fused render: frame tiles shard over the mesh's
+            # "tiles" axis (SURVEY §2.10); first-hit AOVs and the textured
+            # split-bounce stay single-device for now
+            from gatling_tpu.parallel.sharding import (
+                make_mesh, render_fused_sharded)
+
+            mesh = make_mesh(n_tiles=n_par)
+            color, _segs = render_fused_sharded(
+                config, uniforms, fs, fstatic,
+                scene._dome_data or default_dome(), mesh)
+            out = color
+        else:
+            out = render_pixels_fused(
+                config, uniforms, fs, scene._dome_data or default_dome(), pix,
+                config.spp, uniforms.sample_offset, static=fstatic,
+                materials=scene._material_table if need_mats else None,
+                textures=(scene._texture_pool or _empty_pool()) if need_mats else None,
+                want_first_hit=want_first, with_stats=want_first)
         zero3 = jnp.zeros((n, 3), jnp.float32)
         if want_first:
             color, _segs, fh = out
@@ -538,10 +564,27 @@ def render(params: GiRenderParams) -> None:
         res = SampleResult(color=color, bounces=jnp.zeros((n,), jnp.int32), first=first)
         scene._aov_state = blend_aovs(config, uniforms, scene._aov_state, res)
     else:
-        scene._aov_state = render_frame(
-            config, uniforms, scene._geom, scene._material_table,
-            scene._light_arrays, scene._dome_data or default_dome(), scene._aov_state,
-            scene._texture_pool or empty_pool(), scene._accel)
+        n_par = _parallel_devices(s, n)
+        if n_par > 1 and n % n_par == 0 and config.tracer == "brute":
+            # multi-device wavefront render: AOV state shards over the
+            # "tiles" axis (SURVEY §2.10). BVH/pallas tracers carry accel
+            # tables the sharded entry point does not take; they stay
+            # single-device.
+            from gatling_tpu.parallel.sharding import (
+                make_mesh, render_frame_sharded_jit)
+
+            mesh = make_mesh(n_tiles=n_par)
+            scene._aov_state = render_frame_sharded_jit(
+                config, uniforms, scene._geom, scene._material_table,
+                scene._light_arrays, scene._dome_data or default_dome(),
+                scene._aov_state, mesh,
+                scene._texture_pool or empty_pool())
+        else:
+            scene._aov_state = render_frame(
+                config, uniforms, scene._geom, scene._material_table,
+                scene._light_arrays, scene._dome_data or default_dome(),
+                scene._aov_state,
+                scene._texture_pool or empty_pool(), scene._accel)
 
     # device -> host AOV copies (Gi.cpp:2439-2502)
     for b in params.aov_bindings:

@@ -41,6 +41,9 @@ SETTING_DESCRIPTORS: list[SettingDescriptor] = [
     SettingDescriptor("metersPerSceneUnit", float, 1.0, "meters per scene unit"),
     SettingDescriptor("progressiveAccumulation", bool, True, "progressive sample accumulation", debug_only=True),
     SettingDescriptor("domeLightCameraVisible", bool, True, "dome light visible to camera"),
+    # TPU-native addition (SURVEY.md §2.10, no reference counterpart): shard
+    # the frame across N jax devices (the "tiles" axis of the device mesh)
+    SettingDescriptor("parallelDevices", int, 1, "shard the frame across N devices (1 = single device)"),
 ]
 
 

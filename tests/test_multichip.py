@@ -129,3 +129,20 @@ def test_fused_sharded_matches_single(monkeypatch):
     assert np.asarray(segs).min() >= 1.0
     np.testing.assert_allclose(np.asarray(segs), np.asarray(single_segs),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_gi_parallel_devices_matches_single(monkeypatch):
+    """The parallelDevices render setting routes gi.render through the
+    sharded wavefront path (tiles-axis shard_map); the image must match the
+    single-device render bit-for-bit — sharding only changes WHERE pixels
+    compute, never the RNG streams."""
+    from gatling_tpu.cli import render_scene_file
+    from gatling_tpu.utils.config import default_settings
+
+    monkeypatch.setenv("GATLING_TRACER", "brute")
+    s = default_settings()
+    s.update(spp=2, maxBounces=2)
+    img1, _ = render_scene_file("/root/reference/cornell.usda", 32, 32, s)
+    s2 = dict(s, parallelDevices=8)
+    img8, _ = render_scene_file("/root/reference/cornell.usda", 32, 32, s2)
+    np.testing.assert_allclose(img8, img1, rtol=2e-5, atol=1e-6)
