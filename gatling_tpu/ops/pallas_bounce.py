@@ -561,7 +561,7 @@ def _safe_inv(d):
     return 1.0 / jnp.where(tiny, jnp.where(d >= 0.0, 1e-20, -1e-20), d)
 
 
-def _cluster_walk_plan(state, l1_aabbs):
+def _cluster_walk_plan(state, l1_aabbs, l2_aabbs):
     """XLA prelude for the clustered walk: per ray block, the L1 groups
     sorted by conservative distance (block origin box -> group box), the
     sorted distances, and the global scene box.
@@ -620,23 +620,34 @@ def _cluster_walk_plan(state, l1_aabbs):
         return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
                 jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
 
-    s0_lo = g_lo[:, None, :] - b_hi[:, :, None]  # (plane_lo - o) interval
-    s0_hi = g_lo[:, None, :] - b_lo[:, :, None]
-    s1_lo = g_hi[:, None, :] - b_hi[:, :, None]
-    s1_hi = g_hi[:, None, :] - b_lo[:, :, None]
-    t0_lo, t0_hi = _imul(s0_lo, s0_hi)
-    t1_lo, t1_hi = _imul(s1_lo, s1_hi)
-    ent = jnp.minimum(t0_lo, t1_lo)  # [3, B, n_l1] entry lower bound
-    ext = jnp.maximum(t0_hi, t1_hi)  # exit upper bound
-    mono_b = mono[:, :, None]
-    ent = jnp.where(mono_b, ent, -big)
-    ext = jnp.where(mono_b, ext, big)
-    ten = jnp.maximum(jnp.max(ent, axis=0), 0.0)  # [B, n_l1]
-    tex = jnp.min(ext, axis=0)
-    crossed = (ten <= tex) & (tex >= 0.0)
+    def _interval_slab(box_lo, box_hi):
+        """Conservative block-frustum slab vs boxes [3, K]: (entry lower
+        bound, crossed) per [B, K]."""
+        s0_lo = box_lo[:, None, :] - b_hi[:, :, None]
+        s0_hi = box_lo[:, None, :] - b_lo[:, :, None]
+        s1_lo = box_hi[:, None, :] - b_hi[:, :, None]
+        s1_hi = box_hi[:, None, :] - b_lo[:, :, None]
+        t0_lo, t0_hi = _imul(s0_lo, s0_hi)
+        t1_lo, t1_hi = _imul(s1_lo, s1_hi)
+        ent = jnp.minimum(t0_lo, t1_lo)  # [3, B, K] entry lower bound
+        ext = jnp.maximum(t0_hi, t1_hi)  # exit upper bound
+        mono_b = mono[:, :, None]
+        ent = jnp.where(mono_b, ent, -big)
+        ext = jnp.where(mono_b, ext, big)
+        ten = jnp.maximum(jnp.max(ent, axis=0), 0.0)  # [B, K]
+        tex = jnp.min(ext, axis=0)
+        return ten, (ten <= tex) & (tex >= 0.0)
+
+    ten, crossed = _interval_slab(g_lo, g_hi)
     dist = jnp.where(crossed, dist, 3e37)
     order = jnp.argsort(dist, axis=1).astype(jnp.int32)
     dist_sorted = jnp.take_along_axis(dist, order, axis=1)
+
+    # per-CLUSTER conservative entry bound, 3e37 when never crossed: the
+    # kernel gates each cluster on ONE SMEM scalar compare against the
+    # walk's tightening cap instead of a per-ray [8,128] slab test + reduce
+    ten2, crossed2 = _interval_slab(l2_aabbs[0:3], l2_aabbs[3:6])
+    ten2 = jnp.where(crossed2, ten2, 3e37)
     gbox = jnp.concatenate([
         jnp.min(jnp.where(g_lo <= 1e30, g_lo, big), axis=1),
         jnp.max(jnp.where(g_hi >= -1e30, g_hi, -big), axis=1),
@@ -667,7 +678,8 @@ def _cluster_walk_plan(state, l1_aabbs):
 
     # [B, 1, n_l1]: Mosaic SMEM blocks need the last two dims full-size,
     # so the per-block axis leads
-    return order[:, None, :], dist_sorted[:, None, :], gbox, lhs
+    return (order[:, None, :], dist_sorted[:, None, :],
+            ten2[:, None, :], gbox, lhs)
 
 
 def _cluster_reader(tri_ref, cache, *, init_tags):
@@ -712,33 +724,40 @@ def _cluster_reader(tri_ref, cache, *, init_tags):
     return fetch_group, cluster_rows
 
 
-def _bw_products(lhs_hi, lhs_lo, tri):
+def _split_lhs24(lhs2):
+    """[2048, 8] f32 ray matrix -> [2048, 24] bf16 (hi | hi | lo) for the
+    fused hi/lo product (see _bw_products)."""
+    lhs_hi = lhs2.astype(jnp.bfloat16)
+    lhs_lo = (lhs2 - lhs_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([lhs_hi, lhs_hi, lhs_lo], axis=1)
+
+
+def _bw_products(lhs24, tri):
     """Baldwin-Weber products for one cluster: stacked (o|d) x the three
-    8-aligned quads, as three one-pass bf16 hi/lo matmuls (~2^-16 relative).
-    Returns (po, pd), each [RAY_BLOCK, 384] f32."""
+    8-aligned quads. The bf16x3 emulation (hi*hi + hi*lo + lo*hi, ~2^-16
+    relative) runs as ONE K=24 MXU pass — the three partial products ride
+    the contraction dimension ((hi|hi|lo) x (hi;lo;hi)) instead of three
+    separate K=8 passes, so the systolic array's K capacity absorbs them
+    for free. Returns (po, pd), each [RAY_BLOCK, 384] f32."""
     ro = jnp.concatenate(
         [tri[CLU_N:CLU_N + 8], tri[CLU_R1:CLU_R1 + 8],
          tri[CLU_R2:CLU_R2 + 8]], axis=1)  # [8, 384]
 
     if _PROF_NOMXU:
-        p = jnp.broadcast_to(ro[0:1, :] + lhs_hi[0, 0].astype(jnp.float32),
+        p = jnp.broadcast_to(ro[0:1, :] + lhs24[0, 0].astype(jnp.float32),
                              (2 * RAY_BLOCK, 384))
     else:
         ro_hi = ro.astype(jnp.bfloat16)
         ro_lo = (ro - ro_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-        def bdot(a, b_):
-            return jax.lax.dot_general(
-                a, b_, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        p = (bdot(lhs_hi, ro_hi) + bdot(lhs_hi, ro_lo)
-             + bdot(lhs_lo, ro_hi))  # [2048, 384]
+        ro24 = jnp.concatenate([ro_hi, ro_lo, ro_hi], axis=0)  # [24, 384]
+        p = jax.lax.dot_general(
+            lhs24, ro24, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [2048, 384]
     return p[0:RAY_BLOCK], p[RAY_BLOCK:2 * RAY_BLOCK]
 
 
 def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
-                            gbox_ref, lhs_ref, cache, best128,
+                            ten2_ref, gbox_ref, lhs_ref, cache, best128,
                             clus128, attrs_acc, acc,
                             ox, oy, oz, dx, dy, dz, tmin, alive_f, *, n_l1,
                             want_uv=False):
@@ -796,9 +815,7 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
 
     # hi/lo bf16 split of the stacked (origins | directions) ray matrix,
     # done once per block: a.hi + a.lo reproduces a to ~2^-24 relative
-    lhs2 = jnp.concatenate([lhs_o, lhs_d], axis=0)  # [2048, 8]
-    lhs_hi = lhs2.astype(jnp.bfloat16)
-    lhs_lo = (lhs2 - lhs_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    lhs24 = _split_lhs24(jnp.concatenate([lhs_o, lhs_d], axis=0))
 
     # group cache (non-resident mode): scratch persists across the
     # sequential grid programs of one pallas_call, so Morton-adjacent ray
@@ -814,8 +831,14 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
         return (k < n_l1) & (dist_ref[0, 0, jnp.minimum(k, n_l1 - 1)] <= max_best)
 
     def l1_body(carry):
-        k, _max_best = carry
+        k, max_best = carry
         g = order_ref[0, 0, k]
+        # per-ray slab tests remain load-bearing for INCOHERENT blocks
+        # (removing them doubled the secondary-bounce cost: the plan's
+        # block-interval bounds go slack when a block's direction interval
+        # straddles zero); the precomputed per-cluster entry bound adds a
+        # FREE scalar pre-gate in front of each [8,128] slab + reduce,
+        # which skips clusters behind every ray's tightened cap
         hit1 = _slab_test(l1_ref, g, ox, oy, oz, ivx, ivy, ivz, tmin_r, acc[0])
         any1 = jnp.max(hit1.astype(jnp.float32)) > 0.5
 
@@ -825,39 +848,41 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
 
             def l2_body(b, __):
                 c = g * L1_FAN + b
-                hit2 = _slab_test(l2_ref, c, ox, oy, oz, ivx, ivy, ivz,
-                                  tmin_r, acc[0])
-                any2 = jnp.max(hit2.astype(jnp.float32)) > 0.5
 
-                @pl.when(any2)
+                @pl.when(ten2_ref[0, 0, c] <= max_best)
                 def _():
-                    # ONE stacked (o|d) x rows product covers all three
-                    # Baldwin-Weber quads: the quads sit at 8-aligned
-                    # sublanes (CLU layout) so the lane-concat legalizes,
-                    # and lhs columns 4-7 are zero so the attr rows parked
-                    # in each quad's upper half contribute nothing
-                    # (selection only; the winner's t/u/v are recomputed
-                    # exactly in pass 2).
-                    po, pd = _bw_products(lhs_hi, lhs_lo,
-                                          cluster_rows(handle, b))
-                    nd = pd[:, 0:128]
-                    okm = jnp.abs(nd) > 1e-12
-                    inv = jnp.where(okm, 1.0 / jnp.where(okm, nd, 1.0), 0.0)
-                    tt = -po[:, 0:128] * inv
-                    u = po[:, 128:256] + tt * pd[:, 128:256]
-                    v = po[:, 256:384] + tt * pd[:, 256:384]
-                    okm = (okm & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                           & (tt > tmin) & (tt < cap_t))
-                    cur = best128[...]
-                    bet = okm & (tt < cur)
-                    best128[...] = jnp.where(bet, tt, cur)
-                    clus128[...] = jnp.where(bet, c.astype(jnp.float32), clus128[...])
+                    hit2 = _slab_test(l2_ref, c, ox, oy, oz, ivx, ivy, ivz,
+                                      tmin_r, acc[0])
+                    any2 = jnp.max(hit2.astype(jnp.float32)) > 0.5
+
+                    @pl.when(any2)
+                    def _():
+                        # ONE stacked (o|d) x rows product covers all three
+                        # Baldwin-Weber quads: the quads sit at 8-aligned
+                        # sublanes (CLU layout) so the lane-concat
+                        # legalizes, and lhs columns 4-7 are zero so the
+                        # attr rows parked in each quad's upper half
+                        # contribute nothing (selection only; the winner's
+                        # t/u/v are recomputed exactly in pass 2).
+                        po, pd = _bw_products(lhs24, cluster_rows(handle, b))
+                        nd = pd[:, 0:128]
+                        okm = jnp.abs(nd) > 1e-12
+                        inv = jnp.where(okm, 1.0 / jnp.where(okm, nd, 1.0), 0.0)
+                        tt = -po[:, 0:128] * inv
+                        u = po[:, 128:256] + tt * pd[:, 128:256]
+                        v = po[:, 256:384] + tt * pd[:, 256:384]
+                        okm = (okm & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                               & (tt > tmin) & (tt < cap_t))
+                        cur = best128[...]
+                        bet = okm & (tt < cur)
+                        best128[...] = jnp.where(bet, tt, cur)
+                        clus128[...] = jnp.where(bet, c.astype(jnp.float32),
+                                                 clus128[...])
                 return 0
 
             jax.lax.fori_loop(0, L1_FAN, l2_body, 0)
 
-            # lazy per-ray cap tighten (slab pruning); only after a group
-            # actually ran — the reduce+relayout is not free
+            # per-ray cap tighten (prunes later clusters + drives the exit)
             bt = jnp.min(best128[...], axis=1)  # [1024]
             acc[0] = jnp.minimum(acc[0], bt.reshape(BLOCK_ROWS, 128))
 
@@ -903,11 +928,27 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
                 @pl.when(any2)
                 def _():
                     base = (c * CLUSTER_SIZE).astype(jnp.float32)
-                    onehot = (win_col == base + lane_f).astype(jnp.float32)
-                    attrs_acc[...] = attrs_acc[...] + jax.lax.dot_general(
-                        onehot, cluster_rows(handle, b),
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+                    # DEFAULT-precision f32 matmuls truncate operands to
+                    # bf16 on the MXU (measured 2e-3 relative on hardware);
+                    # the one-hot side is 0/1 (bf16-exact), so three passes
+                    # against the value side's hi/mid/lo split reproduce
+                    # the f32 rows to ~2^-24 — attrs feed normals and the
+                    # exact t/u/v recompute, where truncation is visible
+                    onehot = (win_col == base + lane_f).astype(jnp.bfloat16)
+                    tri = cluster_rows(handle, b)
+                    tri_hi = tri.astype(jnp.bfloat16)
+                    r1_ = tri - tri_hi.astype(jnp.float32)
+                    tri_mid = r1_.astype(jnp.bfloat16)
+                    tri_lo = (r1_ - tri_mid.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
+
+                    def adot(vals):
+                        return jax.lax.dot_general(
+                            onehot, vals, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+
+                    attrs_acc[...] = (attrs_acc[...] + adot(tri_hi)
+                                      + adot(tri_mid) + adot(tri_lo))
                 return 0
 
             jax.lax.fori_loop(0, L1_FAN, a2_body, 0)
@@ -999,8 +1040,7 @@ def _trace_clustered_occluded(tri_ref, l1_ref, l2_ref, cache, occ128, acc,
          jnp.concatenate([flat(oz), flat(dz)]),
          jnp.concatenate([one, zero]),
          zero2, zero2, zero2, zero2], axis=0))  # [2048, 8]
-    lhs_hi = lhs2.astype(jnp.bfloat16)
-    lhs_lo = (lhs2 - lhs_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    lhs24 = _split_lhs24(lhs2)
     # [1024, 1] light distances via the same transpose (the direct
     # flat[:, None] broadcast is an unsupported Mosaic shape cast here)
     aux = jnp.transpose(jnp.stack(
@@ -1045,7 +1085,7 @@ def _trace_clustered_occluded(tri_ref, l1_ref, l2_ref, cache, occ128, acc,
 
                     @pl.when(any2)
                     def _():
-                        po, pd = _bw_products(lhs_hi, lhs_lo,
+                        po, pd = _bw_products(lhs24,
                                               cluster_rows(handle, b))
                         nd = pd[:, 0:128]
                         okm = jnp.abs(nd) > 1e-12
@@ -1081,9 +1121,9 @@ def _trace_clustered_occluded(tri_ref, l1_ref, l2_ref, cache, occ128, acc,
 def _bounce_kernel(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
                    *rest, static: FusedStatic, nee: bool):
     if static.clustered:
-        (order_ref, dist_ref, gbox_ref, lhs_ref,
+        (order_ref, dist_ref, ten2_ref, gbox_ref, lhs_ref,
          state_ref, out_ref, *scratch) = rest
-        plan = (order_ref, dist_ref, gbox_ref, lhs_ref)
+        plan = (order_ref, dist_ref, ten2_ref, gbox_ref, lhs_ref)
     else:
         state_ref, out_ref, *scratch = rest
         plan = None
@@ -1118,12 +1158,12 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
 
     # ---- closest-hit search ----
     if static.clustered:
-        order_ref, dist_ref, gbox_ref, lhs_ref = plan
+        order_ref, dist_ref, ten2_ref, gbox_ref, lhs_ref = plan
         acc, cache, best128, clus128, attrs_acc = _clu_scratch_views(
             scratch, static)
         _trace_clustered_matrix(
-            tri_ref, l1_ref, l2_ref, order_ref, dist_ref, gbox_ref, lhs_ref,
-            cache, best128, clus128, attrs_acc, acc,
+            tri_ref, l1_ref, l2_ref, order_ref, dist_ref, ten2_ref,
+            gbox_ref, lhs_ref, cache, best128, clus128, attrs_acc, acc,
             ox, oy, oz, dx, dy, dz, tmin, alive_f, n_l1=static.n_l1)
         best_t, u, v = acc[0], acc[1], acc[2]
         (gnx, gny, gnz, n0x, n0y, n0z,
@@ -1168,7 +1208,9 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
     nx, ny, nz = nx * fsign, ny * fsign, nz * fsign
 
     # ---- material row resolve ----
-    m_id = mat_f.astype(jnp.int32)
+    # round, not truncate: clustered attrs arrive via the hi/lo matmul
+    # fetch (~2^-16 relative), so ids sit next to integers, not on them
+    m_id = jnp.round(mat_f).astype(jnp.int32)
     mp = [jnp.zeros((BLOCK_ROWS, 128), jnp.float32) for _ in range(11)]
     # columns of MaterialTable.packed_f used here
     # 0-2 base_color, 3 metallic, 4 roughness, 5 ior, 7-9 emissive,
@@ -1680,11 +1722,14 @@ def unpack_radiance(state, r: int):
 
 def _plan_specs(static: FusedStatic):
     """in_specs + per-block index maps for the XLA-computed walk plan."""
+    c_pad = static.n_l1 * L1_FAN
     return [
         pl.BlockSpec((1, 1, static.n_l1), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),  # L1 walk order
         pl.BlockSpec((1, 1, static.n_l1), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),  # sorted L1 distances
+        pl.BlockSpec((1, 1, c_pad), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),  # per-cluster entry bounds
         pl.BlockSpec(memory_space=pltpu.SMEM),  # global scene box [8]
         pl.BlockSpec((1, 3, RAY_BLOCK, 8), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),  # transposed ray matrix
@@ -1703,7 +1748,7 @@ def bounce_step(params, scene: FusedScene, state, *, static: FusedStatic, nee: b
     # SMEM supports dynamic scalar indexing
     tri_spec, scratch_shapes = _tri_specs(static)
     if static.clustered:
-        plan_args = _cluster_walk_plan(state, scene.l1_aabbs)
+        plan_args = _cluster_walk_plan(state, scene.l1_aabbs, scene.l2_aabbs)
         plan_specs = _plan_specs(static)
     return pl.pallas_call(
         kernel,
@@ -1743,7 +1788,7 @@ def bounce_step(params, scene: FusedScene, state, *, static: FusedStatic, nee: b
 def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, *rest,
                   static: FusedStatic):
     if static.clustered:
-        (order_ref, dist_ref, gbox_ref, lhs_ref,
+        (order_ref, dist_ref, ten2_ref, gbox_ref, lhs_ref,
          state_ref, hit_ref, *scratch) = rest
     else:
         state_ref, hit_ref, *scratch = rest
@@ -1766,8 +1811,8 @@ def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, *rest,
             acc, cache, best128, clus128, attrs_acc = _clu_scratch_views(
                 scratch, static)
             _trace_clustered_matrix(
-                tri_ref, l1_ref, l2_ref, order_ref, dist_ref, gbox_ref,
-                lhs_ref, cache, best128, clus128, attrs_acc, acc,
+                tri_ref, l1_ref, l2_ref, order_ref, dist_ref, ten2_ref,
+                gbox_ref, lhs_ref, cache, best128, clus128, attrs_acc, acc,
                 ox, oy, oz, dx, dy, dz, tmin, alive_f, n_l1=static.n_l1,
                 want_uv=True)
             best_t, u, v = acc[0], acc[1], acc[2]
@@ -1933,7 +1978,7 @@ def trace_step(params, scene: FusedScene, state, *, static: FusedStatic):
     plan_specs: list = []
     plan_args: tuple = ()
     if static.clustered:
-        plan_args = _cluster_walk_plan(state, scene.l1_aabbs)
+        plan_args = _cluster_walk_plan(state, scene.l1_aabbs, scene.l2_aabbs)
         plan_specs = _plan_specs(static)
     return pl.pallas_call(
         kernel,

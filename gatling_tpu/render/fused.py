@@ -178,7 +178,7 @@ def _material_rows(materials, textures, hitbuf, active=None,
 
     rows, nb, lanes = hitbuf.shape
     flat = hitbuf.reshape(rows, nb * lanes)
-    mat = jnp.clip(flat[H_MAT].astype(jnp.int32), 0, None)
+    mat = jnp.clip(jnp.round(flat[H_MAT]).astype(jnp.int32), 0, None)
     uv = jnp.stack([flat[H_UVX], flat[H_UVY]], axis=-1)
     p = gather_params(materials, mat)
     p = apply_textures(materials, textures, p, mat, uv, active)
