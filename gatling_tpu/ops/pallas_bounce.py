@@ -90,6 +90,13 @@ TR_MAT = 24
 TR_DS = 25
 TR_UV = 26    # 26-31: uv0.xy uv1.xy uv2.xy (reserved for the textured path)
 TRI_ROWS = 32
+# tangent extension (static.tangents — normal-mapped scenes only):
+# per-corner tangents + bitangent signs for the textured split-bounce path
+TR_T0 = 32    # 32-34, 35-37, 38-40: tangents per corner
+TR_T1 = 35
+TR_T2 = 38
+TR_BS = 41    # 41-43: bitangent signs per corner
+TRI_ROWS_TAN = 48  # padded to a multiple of 8 (DMA sublane rule)
 
 CLUSTER_SIZE = 128
 L1_FAN = 16  # clusters per level-1 AABB group
@@ -111,6 +118,12 @@ CLU_N1 = 20
 CLU_N2 = 24   # 24-26 n2
 CLU_UV = 28   # 28-33 uv0.xy uv1.xy uv2.xy
 CLU_TRI_ROWS = 40
+# tangent extension rows (static.tangents only)
+CLU_T0 = 40   # 40-42, 43-45, 46-48: tangents per corner
+CLU_T1 = 43
+CLU_T2 = 46
+CLU_BS = 49   # 49-51: bitangent signs per corner
+CLU_TRI_ROWS_TAN = 56
 # canonical row -> clustered row (BW quads + attrs)
 CLU_ROW_MAP = (
     (TR_N, CLU_N), (TR_N + 1, CLU_N + 1), (TR_N + 2, CLU_N + 2),
@@ -128,6 +141,18 @@ CLU_ROW_MAP = (
     (TR_UV, CLU_UV), (TR_UV + 1, CLU_UV + 1), (TR_UV + 2, CLU_UV + 2),
     (TR_UV + 3, CLU_UV + 3), (TR_UV + 4, CLU_UV + 4), (TR_UV + 5, CLU_UV + 5),
 )
+CLU_ROW_MAP_TAN = CLU_ROW_MAP + tuple(
+    (TR_T0 + i, CLU_T0 + i) for i in range(12))
+
+
+def tri_row_count(tangents: bool) -> int:
+    """Resident-table row count (TR_* layout)."""
+    return TRI_ROWS_TAN if tangents else TRI_ROWS
+
+
+def clu_row_count(tangents: bool) -> int:
+    """Clustered-table row count (CLU_* layout)."""
+    return CLU_TRI_ROWS_TAN if tangents else CLU_TRI_ROWS
 
 # VMEM group cache: every DMA costs ~13 us FIXED on v5e (measured,
 # size-independent), so cluster groups are cached across the sequential
@@ -167,6 +192,14 @@ SHADOW_TMIN = 0.01  # reference: rgen:397-438 shadow ray tMin
 H_HIT, H_T, H_UVX, H_UVY, H_MAT = 0, 1, 2, 3, 4
 H_GN, H_N, H_FRONT, H_DS, H_POS = 5, 8, 11, 12, 13
 HIT_ROWS = 16
+# tangent extension (static.tangents): orthonormalized shading tangent +
+# interpolated bitangent sign, for the XLA normal-mapping stage
+H_TAN, H_BS = 16, 19
+HIT_ROWS_TAN = 24
+
+
+def hit_row_count(tangents: bool) -> int:
+    return HIT_ROWS_TAN if tangents else HIT_ROWS
 
 # split-bounce per-ray material rows (written by the XLA texture stage)
 PR_BASE, PR_METAL, PR_ROUGH, PR_IOR = 0, 3, 4, 5
@@ -208,6 +241,10 @@ class FusedStatic:
     # fetches the unchanging input block once per pallas_call. Measured:
     # DMA was 61% of an unsorted secondary bounce (PERF.md attribution).
     clu_vmem: bool = False
+    # per-corner tangent rows in the triangle tables + tangent/bitangent
+    # hit-buffer rows, for normal mapping in the textured split-bounce
+    # stage (set when any material binds a normal texture)
+    tangents: bool = False
 
     @property
     def clustered(self) -> bool:
@@ -296,8 +333,9 @@ def build_fused_lights(arrays: LightArrays) -> tuple[np.ndarray, tuple[int, ...]
     return table.astype(np.float32), tuple(types)
 
 
-def _tri_rows(geom: SceneGeometry) -> np.ndarray:
-    """Per-triangle kernel rows [T, TRI_ROWS] (Baldwin-Weber precompute)."""
+def _tri_rows(geom: SceneGeometry, tangents: bool = False) -> np.ndarray:
+    """Per-triangle kernel rows [T, TRI_ROWS[_TAN]] (Baldwin-Weber
+    precompute; per-corner tangents appended for normal-mapped scenes)."""
     v0 = np.asarray(geom.v0, np.float64)
     e1 = np.asarray(geom.e1, np.float64)
     e2 = np.asarray(geom.e2, np.float64)
@@ -319,7 +357,7 @@ def _tri_rows(geom: SceneGeometry) -> np.ndarray:
     n = np.where(degen[:, None], 0.0, n)
 
     t = v0.shape[0]
-    rows = np.zeros((t, TRI_ROWS), np.float32)
+    rows = np.zeros((t, tri_row_count(tangents)), np.float32)
     rows[:, TR_N:TR_N + 3] = n
     rows[:, TR_D0] = d0
     rows[:, TR_R1:TR_R1 + 3] = r1
@@ -335,6 +373,11 @@ def _tri_rows(geom: SceneGeometry) -> np.ndarray:
     rows[:, TR_UV:TR_UV + 2] = np.asarray(geom.uv0)
     rows[:, TR_UV + 2:TR_UV + 4] = np.asarray(geom.uv1)
     rows[:, TR_UV + 4:TR_UV + 6] = np.asarray(geom.uv2)
+    if tangents:
+        rows[:, TR_T0:TR_T0 + 3] = np.asarray(geom.t0)
+        rows[:, TR_T1:TR_T1 + 3] = np.asarray(geom.t1)
+        rows[:, TR_T2:TR_T2 + 3] = np.asarray(geom.t2)
+        rows[:, TR_BS:TR_BS + 3] = np.asarray(geom.bsign)
     return rows
 
 
@@ -397,10 +440,12 @@ def build_fused_scene_with_order(
         light_table = np.zeros((1, LIGHT_COLS), np.float32)
         light_types = ()
 
+    tangents = bool((np.asarray(table.normal_tex) >= 0).any())
     if n_real <= resident_max:
-        rows = _tri_rows(geom)  # [T, TRI_ROWS]
+        rows = _tri_rows(geom, tangents)  # [T, TRI_ROWS[_TAN]]
         static = FusedStatic(n_tris=n_real, n_mats=int(table.packed_f.shape[0]),
-                             n_clusters=0, n_l1=1, light_types=light_types)
+                             n_clusters=0, n_l1=1, light_types=light_types,
+                             tangents=tangents)
         scene = FusedScene(
             tris=jnp.asarray(rows.T.copy()),  # [TRI_ROWS, T]
             mats=jnp.asarray(table.packed_f),
@@ -413,18 +458,20 @@ def build_fused_scene_with_order(
     # ---- clustered mode ----
     order = reuse_order if reuse_order is not None else _morton_order(geom, n_real)
     geom = SceneGeometry(*[np.asarray(arr)[order] for arr in geom])
-    rows = _tri_rows(geom)  # [T, TRI_ROWS]
+    rows = _tri_rows(geom, tangents)  # [T, TRI_ROWS[_TAN]]
 
     n_clusters = -(-n_real // CLUSTER_SIZE)
     n_l1 = -(-n_clusters // L1_FAN)
     c_pad = n_l1 * L1_FAN
     t_pad = c_pad * CLUSTER_SIZE
     # remap canonical rows into the quad-aligned clustered layout (CLU_*)
-    rows_p = np.zeros((t_pad, CLU_TRI_ROWS), np.float32)
-    src_rows = [src for src, _ in CLU_ROW_MAP]
-    dst_rows = [dst for _, dst in CLU_ROW_MAP]
+    n_rows = clu_row_count(tangents)
+    row_map = CLU_ROW_MAP_TAN if tangents else CLU_ROW_MAP
+    rows_p = np.zeros((t_pad, n_rows), np.float32)
+    src_rows = [src for src, _ in row_map]
+    dst_rows = [dst for _, dst in row_map]
     rows_p[:n_real, dst_rows] = rows[:, src_rows]
-    tris = rows_p.reshape(c_pad, CLUSTER_SIZE, CLU_TRI_ROWS).transpose(0, 2, 1).copy()
+    tris = rows_p.reshape(c_pad, CLUSTER_SIZE, n_rows).transpose(0, 2, 1).copy()
 
     # cluster AABBs (vectorized; padding triangles carry empty boxes)
     v0 = np.asarray(geom.v0, np.float64)
@@ -449,7 +496,8 @@ def build_fused_scene_with_order(
         clu_vmem = _os.environ["GATLING_CLU_VMEM"] == "1"
     static = FusedStatic(n_tris=n_real, n_mats=int(table.packed_f.shape[0]),
                          n_clusters=n_clusters, n_l1=n_l1,
-                         light_types=light_types, clu_vmem=clu_vmem)
+                         light_types=light_types, clu_vmem=clu_vmem,
+                         tangents=tangents)
     scene = FusedScene(
         tris=jnp.asarray(tris),
         mats=jnp.asarray(table.packed_f),
@@ -501,9 +549,12 @@ HIT_CARRY = 17
 # clustered-mode accumulator rows; 18/19 carry the interpolated uv in
 # textured mode (fetched by the pass-2 attribute walk)
 CLU_ACC_ROWS = 20
+# +3 interpolated tangent, +1 interpolated bitangent sign (static.tangents)
+CLU_ACC_ROWS_TAN = 24
 
 
-def _closest_body_factory(tread, ox, oy, oz, dx, dy, dz, tmin, want_uv=False):
+def _closest_body_factory(tread, ox, oy, oz, dx, dy, dz, tmin,
+                          want_uv=False, want_tan=False):
     def body(t, carry):
         (best_t, bu, bv,
          gnx, gny, gnz, n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z,
@@ -531,15 +582,28 @@ def _closest_body_factory(tread, ox, oy, oz, dx, dy, dz, tmin, want_uv=False):
                    + v * tread(TR_UV + 5, t))
             out = out + (jnp.where(better, uvx, carry[17]),
                          jnp.where(better, uvy, carry[18]))
+        if want_tan:
+            w = 1.0 - u - v
+            tanv = [w * tread(TR_T0 + ax, t) + u * tread(TR_T1 + ax, t)
+                    + v * tread(TR_T2 + ax, t) for ax in range(3)]
+            bs = (w * tread(TR_BS, t) + u * tread(TR_BS + 1, t)
+                  + v * tread(TR_BS + 2, t))
+            out = out + tuple(
+                jnp.where(better, val, carry[19 + i])
+                for i, val in enumerate(tanv + [bs]))
         return out
     return body
 
 
-def _hit_carry_init(want_uv=False):
+def _hit_carry_init(want_uv=False, want_tan=False):
     z = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
     base = (jnp.full((BLOCK_ROWS, 128), FLOAT_MAX, jnp.float32), z, z,
             z, z, z, z, z, z, z, z, z, z, z, z, z, z)
-    return base + (z, z) if want_uv else base
+    if want_uv:
+        base = base + (z, z)
+    if want_tan:
+        base = base + (z, z, z, z)
+    return base
 
 
 def _slab_test(aabb_ref, idx, ox, oy, oz, ivx, ivy, ivz, tmin, tcap):
@@ -760,7 +824,7 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
                             ten2_ref, gbox_ref, lhs_ref, cache, best128,
                             clus128, attrs_acc, acc,
                             ox, oy, oz, dx, dy, dz, tmin, alive_f, *, n_l1,
-                            want_uv=False):
+                            want_uv=False, tangents=False):
     """Matrix-form ordered closest-hit walk (round-3 clustered tracer).
 
     Measured on v5e (PERF.md): every DMA costs ~13 us FIXED regardless of
@@ -790,7 +854,7 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
     in `acc` in ray layout: 0 best_t, 1 u, 2 v, 3 win tri index (-1 = miss),
     4-17 attrs, 18-19 uv (want_uv).
     """
-    for i in range(1, CLU_ACC_ROWS):
+    for i in range(1, acc.shape[0]):
         acc[i] = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
     acc[3] = jnp.full((BLOCK_ROWS, 128), -1.0, jnp.float32)
     ivx, ivy, ivz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
@@ -909,7 +973,7 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
     win_group = jnp.floor(win_cluster * (1.0 / L1_FAN))
     g_min = jnp.min(jnp.where(hit_any, win_group, jnp.float32(n_l1))).astype(jnp.int32)
     g_max = jnp.max(jnp.where(hit_any, win_group, -1.0)).astype(jnp.int32)
-    attrs_acc[...] = jnp.zeros((RAY_BLOCK, CLU_TRI_ROWS), jnp.float32)
+    attrs_acc[...] = jnp.zeros(attrs_acc.shape, jnp.float32)
     win_col = win_t[:, None]  # [1024, 1]
 
     def a1_body(g, _):
@@ -957,9 +1021,9 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
     if not _PROF_NOP2:
         jax.lax.fori_loop(g_min, g_max + 1, a1_body, 0)
 
-    # attrs to ray layout: [1024, 32] -> [32, 8, 128]
+    # attrs to ray layout: [1024, rows] -> [rows, 8, 128]
     rows40 = jnp.transpose(attrs_acc[...], (1, 0)).reshape(
-        CLU_TRI_ROWS, BLOCK_ROWS, 128)
+        attrs_acc.shape[1], BLOCK_ROWS, 128)
     attr_rows = (CLU_GN, CLU_GN + 1, CLU_GN + 2,
                  CLU_N0, CLU_N0 + 1, CLU_N0 + 2,
                  CLU_N1, CLU_N1 + 1, CLU_N1 + 2,
@@ -994,6 +1058,17 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
                    + acc[2] * rows40[CLU_UV + 4])
         acc[19] = (w * rows40[CLU_UV + 1] + acc[1] * rows40[CLU_UV + 3]
                    + acc[2] * rows40[CLU_UV + 5])
+    if tangents:
+        # interpolated per-corner tangent + bitangent sign (normal mapping;
+        # orthonormalization happens in the trace kernel after the facing
+        # flip, mirroring the wavefront integrator's shading state)
+        w = 1.0 - acc[1] - acc[2]
+        for ax in range(3):
+            acc[20 + ax] = (w * rows40[CLU_T0 + ax]
+                            + acc[1] * rows40[CLU_T1 + ax]
+                            + acc[2] * rows40[CLU_T2 + ax])
+        acc[23] = (w * rows40[CLU_BS] + acc[1] * rows40[CLU_BS + 1]
+                   + acc[2] * rows40[CLU_BS + 2])
 
 
 def _trace_clustered_occluded(tri_ref, l1_ref, l2_ref, cache, occ128, acc,
@@ -1814,23 +1889,30 @@ def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, *rest,
                 tri_ref, l1_ref, l2_ref, order_ref, dist_ref, ten2_ref,
                 gbox_ref, lhs_ref, cache, best128, clus128, attrs_acc, acc,
                 ox, oy, oz, dx, dy, dz, tmin, alive_f, n_l1=static.n_l1,
-                want_uv=True)
+                want_uv=True, tangents=static.tangents)
             best_t, u, v = acc[0], acc[1], acc[2]
             (gnx, gny, gnz, n0x, n0y, n0z,
              n1x, n1y, n1z, n2x, n2y, n2z, mat_f, dsided) = tuple(
                 acc[4 + i] for i in range(14))
             uvx, uvy = acc[18], acc[19]
+            if static.tangents:
+                tnx, tny, tnz, tbs = acc[20], acc[21], acc[22], acc[23]
             hit = alive & (acc[3] >= 0.0)
         else:
             def tread(row, t):
                 return tri_ref[row, t]
 
             body = _closest_body_factory(tread, ox, oy, oz, dx, dy, dz, tmin,
-                                         want_uv=True)
+                                         want_uv=True,
+                                         want_tan=static.tangents)
+            carry = jax.lax.fori_loop(
+                0, static.n_tris, body,
+                _hit_carry_init(want_uv=True, want_tan=static.tangents))
             (best_t, u, v, gnx, gny, gnz, n0x, n0y, n0z,
              n1x, n1y, n1z, n2x, n2y, n2z, mat_f, dsided,
-             uvx, uvy) = jax.lax.fori_loop(
-                0, static.n_tris, body, _hit_carry_init(want_uv=True))
+             uvx, uvy) = carry[:19]
+            if static.tangents:
+                tnx, tny, tnz, tbs = carry[19:23]
             hit = alive & (best_t < FLOAT_MAX)
 
         posx = ox + best_t * dx
@@ -1861,6 +1943,23 @@ def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, *rest,
         hit_ref[H_POS + 0] = posx
         hit_ref[H_POS + 1] = posy
         hit_ref[H_POS + 2] = posz
+        if static.tangents:
+            # orthonormalize the interpolated tangent against the
+            # front-flipped shading normal (integrator.py shading state);
+            # the XLA stage derives the bitangent as cross(n, t) * sign
+            fnx, fny, fnz = nx * fsign, ny * fsign, nz * fsign
+            tdn = tnx * fnx + tny * fny + tnz * fnz
+            tx = tnx - fnx * tdn
+            ty = tny - fny * tdn
+            tz = tnz - fnz * tdn
+            tlen = jax.lax.rsqrt(jnp.maximum(tx * tx + ty * ty + tz * tz,
+                                             1e-20))
+            hit_ref[H_TAN + 0] = tx * tlen
+            hit_ref[H_TAN + 1] = ty * tlen
+            hit_ref[H_TAN + 2] = tz * tlen
+            hit_ref[H_BS] = tbs
+            for pad_row in range(H_BS + 1, HIT_ROWS_TAN):
+                hit_ref[pad_row] = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
 
 
 def _shade_kernel(params_ref, tri_ref, light_ref, l1_ref, l2_ref,
@@ -1921,12 +2020,14 @@ def _tri_specs(static: FusedStatic):
             tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
         else:
             tri_spec = pl.BlockSpec(memory_space=pl.ANY)
+        n_rows = clu_row_count(static.tangents)
+        acc_rows = CLU_ACC_ROWS_TAN if static.tangents else CLU_ACC_ROWS
         scratch_shapes = [
-            pltpu.VMEM((CLU_ACC_ROWS, BLOCK_ROWS, 128), jnp.float32),
+            pltpu.VMEM((acc_rows, BLOCK_ROWS, 128), jnp.float32),
         ]
         if not static.clu_vmem:
             scratch_shapes += [
-                pltpu.VMEM((CACHE_SLOTS, L1_FAN, CLU_TRI_ROWS, 128),
+                pltpu.VMEM((CACHE_SLOTS, L1_FAN, n_rows, 128),
                            jnp.float32),                        # group cache
                 pltpu.SemaphoreType.DMA,                        # group sem
                 pltpu.SMEM((CACHE_SLOTS,), jnp.int32),          # cache tags
@@ -1934,7 +2035,7 @@ def _tri_specs(static: FusedStatic):
         scratch_shapes += [
             pltpu.VMEM((RAY_BLOCK, 128), jnp.float32),          # best/lane
             pltpu.VMEM((RAY_BLOCK, 128), jnp.float32),          # cluster/lane
-            pltpu.VMEM((RAY_BLOCK, CLU_TRI_ROWS), jnp.float32), # attr matmul
+            pltpu.VMEM((RAY_BLOCK, n_rows), jnp.float32),       # attr matmul
         ]
     else:
         tri_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -1991,8 +2092,9 @@ def trace_step(params, scene: FusedScene, state, *, static: FusedStatic):
             *plan_specs,
             _block_spec(STATE_ROWS),
         ],
-        out_specs=_block_spec(HIT_ROWS),
-        out_shape=jax.ShapeDtypeStruct((HIT_ROWS,) + state.shape[1:], jnp.float32),
+        out_specs=_block_spec(hit_row_count(static.tangents)),
+        out_shape=jax.ShapeDtypeStruct(
+            (hit_row_count(static.tangents),) + state.shape[1:], jnp.float32),
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -2019,7 +2121,7 @@ def shade_step(params, scene: FusedScene, state, hitbuf, parbuf, *,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # L1 AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # L2 AABBs
             _block_spec(STATE_ROWS),
-            _block_spec(HIT_ROWS),
+            _block_spec(hit_row_count(static.tangents)),
             _block_spec(PARAM_ROWS),
         ],
         out_specs=_block_spec(STATE_ROWS),

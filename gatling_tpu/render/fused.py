@@ -111,20 +111,19 @@ def supports_fused(config: RenderConfig, has_textures: bool,
                    has_scattering_volumes: bool = True) -> bool:
     """Configs the fused megakernel reproduces exactly (in distribution).
 
-    NEE, dome lighting, arbitrary triangle counts, textures (split-bounce
-    kernels), absorption-only volumes (mediumStackSize == 0) and the
-    first-hit AOVs in FUSED_AOV_MASK are supported; normal maps /
-    scattering volumes / cutout / clipping still route to the general
-    integrator.
+    NEE, dome lighting, arbitrary triangle counts, textures and normal
+    maps (split-bounce kernels with tangent rows), absorption-only volumes
+    (mediumStackSize == 0) and the first-hit AOVs in FUSED_AOV_MASK are
+    supported; scattering volumes / cutout / clipping still route to the
+    general integrator.
     """
-    del has_textures  # textured scenes use the split-bounce mode
+    del has_textures, has_normal_maps  # both use the split-bounce mode
     volumes_ok = (not config.has_volumes
                   or (config.medium_stack_size == 0 and not has_scattering_volumes))
     return (
         volumes_ok
         and not config.has_cutout
         and not config.clipping_planes
-        and not has_normal_maps
         and (config.aov_mask & ~FUSED_AOV_MASK) == 0
     )
 
@@ -151,14 +150,20 @@ def _material_rows_chunked(materials, textures, hitbuf, active, live_prefix):
     sizes = sorted(set(sizes))  # ascending row counts
     if len(sizes) <= 1:
         return _material_rows(materials, textures, hitbuf, active)
+    # (tuple-aware: with tangent rows each branch returns (par, hit'))
 
     def branch(sz):
         def f(hb):
             chunk = jax.lax.slice(hb, (0, 0, 0), (rows_h, sz, lanes))
             out = _material_rows(materials, textures, chunk, active)
-            if sz == nb:
-                return out
-            return jnp.pad(out, ((0, 0), (0, nb - sz), (0, 0)))
+            par, hit = out if isinstance(out, tuple) else (out, None)
+            if sz != nb:
+                par = jnp.pad(par, ((0, 0), (0, nb - sz), (0, 0)))
+                if hit is not None:
+                    # rays beyond the prefix are all dead; keep their
+                    # original rows so the buffer stays well-formed
+                    hit = jnp.concatenate([hit, hb[:, sz:]], axis=1)
+            return (par, hit) if hit is not None else par
         return f
 
     live_rows = (live_prefix + lanes - 1) // lanes
@@ -173,8 +178,15 @@ def _material_rows(materials, textures, hitbuf, active=None,
     """The XLA stage between trace_step and shade_step: per-ray material
     rows with texture lookups applied — the one thing a Mosaic kernel cannot
     do (no per-lane dynamic gathers). One gather row per parameter class;
-    padded/missed rays read slot 0 harmlessly (shade masks them out)."""
-    from gatling_tpu.render.material import apply_textures, gather_params
+    padded/missed rays read slot 0 harmlessly (shade masks them out).
+
+    When the hit buffer carries tangent rows (static.tangents scenes), the
+    stage ALSO applies normal mapping — perturbing the H_N shading-normal
+    rows in tangent space — and returns the updated hit buffer after the
+    material rows."""
+    from gatling_tpu.render.material import (apply_textures, gather_params,
+                                             perturb_normal)
+    from gatling_tpu.ops.pallas_bounce import H_BS, H_N, H_TAN, HIT_ROWS
 
     rows, nb, lanes = hitbuf.shape
     flat = hitbuf.reshape(rows, nb * lanes)
@@ -193,9 +205,17 @@ def _material_rows(materials, textures, hitbuf, active=None,
     ], axis=0)
     assert out.shape[0] == PARAM_ROWS
     rowsbuf = out.reshape(PARAM_ROWS, nb, lanes)
+    result = [rowsbuf]
+    if rows > HIT_ROWS:
+        n = flat[H_N:H_N + 3].T
+        t = flat[H_TAN:H_TAN + 3].T
+        b = jnp.cross(n, t) * flat[H_BS][:, None]
+        n_new = perturb_normal(materials, textures, mat, uv, n, t, b)
+        result.append(hitbuf.at[H_N:H_N + 3].set(
+            n_new.T.reshape(3, nb, lanes)))
     if return_params:
-        return rowsbuf, p
-    return rowsbuf
+        result.append(p)
+    return tuple(result) if len(result) > 1 else rowsbuf
 
 
 @partial(jax.jit, static_argnames=("config", "static", "spp", "with_stats", "want_first_hit"))
@@ -268,9 +288,14 @@ def render_pixels_fused(
 
             params0 = make_params(config, uniforms, jnp.int32(0))
             hitbuf = trace_step(params0, scene, state, static=static)
-            parbuf, p = _material_rows(materials, textures, hitbuf,
-                                       static.textured_params or None,
-                                       return_params=True)
+            if static.tangents:
+                parbuf, hitbuf, p = _material_rows(
+                    materials, textures, hitbuf,
+                    static.textured_params or None, return_params=True)
+            else:
+                parbuf, p = _material_rows(materials, textures, hitbuf,
+                                           static.textured_params or None,
+                                           return_params=True)
             flat = hitbuf.reshape(hitbuf.shape[0], -1)[:, :r]
             fh_hit = flat[H_HIT] > 0.5
             fh_normal = flat[H_N:H_N + 3].T
@@ -334,9 +359,13 @@ def render_pixels_fused(
                     iota = jnp.arange(alive_flat.shape[0], dtype=jnp.int32)
                     prefix_len = jnp.max(jnp.where(alive_flat, iota, -1)) + 1
                 hitbuf = trace_step(params, scene, st, static=static)
-                parbuf = _material_rows_chunked(
+                stage = _material_rows_chunked(
                     materials, textures, hitbuf,
                     static.textured_params or None, prefix_len)
+                if static.tangents:
+                    parbuf, hitbuf = stage  # normal-mapped H_N rows
+                else:
+                    parbuf = stage
                 st = shade_step(params, scene, st, hitbuf, parbuf,
                                 static=static, nee=nee)
             else:

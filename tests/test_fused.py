@@ -104,8 +104,8 @@ def test_supports_fused_gate():
     assert supports_fused(RenderConfig(8, 8, nee=True, has_dome=False), False)
     assert supports_fused(RenderConfig(8, 8, has_dome=True), False)
     assert supports_fused(RenderConfig(8, 8, has_dome=False), has_textures=True)
-    assert not supports_fused(RenderConfig(8, 8, has_dome=False), False,
-                              has_normal_maps=True)
+    assert supports_fused(RenderConfig(8, 8, has_dome=False), False,
+                          has_normal_maps=True)  # split-bounce tangent rows
     assert not supports_fused(RenderConfig(8, 8, has_volumes=True, has_dome=False), False)
     assert not supports_fused(RenderConfig(8, 8, has_cutout=True, has_dome=False), False)
 
@@ -422,6 +422,76 @@ def test_fused_textured_matches_general(tmp_path):
     fd = f.reshape(6, 4, 6, 4, 3).mean(axis=(1, 3)).ravel()
     gd = g.reshape(6, 4, 6, 4, 3).mean(axis=(1, 3)).ravel()
     assert np.corrcoef(fd, gd)[0, 1] > 0.95
+
+
+@pytest.mark.parametrize("resident_max", [4096, 0])
+def test_fused_normal_map_matches_general(tmp_path, resident_max):
+    """A normal-mapped material routes through the split-bounce mode with
+    tangent rows (static.tangents): the XLA stage perturbs the shading
+    normal exactly like the general integrator's perturb_normal, and the
+    images must agree statistically. Covers both the resident (SMEM
+    tangent carries) and clustered (CLU_T* attr rows) tables."""
+    import dataclasses
+
+    from gatling_tpu import imgio
+    from gatling_tpu.render.material import build_materials
+    from gatling_tpu.render.texture import TextureRef
+
+    # a strongly tilted constant normal map (tangent-space +x lean)
+    nm = np.zeros((2, 2, 4), np.uint8)
+    nm[..., 0] = 200  # x -> ~0.57 after the 2x-1 decode
+    nm[..., 1] = 128
+    nm[..., 2] = 230
+    nm[..., 3] = 255
+    nm_path = tmp_path / "lean.png"
+    imgio.write_image_file(nm_path, nm)
+
+    desc = load_scene(CORNELL)
+    mat_paths = sorted({m.material for m in desc.meshes if m.material})
+    midx = {p: i for i, p in enumerate(mat_paths)}
+    midx[None] = len(mat_paths)
+    geom = build_geometry(desc.meshes, midx)
+    rows = [None] * len(midx)
+    for p, i in midx.items():
+        rows[i] = lower_material(desc.materials.get(p) if p else None)
+    for r in rows:  # every material leans: all hits exercise the path
+        r.textures["normal"] = TextureRef(
+            file_path=str(nm_path), is_srgb=False,
+            scale=(2.0, 2.0, 2.0, 1.0), bias=(-1.0, -1.0, -1.0, 0.0))
+    table, pool = build_materials(rows)
+    assert bool((np.asarray(table.normal_tex) >= 0).any())
+
+    _g, _t, uni = _cornell()
+    scene, static = build_fused_scene(geom, table, build_light_arrays([]),
+                                      resident_max=resident_max)
+    assert static.tangents
+    assert static.clustered == (resident_max == 0)
+    static = dataclasses.replace(static, textured=True)
+    cfg = RenderConfig(width=24, height=24, spp=32, max_bounces=3,
+                       has_dome=False, rr_bounce_offset=100)
+    pix = jnp.arange(24 * 24, dtype=jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        fused = np.asarray(render_pixels_fused(
+            cfg, uni, scene, default_dome(), pix, 32, jnp.int32(0),
+            static=static, materials=table, textures=pool))
+    general = np.asarray(render_pixels(
+        cfg, uni, geom, table, empty_light_arrays(), default_dome(),
+        pix, 32, jnp.int32(0), pool).color)
+    f = fused.reshape(24, 24, 3)
+    g = general.reshape(24, 24, 3)
+    assert np.isfinite(f).all()
+    assert abs(f.mean() - g.mean()) / max(g.mean(), 1e-6) < 0.12
+    fd = f.reshape(6, 4, 6, 4, 3).mean(axis=(1, 3)).ravel()
+    gd = g.reshape(6, 4, 6, 4, 3).mean(axis=(1, 3)).ravel()
+    assert np.corrcoef(fd, gd)[0, 1] > 0.95
+    # the lean must actually change the image vs an unmapped render
+    plain_rows = [lower_material(desc.materials.get(p) if p else None)
+                  for p, i in sorted(midx.items(), key=lambda kv: kv[1])]
+    t2, p2 = build_materials(plain_rows)
+    plain = np.asarray(render_pixels(
+        cfg, uni, geom, t2, empty_light_arrays(), default_dome(),
+        pix, 32, jnp.int32(0), p2).color)
+    assert np.abs(general - plain).mean() > 1e-3
 
 
 def test_fused_first_hit_aovs_match_general():
