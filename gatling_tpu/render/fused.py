@@ -291,10 +291,10 @@ def render_pixels_fused(
             if static.tangents:
                 parbuf, hitbuf, p = _material_rows(
                     materials, textures, hitbuf,
-                    static.textured_params or None, return_params=True)
+                    static.textured_params, return_params=True)
             else:
                 parbuf, p = _material_rows(materials, textures, hitbuf,
-                                           static.textured_params or None,
+                                           static.textured_params,
                                            return_params=True)
             flat = hitbuf.reshape(hitbuf.shape[0], -1)[:, :r]
             fh_hit = flat[H_HIT] > 0.5
@@ -361,7 +361,7 @@ def render_pixels_fused(
                 hitbuf = trace_step(params, scene, st, static=static)
                 stage = _material_rows_chunked(
                     materials, textures, hitbuf,
-                    static.textured_params or None, prefix_len)
+                    static.textured_params, prefix_len)
                 if static.tangents:
                     parbuf, hitbuf = stage  # normal-mapped H_N rows
                 else:

@@ -404,7 +404,8 @@ def test_fused_textured_matches_general(tmp_path):
 
     _g, _t, uni = _cornell()
     scene, static = build_fused_scene(geom, table, build_light_arrays([]))
-    static = dataclasses.replace(static, textured=True)
+    static = dataclasses.replace(static, textured=True,
+                                 textured_params=("base_color",))
     cfg = RenderConfig(width=24, height=24, spp=32, max_bounces=3,
                        has_dome=False, rr_bounce_offset=100)
     pix = jnp.arange(24 * 24, dtype=jnp.int32)
