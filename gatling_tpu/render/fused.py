@@ -7,8 +7,11 @@ traffic — including in-kernel NEE shadow occlusion. Dome lighting runs as a
 vectorized XLA post-pass over the kernel's miss records (a path misses at
 most once, so one equirect lookup per sample is exact). Falls within the
 general integrator's contract (same RNG seeding and draw order per
-pixel/sample, same accumulation) for configs it supports: no textures, no
-volumes, no cutout.
+pixel/sample, same accumulation) for configs it supports — including NEE,
+dome lighting, textures and normal maps (split-bounce kernels + the XLA
+texture stage), absorption-only volumes, and arbitrary triangle counts
+(clustered walk); scattering volumes / cutout / clipping still route to
+the general integrator (see supports_fused).
 """
 
 from __future__ import annotations
