@@ -44,6 +44,7 @@ def main() -> None:
     max_bounces = int(os.environ.get("GATLING_BENCH_BOUNCES", "6" if big_scene else "8"))
     use_nee = os.environ.get("GATLING_BENCH_NEE", "0") == "1"
     use_textured = os.environ.get("GATLING_BENCH_TEXTURED", "0") == "1"
+    use_normalmap = os.environ.get("GATLING_BENCH_NORMALMAP", "0") == "1"
 
     from gatling_tpu.gi import _build_accel
 
@@ -63,7 +64,29 @@ def main() -> None:
     for p, i in midx.items():
         rows[i] = lower_material(desc.materials.get(p) if p else None)
     pool = None
-    if use_textured:
+    if use_normalmap:
+        # a leaning tangent-space normal map on every material: exercises
+        # the split-bounce tangent rows + XLA perturb stage
+        import numpy as _np
+
+        from gatling_tpu import imgio as _imgio
+        from gatling_tpu.render.material import build_materials
+        from gatling_tpu.render.texture import TextureRef
+
+        _img = _np.zeros((2, 2, 4), _np.uint8)
+        _img[..., 0] = 200
+        _img[..., 1] = 128
+        _img[..., 2] = 230
+        _img[..., 3] = 255
+        _tex = "/tmp/gatling_bench_lean.png"
+        _imgio.write_image_file(_tex, _img)
+        for r in rows:
+            r.textures["normal"] = TextureRef(
+                file_path=_tex, is_srgb=False,
+                scale=(2.0, 2.0, 2.0, 1.0), bias=(-1.0, -1.0, -1.0, 0.0))
+        table, pool = build_materials(rows)
+        use_textured = True  # routes through the split-bounce kernels
+    elif use_textured:
         # checker-textured base color on every material: exercises the
         # split-bounce trace -> XLA texture stage -> shade pipeline
         import numpy as _np
@@ -197,7 +220,8 @@ def main() -> None:
         "metric": (("cornell_1200sq_trace_shade" if "cornell" in scene_path
                     else f"{os.path.basename(scene_path)}_trace_shade")
                    + ("_nee" if use_nee else "")
-                   + ("_textured" if use_textured else "")),
+                   + ("_normalmapped" if use_normalmap else
+                      "_textured" if use_textured else "")),
         "value": round(mrays_per_sec, 2),
         "unit": "Mray/s/chip",
         "vs_baseline": round(mrays_per_sec / target, 3),
