@@ -489,9 +489,16 @@ def render(params: GiRenderParams) -> None:
         has_scattering = any(
             any(c > 0.0 for c in r.params["volume_scattering"])
             for r in scene._lowered_materials)
+        has_opacity_textures = any(
+            "opacity" in r.textures for r in scene._lowered_materials)
+        # per-corner displayColor rides the wavefront integrator only
+        has_vertex_colors = any(
+            getattr(m.mesh, "colors", None) is not None
+            for m in scene.meshes)
         use_fused = (_jax.default_backend() == "tpu"
+                     and not has_vertex_colors
                      and supports_fused(config, has_textures, has_normal_maps,
-                                        has_scattering))
+                                        has_scattering, has_opacity_textures))
     if use_fused:
         from gatling_tpu.ops.pallas_bounce import build_fused_scene_with_order
         from gatling_tpu.render.fused import render_pixels_fused

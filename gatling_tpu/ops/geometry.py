@@ -46,6 +46,9 @@ class SceneGeometry(NamedTuple):
     uv0: jnp.ndarray  # [T,2] f32
     uv1: jnp.ndarray
     uv2: jnp.ndarray
+    c0: jnp.ndarray  # [T,3] f32 vertex colors per corner (displayColor
+    c1: jnp.ndarray  # primvar; all-ones when the mesh has none — shading
+    c2: jnp.ndarray  # multiplies base_color by the interpolated value)
 
     # per-triangle ids
     material_id: jnp.ndarray  # [T] i32
@@ -56,8 +59,9 @@ class SceneGeometry(NamedTuple):
 
     # packed row-gather mirrors: one [T, C] matrix per dtype so the shading
     # stage does TWO contiguous row gathers per hit instead of ~30 scattered
-    # column gathers (XLA TPU gathers pay per-op, not per-byte)
-    packed_f: jnp.ndarray  # [T, 39] f32: v0 e1 e2 n0 n1 n2 t0 t1 t2 bsign uv0 uv1 uv2
+    # column gathers (XLA TPU gathers pay per-op, not per-byte; widening a
+    # row is free, so vertex colors ride the same gather)
+    packed_f: jnp.ndarray  # [T, 45] f32: v0 e1 e2 n0 n1 n2 t0 t1 t2 bsign uv0 uv1 uv2 c0 c1 c2
     packed_i: jnp.ndarray  # [T, 5] i32: material object face instance flags
 
     @property
@@ -71,13 +75,15 @@ PF_N0, PF_N1, PF_N2 = 9, 12, 15
 PF_T0, PF_T1, PF_T2 = 18, 21, 24
 PF_BSIGN = 27
 PF_UV0, PF_UV1, PF_UV2 = 30, 32, 34
+PF_C0, PF_C1, PF_C2 = 36, 39, 42
+PF_WIDTH = 45
 
 
 def pack_geometry(g: "SceneGeometry") -> "SceneGeometry":
     """(Re)build the packed gather mirrors from the component arrays."""
     packed_f = jnp.concatenate([
         g.v0, g.e1, g.e2, g.n0, g.n1, g.n2, g.t0, g.t1, g.t2,
-        g.bsign, g.uv0, g.uv1, g.uv2,
+        g.bsign, g.uv0, g.uv1, g.uv2, g.c0, g.c1, g.c2,
     ], axis=1)
     packed_i = jnp.stack(
         [g.material_id, g.object_id, g.face_id, g.instance_id, g.flags], axis=1)
@@ -132,6 +138,10 @@ def _instance_rows(tm, xform, mesh_desc, material_row: int, object_id: int,
     uv = tm.uvs.reshape(-1, 3, 2)
     bs = tm.bitangent_signs.reshape(-1, 3)
     n_tris = tm.num_triangles
+    if getattr(tm, "colors", None) is not None:
+        col = tm.colors.reshape(-1, 3, 3)
+    else:
+        col = np.ones((n_tris, 3, 3), np.float32)
 
     flags = (MESH_FLAG_DOUBLE_SIDED if mesh_desc.double_sided else 0)
     # negative determinant flips facing (reference: isLeftHanded flag,
@@ -145,6 +155,7 @@ def _instance_rows(tm, xform, mesh_desc, material_row: int, object_id: int,
         "t0": t[:, 0], "t1": t[:, 1], "t2": t[:, 2],
         "bs": bs,
         "uv0": uv[:, 0], "uv1": uv[:, 1], "uv2": uv[:, 2],
+        "c0": col[:, 0], "c1": col[:, 1], "c2": col[:, 2],
         "mat": np.full(n_tris, material_row, np.int32),
         "obj": np.full(n_tris, object_id, np.int32),
         "face": tm.face_ids.astype(np.int32),
@@ -154,7 +165,8 @@ def _instance_rows(tm, xform, mesh_desc, material_row: int, object_id: int,
 
 
 _CHUNK_KEYS = ("p0", "p1", "p2", "n0", "n1", "n2", "t0", "t1", "t2",
-               "bs", "uv0", "uv1", "uv2", "mat", "obj", "face", "inst", "flags")
+               "bs", "uv0", "uv1", "uv2", "c0", "c1", "c2",
+               "mat", "obj", "face", "inst", "flags")
 
 
 def _geom_from_arrays(cat: dict[str, np.ndarray]) -> SceneGeometry:
@@ -169,9 +181,10 @@ def _geom_from_arrays(cat: dict[str, np.ndarray]) -> SceneGeometry:
         t0=f32("t0"), t1=f32("t1"), t2=f32("t2"),
         bsign=f32("bs"),
         uv0=f32("uv0"), uv1=f32("uv1"), uv2=f32("uv2"),
+        c0=f32("c0"), c1=f32("c1"), c2=f32("c2"),
         material_id=i32("mat"), object_id=i32("obj"),
         face_id=i32("face"), instance_id=i32("inst"), flags=i32("flags"),
-        packed_f=jnp.zeros((t_pad, 39), jnp.float32),
+        packed_f=jnp.zeros((t_pad, PF_WIDTH), jnp.float32),
         packed_i=jnp.zeros((t_pad, 5), jnp.int32),
     )
     return pack_geometry(geom)
@@ -204,7 +217,8 @@ def build_geometry_cached(
             instance_counter += 1
 
     cat = {k: np.concatenate(v, axis=0) if v else np.zeros(
-        (0, 3) if k in ("p0", "p1", "p2", "n0", "n1", "n2", "t0", "t1", "t2", "bs")
+        (0, 3) if k in ("p0", "p1", "p2", "n0", "n1", "n2", "t0", "t1", "t2",
+                        "bs", "c0", "c1", "c2")
         else ((0, 2) if k.startswith("uv") else (0,)), np.float32)
         for k, v in chunks.items()}
     t_count = len(cat["p0"])

@@ -117,6 +117,7 @@ CLU_R2 = 16   # 16-18 r2, 19 c2 | 20-22 n1
 CLU_N1 = 20
 CLU_N2 = 24   # 24-26 n2
 CLU_UV = 28   # 28-33 uv0.xy uv1.xy uv2.xy
+CLU_OPAC = 34  # stochastic-cutout pass probability (1.0 = opaque)
 CLU_TRI_ROWS = 40
 # tangent extension rows (static.tangents only)
 CLU_T0 = 40   # 40-42, 43-45, 46-48: tangents per corner
@@ -145,8 +146,15 @@ CLU_ROW_MAP_TAN = CLU_ROW_MAP + tuple(
     (TR_T0 + i, CLU_T0 + i) for i in range(12))
 
 
-def tri_row_count(tangents: bool) -> int:
-    """Resident-table row count (TR_* layout)."""
+def tri_row_count(tangents: bool, cutout: bool = False) -> int:
+    """Resident-table row count (TR_* layout). Cutout appends one
+    pass-probability row at tr_opac_row (SMEM tables have no DMA row
+    alignment constraint)."""
+    base = TRI_ROWS_TAN if tangents else TRI_ROWS
+    return base + (1 if cutout else 0)
+
+
+def tr_opac_row(tangents: bool) -> int:
     return TRI_ROWS_TAN if tangents else TRI_ROWS
 
 
@@ -245,6 +253,15 @@ class FusedStatic:
     # hit-buffer rows, for normal mapping in the textured split-bounce
     # stage (set when any material binds a normal texture)
     tangents: bool = False
+    # stochastic cutout transparency resolved INSIDE the walks: every
+    # candidate intersection draws an independent hash-based Bernoulli
+    # against the per-triangle pass probability (CLU_OPAC row / the mats
+    # table on the resident path). P(any accepted) = 1 - prod(1 - o_i) —
+    # identical to the reference's sequential ignoreIntersection draws
+    # (rp_main.ahit:35-61) but with no re-trace loop and no bounce
+    # consumption. Untextured opacity only (gi gates textured opacity to
+    # the wavefront integrator).
+    cutout: bool = False
 
     @property
     def clustered(self) -> bool:
@@ -333,9 +350,25 @@ def build_fused_lights(arrays: LightArrays) -> tuple[np.ndarray, tuple[int, ...]
     return table.astype(np.float32), tuple(types)
 
 
-def _tri_rows(geom: SceneGeometry, tangents: bool = False) -> np.ndarray:
-    """Per-triangle kernel rows [T, TRI_ROWS[_TAN]] (Baldwin-Weber
-    precompute; per-corner tangents appended for normal-mapped scenes)."""
+def _cutout_pass_prob(geom: SceneGeometry, table: MaterialTable) -> np.ndarray:
+    """[T] per-triangle stochastic-cutout PASS probability from the
+    (untextured) material opacity — binary when opacityThreshold > 0
+    (render/bsdf.py cutout_opacity; rp_main.ahit:35-61). 1.0 = opaque."""
+    from gatling_tpu.render.material import MF_OPACITY, MF_OPACITY_THRESH
+
+    pf = np.asarray(table.packed_f)
+    op = pf[:, MF_OPACITY]
+    th = pf[:, MF_OPACITY_THRESH]
+    per_mat = np.where(th > 0.0, (op >= th).astype(np.float32), op)
+    mid = np.clip(np.asarray(geom.material_id), 0, pf.shape[0] - 1)
+    return per_mat[mid].astype(np.float32)
+
+
+def _tri_rows(geom: SceneGeometry, tangents: bool = False,
+              cutout_prob: "np.ndarray | None" = None) -> np.ndarray:
+    """Per-triangle kernel rows [T, tri_row_count(...)] (Baldwin-Weber
+    precompute; per-corner tangents appended for normal-mapped scenes;
+    one cutout pass-probability row appended for cutout scenes)."""
     v0 = np.asarray(geom.v0, np.float64)
     e1 = np.asarray(geom.e1, np.float64)
     e2 = np.asarray(geom.e2, np.float64)
@@ -357,7 +390,8 @@ def _tri_rows(geom: SceneGeometry, tangents: bool = False) -> np.ndarray:
     n = np.where(degen[:, None], 0.0, n)
 
     t = v0.shape[0]
-    rows = np.zeros((t, tri_row_count(tangents)), np.float32)
+    rows = np.zeros((t, tri_row_count(tangents, cutout_prob is not None)),
+                    np.float32)
     rows[:, TR_N:TR_N + 3] = n
     rows[:, TR_D0] = d0
     rows[:, TR_R1:TR_R1 + 3] = r1
@@ -378,6 +412,8 @@ def _tri_rows(geom: SceneGeometry, tangents: bool = False) -> np.ndarray:
         rows[:, TR_T1:TR_T1 + 3] = np.asarray(geom.t1)
         rows[:, TR_T2:TR_T2 + 3] = np.asarray(geom.t2)
         rows[:, TR_BS:TR_BS + 3] = np.asarray(geom.bsign)
+    if cutout_prob is not None:
+        rows[:, tr_opac_row(tangents)] = cutout_prob
     return rows
 
 
@@ -441,11 +477,14 @@ def build_fused_scene_with_order(
         light_types = ()
 
     tangents = bool((np.asarray(table.normal_tex) >= 0).any())
+    pass_prob = _cutout_pass_prob(geom, table)
+    cutout = bool((pass_prob < 1.0).any())
     if n_real <= resident_max:
-        rows = _tri_rows(geom, tangents)  # [T, TRI_ROWS[_TAN]]
+        rows = _tri_rows(geom, tangents,
+                         pass_prob if cutout else None)
         static = FusedStatic(n_tris=n_real, n_mats=int(table.packed_f.shape[0]),
                              n_clusters=0, n_l1=1, light_types=light_types,
-                             tangents=tangents)
+                             tangents=tangents, cutout=cutout)
         scene = FusedScene(
             tris=jnp.asarray(rows.T.copy()),  # [TRI_ROWS, T]
             mats=jnp.asarray(table.packed_f),
@@ -471,6 +510,7 @@ def build_fused_scene_with_order(
     src_rows = [src for src, _ in row_map]
     dst_rows = [dst for _, dst in row_map]
     rows_p[:n_real, dst_rows] = rows[:, src_rows]
+    rows_p[:n_real, CLU_OPAC] = pass_prob[order]  # Morton-reordered
     tris = rows_p.reshape(c_pad, CLUSTER_SIZE, n_rows).transpose(0, 2, 1).copy()
 
     # cluster AABBs (vectorized; padding triangles carry empty boxes)
@@ -497,7 +537,7 @@ def build_fused_scene_with_order(
     static = FusedStatic(n_tris=n_real, n_mats=int(table.packed_f.shape[0]),
                          n_clusters=n_clusters, n_l1=n_l1,
                          light_types=light_types, clu_vmem=clu_vmem,
-                         tangents=tangents)
+                         tangents=tangents, cutout=cutout)
     scene = FusedScene(
         tris=jnp.asarray(tris),
         mats=jnp.asarray(table.packed_f),
@@ -554,12 +594,19 @@ CLU_ACC_ROWS_TAN = 24
 
 
 def _closest_body_factory(tread, ox, oy, oz, dx, dy, dz, tmin,
-                          want_uv=False, want_tan=False):
+                          want_uv=False, want_tan=False, cutout=None):
+    """cutout: None, or (key_u32 [8,128], opac_row_index) — candidate hits
+    then draw an independent hash Bernoulli against the per-triangle pass
+    probability (the in-walk ignoreIntersection analog)."""
     def body(t, carry):
         (best_t, bu, bv,
          gnx, gny, gnz, n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z,
          mat, ds) = carry[:17]
         tt, u, v, ok = _tri_hit_test(tread, t, ox, oy, oz, dx, dy, dz, tmin)
+        if cutout is not None:
+            key, opac_row = cutout
+            xi = _cutout_xi8(key, t.astype(jnp.uint32))
+            ok = ok & (xi < tread(opac_row, t))
         better = ok & (tt < best_t)
 
         def sel(cur, row):
@@ -731,12 +778,15 @@ def _cluster_walk_plan(state, l1_aabbs, l2_aabbs):
     cap = jnp.where(a_flat, cap, -1.0)
     ones = jnp.ones_like(cap)
     zeros = jnp.zeros_like(cap)
+    # the per-ray PCG state rides the cap row's column 1 (as raw bits) —
+    # the walks' stochastic-cutout draws key off it
+    key_f = state[12].reshape(n_blocks, BLOCK_ROWS * 128)
     lhs = jnp.stack([
         jnp.stack([o_flat[0], o_flat[1], o_flat[2], ones,
                    zeros, zeros, zeros, zeros], axis=-1),
         jnp.stack([d_flat[0], d_flat[1], d_flat[2], zeros,
                    zeros, zeros, zeros, zeros], axis=-1),
-        jnp.stack([cap, zeros, zeros, zeros,
+        jnp.stack([cap, key_f, zeros, zeros,
                    zeros, zeros, zeros, zeros], axis=-1),
     ], axis=1)  # [B, 3, 1024, 8]
 
@@ -796,6 +846,30 @@ def _split_lhs24(lhs2):
     return jnp.concatenate([lhs_hi, lhs_hi, lhs_lo], axis=1)
 
 
+def _cutout_xi(key_col, tri_base, lane_i):
+    """Per-(ray, triangle) uniform in [0,1): murmur-style integer mix of
+    the ray's PCG state column [1024, 1] with the global triangle id
+    (tri_base + lane). Independent of the path's PCG stream by
+    construction; decorrelated across rays, triangles and bounces (the
+    key advances with the ray state every bounce)."""
+    tid = (tri_base + lane_i) * jnp.uint32(2654435761)
+    h = key_col ^ tid  # [1024, 128] via broadcast
+    h = (h ^ (h >> jnp.uint32(16))) * jnp.uint32(0x21F0AAAD)
+    h = (h ^ (h >> jnp.uint32(15))) * jnp.uint32(0x735A2D97)
+    h = h ^ (h >> jnp.uint32(15))
+    return (h >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def _cutout_xi8(key8, tid_scalar):
+    """_cutout_xi for the resident scalar walk: key in ray layout
+    [8,128] u32, one scalar triangle id."""
+    h = key8 ^ (tid_scalar * jnp.uint32(2654435761))
+    h = (h ^ (h >> jnp.uint32(16))) * jnp.uint32(0x21F0AAAD)
+    h = (h ^ (h >> jnp.uint32(15))) * jnp.uint32(0x735A2D97)
+    h = h ^ (h >> jnp.uint32(15))
+    return (h >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
 def _bw_products(lhs24, tri):
     """Baldwin-Weber products for one cluster: stacked (o|d) x the three
     8-aligned quads. The bf16x3 emulation (hi*hi + hi*lo + lo*hi, ~2^-16
@@ -824,7 +898,7 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
                             ten2_ref, gbox_ref, lhs_ref, cache, best128,
                             clus128, attrs_acc, acc,
                             ox, oy, oz, dx, dy, dz, tmin, alive_f, *, n_l1,
-                            want_uv=False, tangents=False):
+                            want_uv=False, tangents=False, cutout=False):
     """Matrix-form ordered closest-hit walk (round-3 clustered tracer).
 
     Measured on v5e (PERF.md): every DMA costs ~13 us FIXED regardless of
@@ -874,8 +948,11 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
     lhs_o = lhs_ref[0, 0]  # [1024, 8]: (o, 1, 0, 0, 0, 0)
     lhs_d = lhs_ref[0, 1]  # [1024, 8]: (d, 0, 0, 0, 0, 0)
     cap_t = lhs_ref[0, 2, :, 0:1]  # [1024, 1]; -1 for dead rays
-    lane_f = jax.lax.broadcasted_iota(
-        jnp.int32, (RAY_BLOCK, 128), 1).astype(jnp.float32)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (RAY_BLOCK, 128), 1)
+    lane_f = lane_i.astype(jnp.float32)
+    if cutout:
+        key_col = jax.lax.bitcast_convert_type(
+            lhs_ref[0, 2, :, 1:2], jnp.uint32)  # [1024, 1] PCG state
 
     # hi/lo bf16 split of the stacked (origins | directions) ray matrix,
     # done once per block: a.hi + a.lo reproduces a to ~2^-24 relative
@@ -928,7 +1005,8 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
                         # attr rows parked in each quad's upper half
                         # contribute nothing (selection only; the winner's
                         # t/u/v are recomputed exactly in pass 2).
-                        po, pd = _bw_products(lhs24, cluster_rows(handle, b))
+                        tri = cluster_rows(handle, b)
+                        po, pd = _bw_products(lhs24, tri)
                         nd = pd[:, 0:128]
                         okm = jnp.abs(nd) > 1e-12
                         inv = jnp.where(okm, 1.0 / jnp.where(okm, nd, 1.0), 0.0)
@@ -937,6 +1015,12 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
                         v = po[:, 256:384] + tt * pd[:, 256:384]
                         okm = (okm & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                                & (tt > tmin) & (tt < cap_t))
+                        if cutout:
+                            xi = _cutout_xi(
+                                key_col,
+                                (c * CLUSTER_SIZE).astype(jnp.uint32),
+                                lane_i.astype(jnp.uint32))
+                            okm = okm & (xi < tri[CLU_OPAC:CLU_OPAC + 1, :])
                         cur = best128[...]
                         bet = okm & (tt < cur)
                         best128[...] = jnp.where(bet, tt, cur)
@@ -1072,7 +1156,8 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
 
 
 def _trace_clustered_occluded(tri_ref, l1_ref, l2_ref, cache, occ128, acc,
-                              ox, oy, oz, dx, dy, dz, dist, active, *, n_l1):
+                              ox, oy, oz, dx, dy, dz, dist, active, rng,
+                              *, n_l1, cutout=False):
     """Occlusion walk (matrix form): acc[0] accumulates the occluded flag
     (f32 0/1).
 
@@ -1117,10 +1202,20 @@ def _trace_clustered_occluded(tri_ref, l1_ref, l2_ref, cache, occ128, acc,
          zero2, zero2, zero2, zero2], axis=0))  # [2048, 8]
     lhs24 = _split_lhs24(lhs2)
     # [1024, 1] light distances via the same transpose (the direct
-    # flat[:, None] broadcast is an unsupported Mosaic shape cast here)
+    # flat[:, None] broadcast is an unsupported Mosaic shape cast here);
+    # the second row carries the ray's PCG bits for the cutout draws,
+    # salted so shadow draws decorrelate from the camera walk's
+    key_row = jax.lax.bitcast_convert_type(
+        rng ^ jnp.uint32(0x5BD1E995), jnp.float32)  # rng: [8,128] u32
     aux = jnp.transpose(jnp.stack(
-        [jnp.concatenate([flat(tcap), zero]), zero2], axis=0))  # [2048, 2]
+        [jnp.concatenate([flat(tcap), zero]),
+         jnp.concatenate([flat(key_row), zero])], axis=0))  # [2048, 2]
     dist_col = aux[0:RAY_BLOCK, 0:1]
+    if cutout:
+        key_col = jax.lax.bitcast_convert_type(
+            aux[0:RAY_BLOCK, 1:2], jnp.uint32)
+        lane_i = jax.lax.broadcasted_iota(
+            jnp.uint32, (RAY_BLOCK, 128), 1)
 
     fetch_group, cluster_rows = _cluster_reader(tri_ref, cache,
                                                 init_tags=False)
@@ -1160,8 +1255,8 @@ def _trace_clustered_occluded(tri_ref, l1_ref, l2_ref, cache, occ128, acc,
 
                     @pl.when(any2)
                     def _():
-                        po, pd = _bw_products(lhs24,
-                                              cluster_rows(handle, b))
+                        tri = cluster_rows(handle, b)
+                        po, pd = _bw_products(lhs24, tri)
                         nd = pd[:, 0:128]
                         okm = jnp.abs(nd) > 1e-12
                         inv = jnp.where(okm, 1.0 / jnp.where(okm, nd, 1.0), 0.0)
@@ -1170,6 +1265,12 @@ def _trace_clustered_occluded(tri_ref, l1_ref, l2_ref, cache, occ128, acc,
                         v = po[:, 256:384] + tt * pd[:, 256:384]
                         okm = (okm & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                                & (tt > SHADOW_TMIN) & (tt < dist_col))
+                        if cutout:
+                            xi = _cutout_xi(
+                                key_col,
+                                (c * CLUSTER_SIZE).astype(jnp.uint32),
+                                lane_i)
+                            okm = okm & (xi < tri[CLU_OPAC:CLU_OPAC + 1, :])
                         occ128[...] = jnp.maximum(occ128[...],
                                                   okm.astype(jnp.float32))
                     return 0
@@ -1239,7 +1340,8 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
         _trace_clustered_matrix(
             tri_ref, l1_ref, l2_ref, order_ref, dist_ref, ten2_ref,
             gbox_ref, lhs_ref, cache, best128, clus128, attrs_acc, acc,
-            ox, oy, oz, dx, dy, dz, tmin, alive_f, n_l1=static.n_l1)
+            ox, oy, oz, dx, dy, dz, tmin, alive_f, n_l1=static.n_l1,
+            cutout=static.cutout)
         best_t, u, v = acc[0], acc[1], acc[2]
         (gnx, gny, gnz, n0x, n0y, n0z,
          n1x, n1y, n1z, n2x, n2y, n2z, mat_f, dsided) = tuple(
@@ -1250,7 +1352,10 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
         def tread(row, t):
             return tri_ref[row, t]
 
-        body = _closest_body_factory(tread, ox, oy, oz, dx, dy, dz, tmin)
+        cut_arg = ((rng, tr_opac_row(static.tangents))
+                   if static.cutout else None)
+        body = _closest_body_factory(tread, ox, oy, oz, dx, dy, dz, tmin,
+                                     cutout=cut_arg)
         (best_t, u, v, gnx, gny, gnz, n0x, n0y, n0z,
          n1x, n1y, n1z, n2x, n2y, n2z, mat_f, dsided) = jax.lax.fori_loop(
             0, static.n_tris, body, _hit_carry_init())
@@ -1559,16 +1664,24 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
                     scratch, static)
                 _trace_clustered_occluded(
                     tri_ref, l1_ref, l2_ref, cache, occ128, acc,
-                    ox, oy, oz, ldx, ldy, ldz, ldist, do_trace, n_l1=static.n_l1)
+                    ox, oy, oz, ldx, ldy, ldz, ldist, do_trace, rng,
+                    n_l1=static.n_l1, cutout=static.cutout)
                 occluded = acc[0] > 0.5
             else:
                 def tread2(row, t):
                     return tri_ref[row, t]
 
+                if static.cutout:
+                    skey = rng ^ jnp.uint32(0x5BD1E995)
+                    opac_row = tr_opac_row(static.tangents)
+
                 # f32 0/1 carry: Mosaic cannot legalize i1 vector loop carries
                 def occl_body(t, occ):
                     tt, _u, _v, ok = _tri_hit_test(
                         tread2, t, ox, oy, oz, ldx, ldy, ldz, SHADOW_TMIN)
+                    if static.cutout:
+                        xi = _cutout_xi8(skey, t.astype(jnp.uint32))
+                        ok = ok & (xi < tread2(opac_row, t))
                     return jnp.maximum(occ, (ok & (tt < ldist)).astype(jnp.float32))
 
                 occluded = jax.lax.fori_loop(
@@ -1889,7 +2002,8 @@ def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, *rest,
                 tri_ref, l1_ref, l2_ref, order_ref, dist_ref, ten2_ref,
                 gbox_ref, lhs_ref, cache, best128, clus128, attrs_acc, acc,
                 ox, oy, oz, dx, dy, dz, tmin, alive_f, n_l1=static.n_l1,
-                want_uv=True, tangents=static.tangents)
+                want_uv=True, tangents=static.tangents,
+                cutout=static.cutout)
             best_t, u, v = acc[0], acc[1], acc[2]
             (gnx, gny, gnz, n0x, n0y, n0z,
              n1x, n1y, n1z, n2x, n2y, n2z, mat_f, dsided) = tuple(
@@ -1902,9 +2016,14 @@ def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, *rest,
             def tread(row, t):
                 return tri_ref[row, t]
 
+            cut_arg = None
+            if static.cutout:
+                cut_arg = (jax.lax.bitcast_convert_type(s(12), jnp.uint32),
+                           tr_opac_row(static.tangents))
             body = _closest_body_factory(tread, ox, oy, oz, dx, dy, dz, tmin,
                                          want_uv=True,
-                                         want_tan=static.tangents)
+                                         want_tan=static.tangents,
+                                         cutout=cut_arg)
             carry = jax.lax.fori_loop(
                 0, static.n_tris, body,
                 _hit_carry_init(want_uv=True, want_tan=static.tangents))

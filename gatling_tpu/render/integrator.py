@@ -262,7 +262,7 @@ def _shading_state(geom: SceneGeometry, hit, ray_dir):
     mirrors (ops/geometry.py) — XLA TPU gathers pay per gather op, so this is
     ~15x cheaper than gathering each attribute column separately."""
     from gatling_tpu.ops.geometry import (
-        PF_BSIGN, PF_E1, PF_E2, PF_N0, PF_N1, PF_N2,
+        PF_BSIGN, PF_C0, PF_C1, PF_C2, PF_E1, PF_E2, PF_N0, PF_N1, PF_N2,
         PF_T0, PF_T1, PF_T2, PF_UV0, PF_UV1, PF_UV2, PF_V0,
     )
 
@@ -271,7 +271,7 @@ def _shading_state(geom: SceneGeometry, hit, ray_dir):
     w = 1.0 - u - v
     bc = jnp.stack([w, u, v], axis=-1)
 
-    pf = geom.packed_f[tri]  # [R, 39]
+    pf = geom.packed_f[tri]  # [R, PF_WIDTH]
     pi = geom.packed_i[tri]  # [R, 5]
     c3 = lambda off: jax.lax.dynamic_slice_in_dim(pf, off, 3, axis=1)  # noqa: E731
     c2 = lambda off: jax.lax.dynamic_slice_in_dim(pf, off, 2, axis=1)  # noqa: E731
@@ -301,10 +301,15 @@ def _shading_state(geom: SceneGeometry, hit, ray_dir):
 
     uv = bc[:, 0:1] * c2(PF_UV0) + bc[:, 1:2] * c2(PF_UV1) + bc[:, 2:3] * c2(PF_UV2)
 
+    # interpolated displayColor primvar (all-ones without vertex colors;
+    # multiplies base_color — the reference's displayColor-driven default
+    # material with per-vertex interpolation, mesh.cpp:647-745)
+    vcolor = bc[:, 0:1] * c3(PF_C0) + bc[:, 1:2] * c3(PF_C1) + bc[:, 2:3] * c3(PF_C2)
+
     double_sided = (flags & MESH_FLAG_DOUBLE_SIDED) != 0
     return dict(
         pos=pos, geom_normal=geom_n, normal=nrm, tangent=tan, bitangent=bitan,
-        uv=uv, bc=bc, front=front, double_sided=double_sided,
+        uv=uv, bc=bc, front=front, double_sided=double_sided, vcolor=vcolor,
         material_id=pi[:, 0], object_id=pi[:, 1],
         face_id=pi[:, 2], instance_id=pi[:, 3],
     )
@@ -450,6 +455,7 @@ def trace_sample(
         st = _shading_state(geom, hit, s["direction"])
         params = gather_params(materials, st["material_id"])
         params = apply_textures(materials, textures, params, st["material_id"], st["uv"])
+        params = params._replace(base_color=params.base_color * st["vcolor"])
         st["normal"] = perturb_normal(
             materials, textures, st["material_id"], st["uv"],
             st["normal"], st["tangent"], st["bitangent"])

@@ -33,7 +33,8 @@ class TriangulatedMesh:
     """Triangulated, de-indexed mesh. All arrays are per-corner SoA:
 
     positions[T*3, 3], normals[T*3, 3], tangents[T*3, 3],
-    bitangent_signs[T*3], uvs[T*3, 2], face_ids[T] (source polygon index).
+    bitangent_signs[T*3], uvs[T*3, 2], face_ids[T] (source polygon index),
+    colors[T*3, 3] or None (displayColor primvar expanded per corner).
 
     The de-indexed ("triangle soup") layout is chosen deliberately: it makes
     every downstream device array a flat, statically-shaped gather-free
@@ -47,6 +48,7 @@ class TriangulatedMesh:
     bitangent_signs: np.ndarray
     uvs: np.ndarray
     face_ids: np.ndarray
+    colors: np.ndarray | None = None
 
     @property
     def num_triangles(self) -> int:
@@ -172,6 +174,8 @@ def build_triangulated_mesh(
     uvs: np.ndarray | None = None,
     uvs_interp: Interpolation = Interpolation.FACE_VARYING,
     left_handed: bool = False,
+    colors: np.ndarray | None = None,
+    colors_interp: Interpolation = Interpolation.CONSTANT,
 ) -> TriangulatedMesh:
     """Full mesh conditioning pipeline -> de-indexed triangle soup."""
     points = np.asarray(points, dtype=np.float32)
@@ -198,6 +202,11 @@ def build_triangulated_mesh(
         uv = expand_primvar(np.asarray(uvs, np.float32), uvs_interp,
                             corner_sel, face_ids, fvi)[:, :2]
 
+    col = None
+    if colors is not None:
+        col = expand_primvar(np.asarray(colors, np.float32), colors_interp,
+                             corner_sel, face_ids, fvi)[:, :3]
+
     tangents, signs = compute_tangents(positions, nrm.astype(np.float32), uv)
 
     return TriangulatedMesh(
@@ -207,4 +216,5 @@ def build_triangulated_mesh(
         bitangent_signs=signs,
         uvs=(uv if uv is not None else np.zeros((len(positions), 2), np.float32)),
         face_ids=face_ids,
+        colors=col,
     )

@@ -332,15 +332,44 @@ def _filter_triangles(tri: meshproc.TriangulatedMesh, keep: np.ndarray) -> meshp
     return meshproc.TriangulatedMesh(
         positions=tri.positions[corner], normals=tri.normals[corner],
         tangents=tri.tangents[corner], bitangent_signs=tri.bitangent_signs[corner],
-        uvs=tri.uvs[corner], face_ids=tri.face_ids[mask])
+        uvs=tri.uvs[corner], face_ids=tri.face_ids[mask],
+        colors=(tri.colors[corner] if tri.colors is not None else None))
 
 
-def _display_color_material(prim: Prim) -> MaterialDesc | None:
+def _display_color_interp(prim: Prim, n_points: int, n_faces: int,
+                          n_corners: int) -> meshproc.Interpolation | None:
+    """Interpolation of the displayColor primvar: authored metadata, else
+    inferred from the value count (USD primvar fallback rules)."""
+    dc = prim.attrs.get("primvars:displayColor")
+    if dc is None or dc.value is None:
+        return None
+    meta_interp = dc.meta.get("interpolation") if dc.meta else None
+    if meta_interp:
+        return meshproc.Interpolation(meta_interp)
+    n = len(dc.value) if isinstance(dc.value, list) else 1
+    if n <= 1:
+        return meshproc.Interpolation.CONSTANT
+    if n == n_points:
+        return meshproc.Interpolation.VERTEX
+    if n == n_faces:
+        return meshproc.Interpolation.UNIFORM
+    if n == n_corners:
+        return meshproc.Interpolation.FACE_VARYING
+    return meshproc.Interpolation.CONSTANT
+
+
+def _display_color_material(prim: Prim, vertex_colors: bool = False
+                            ) -> MaterialDesc | None:
     """Fallback material driven by displayColor, mirroring the reference's
-    default displayColor MaterialX material (renderDelegate.cpp:64-78)."""
+    default displayColor MaterialX material (renderDelegate.cpp:64-78).
+    When the primvar is non-constant its values ride the mesh as per-corner
+    vertex colors (Mesh.PrimvarInterpolation parity) and the material's
+    diffuse is white so base_color * vcolor reproduces the primvar."""
     dc = prim.attrs.get("primvars:displayColor")
     color = (0.5, 0.5, 0.5)
-    if dc is not None and dc.value:
+    if vertex_colors:
+        color = (1.0, 1.0, 1.0)
+    elif dc is not None and dc.value:
         v = dc.value[0] if isinstance(dc.value, list) else dc.value
         color = tuple(float(c) for c in v)[:3]
     path = prim.path + "/__displayColor"
@@ -377,6 +406,23 @@ def _build_mesh(prim: Prim, world: np.ndarray, object_id: int) -> MeshDesc | Non
 
     orientation = str(_attr_val(prim, "orientation", "rightHanded"))
 
+    material = None
+    binding = prim.rels.get("material:binding")
+    if binding:
+        material = binding[0]
+
+    # non-constant displayColor on an unbound mesh rides as per-corner
+    # vertex colors (the bound material wins otherwise, as in Hydra)
+    colors = None
+    colors_interp = meshproc.Interpolation.CONSTANT
+    if material is None:
+        ci = _display_color_interp(prim, len(points), len(counts), len(indices))
+        if ci is not None and ci != meshproc.Interpolation.CONSTANT:
+            dc = prim.attrs.get("primvars:displayColor")
+            colors = np.asarray([[float(c) for c in v][:3] for v in dc.value],
+                                np.float32)
+            colors_interp = ci
+
     tri = meshproc.build_triangulated_mesh(
         points=np.asarray(points, np.float32),
         face_vertex_counts=np.asarray(counts, np.int64),
@@ -386,11 +432,9 @@ def _build_mesh(prim: Prim, world: np.ndarray, object_id: int) -> MeshDesc | Non
         uvs=(np.asarray(uvs, np.float32) if uvs is not None else None),
         uvs_interp=uv_interp,
         left_handed=(orientation == "leftHanded"),
+        colors=colors,
+        colors_interp=colors_interp,
     )
-    material = None
-    binding = prim.rels.get("material:binding")
-    if binding:
-        material = binding[0]
     return MeshDesc(
         path=prim.path,
         mesh=tri,
@@ -468,7 +512,8 @@ def build_scene(stage: Stage) -> SceneDesc:
         else:
             scene.meshes.append(mesh)
         if mesh.material is None:
-            fallback = _display_color_material(prim)
+            fallback = _display_color_material(
+                prim, vertex_colors=mesh.mesh.colors is not None)
             if fallback is not None:
                 scene.materials[fallback.path] = fallback
                 for m in scene.meshes:

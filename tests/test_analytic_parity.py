@@ -238,3 +238,64 @@ def test_geometric_aovs_against_projection_math():
         assert abs(texc[py, px, 0] - exp_u) < 2e-3, (py, px)
         assert abs(texc[py, px, 1] - exp_v) < 2e-3, (py, px)
         assert obj[py, px] == 7
+
+def test_vertex_color_interpolation_against_barycentric_math():
+    """displayColor vertex interpolation (Mesh.PrimvarInterpolation parity,
+    reference: mesh.cpp:647-745 + testenv/Mesh.PrimvarInterpolation): the
+    albedo AOV of a screen-filling vertex-colored quad must equal an
+    INDEPENDENT numpy barycentric interpolation of the corner colors."""
+    z_wall = -5.0
+    pts = np.array([[-20, -20, z_wall], [20, -20, z_wall],
+                    [-20, 20, z_wall], [20, 20, z_wall]], np.float32)
+    colors = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0]], np.float32)
+    from gatling_tpu.scene.meshproc import Interpolation
+
+    mesh = build_triangulated_mesh(
+        pts, np.array([4]), np.array([0, 1, 3, 2]),
+        colors=colors, colors_interp=Interpolation.VERTEX)
+    assert mesh.colors is not None and mesh.colors.shape == (6, 3)
+    meshes = [MeshDesc(path="/w", mesh=mesh, transform=np.eye(4),
+                       material="m", double_sided=True, object_id=0)]
+    geom = build_geometry(meshes, {"m": 0, None: 1})
+    # white diffuse so albedo == interpolated vertex color exactly
+    table = build_material_table([_diffuse((1.0, 1.0, 1.0)), lower_material(None)])
+
+    w = h = 16
+    vfov = 0.6
+    cfg = RenderConfig(
+        width=w, height=h, spp=1, max_bounces=1, jittered=False, fis=False,
+        rr_bounce_offset=100,
+        aov_mask=(aov_bit(AovId.COLOR) | aov_bit(AovId.ALBEDO)))
+    uni = _uniforms([0.0, 0.0, 0.0], [0, 0, -1], vfov=vfov)
+    pix = jnp.arange(w * h, dtype=jnp.int32)
+    from gatling_tpu.render.integrator import trace_sample
+
+    res = trace_sample(cfg, uni, geom, table, empty_light_arrays(),
+                       default_dome(), pix, jnp.int32(0))
+    albedo = np.asarray(res.first.albedo).reshape(h, w, 3)
+
+    # independent projection + barycentric interpolation over the two fan
+    # triangles (0,1,3) and (0,3,2) of faceVertexIndices [0, 1, 3, 2]
+    tan_half = math.tan(vfov / 2)
+    tris = [(0, 1, 3), (0, 3, 2)]
+    for (py, px) in [(3, 4), (8, 8), (12, 2), (1, 14), (14, 14)]:
+        ndc_x = (2.0 * (px + 0.5) / w - 1.0) * tan_half * (w / h)
+        ndc_y = (2.0 * (py + 0.5) / h - 1.0) * tan_half
+        ray = np.array([ndc_x, ndc_y, -1.0])
+        p = ray * (z_wall / ray[2])
+        expected = None
+        for (a, b, c) in tris:
+            v0, v1, v2 = pts[a][:2], pts[b][:2], pts[c][:2]
+            m = np.array([v1 - v0, v2 - v0]).T
+            uu, vv = np.linalg.solve(m, p[:2] - v0)
+            if uu >= -1e-9 and vv >= -1e-9 and uu + vv <= 1 + 1e-9:
+                expected = ((1 - uu - vv) * colors[a] + uu * colors[b]
+                            + vv * colors[c])
+                break
+        assert expected is not None
+        # the Albedo AOV adds the glossy Schlick term (rp_main.chit:268-290
+        # analog): F = f0 + (1-f0)(1-cos)^5 with f0 = 0.04 at ior 1.5
+        cos_o = -ray[2] / np.linalg.norm(ray)
+        expected = expected + 0.04 + (1.0 - 0.04) * (1.0 - cos_o) ** 5
+        assert np.allclose(albedo[py, px], expected, atol=3e-3), (
+            (py, px), albedo[py, px], expected)

@@ -98,16 +98,30 @@ def _compare(cfg, uni, geom, table, lights: LightArrays, dome, *, resident_max=4
 
 
 def test_supports_fused_gate():
-    # round 2: NEE, dome and textures (split-bounce) ARE supported;
-    # normal maps / volumes / cutout are not
-    assert supports_fused(RenderConfig(8, 8, has_dome=False), has_textures=False)
-    assert supports_fused(RenderConfig(8, 8, nee=True, has_dome=False), False)
-    assert supports_fused(RenderConfig(8, 8, has_dome=True), False)
-    assert supports_fused(RenderConfig(8, 8, has_dome=False), has_textures=True)
+    # round 2: NEE, dome, textures (split-bounce), normal maps,
+    # absorption-only volumes and untextured cutout ARE supported;
+    # scattering volumes / textured-opacity cutout are not
+    assert supports_fused(RenderConfig(8, 8, has_dome=False), has_textures=False,
+                          has_scattering_volumes=False)
+    assert supports_fused(RenderConfig(8, 8, nee=True, has_dome=False), False,
+                          has_scattering_volumes=False)
+    assert supports_fused(RenderConfig(8, 8, has_dome=True), False,
+                          has_scattering_volumes=False)
+    assert supports_fused(RenderConfig(8, 8, has_dome=False), has_textures=True,
+                          has_scattering_volumes=False)
     assert supports_fused(RenderConfig(8, 8, has_dome=False), False,
-                          has_normal_maps=True)  # split-bounce tangent rows
-    assert not supports_fused(RenderConfig(8, 8, has_volumes=True, has_dome=False), False)
-    assert not supports_fused(RenderConfig(8, 8, has_cutout=True, has_dome=False), False)
+                          has_normal_maps=True,  # split-bounce tangent rows
+                          has_scattering_volumes=False)
+    assert not supports_fused(
+        RenderConfig(8, 8, has_volumes=True, has_dome=False), False,
+        has_scattering_volumes=True)
+    # untextured cutout resolves inside the fused walks
+    assert supports_fused(RenderConfig(8, 8, has_cutout=True, has_dome=False),
+                          False, has_scattering_volumes=False)
+    # textured opacity still routes to the wavefront integrator
+    assert not supports_fused(
+        RenderConfig(8, 8, has_cutout=True, has_dome=False), False,
+        has_scattering_volumes=False, has_opacity_textures=True)
 
 
 def test_fused_matches_general_statistics():
@@ -493,6 +507,67 @@ def test_fused_normal_map_matches_general(tmp_path, resident_max):
         cfg, uni, geom, t2, empty_light_arrays(), default_dome(),
         pix, 32, jnp.int32(0), p2).color)
     assert np.abs(general - plain).mean() > 1e-3
+
+
+@pytest.mark.parametrize("resident_max", [4096, 0])
+def test_fused_cutout_matches_general(tmp_path, resident_max):
+    """Untextured stochastic cutout resolved INSIDE the fused walks: every
+    candidate intersection draws an independent Bernoulli against the
+    per-triangle pass probability (P(any accepted) = 1 - prod(1 - o_i),
+    identical in distribution to the wavefront's sequential
+    ignoreIntersection hops). Camera AND shadow (NEE) streams, both
+    table layouts."""
+    import dataclasses
+
+    desc = load_scene(CORNELL)
+    mat_paths = sorted({m.material for m in desc.meshes if m.material})
+    midx = {p: i for i, p in enumerate(mat_paths)}
+    midx[None] = len(mat_paths)
+    geom = build_geometry(desc.meshes, midx)
+    rows = [None] * len(midx)
+    for p, i in midx.items():
+        rows[i] = lower_material(desc.materials.get(p) if p else None)
+    # every non-emissive material becomes 40% cutout
+    for r in rows:
+        if not any(c > 0 for c in r.params["emissive"]):
+            r.params["opacity"] = 0.4
+    table = build_material_table(rows)
+    _g, _t, uni = _cornell()
+    lights = build_light_arrays([_rect_light()])
+
+    scene, static = build_fused_scene(geom, table, lights,
+                                      resident_max=resident_max)
+    assert static.cutout
+    assert static.clustered == (resident_max == 0)
+    cfg = RenderConfig(width=24, height=24, spp=48, max_bounces=4, nee=True,
+                       has_dome=False, has_cutout=True, rr_bounce_offset=100)
+    pix = jnp.arange(24 * 24, dtype=jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        fused = np.asarray(render_pixels_fused(
+            cfg, uni, scene, default_dome(), pix, 48, jnp.int32(0),
+            static=static))
+    general = np.asarray(render_pixels(
+        cfg, uni, geom, table, lights, default_dome(),
+        pix, 48, jnp.int32(0)).color)
+    f = fused.reshape(24, 24, 3)
+    g = general.reshape(24, 24, 3)
+    assert np.isfinite(f).all() and (f >= 0).all()
+    assert abs(f.mean() - g.mean()) / max(g.mean(), 1e-6) < 0.12
+    fd = f.reshape(6, 4, 6, 4, 3).mean(axis=(1, 3)).ravel()
+    gd = g.reshape(6, 4, 6, 4, 3).mean(axis=(1, 3)).ravel()
+    assert np.corrcoef(fd, gd)[0, 1] > 0.95
+    # cutout must actually brighten vs opaque (light leaks through walls)
+    opaque_rows = [lower_material(desc.materials.get(p) if p else None)
+                   for p, i in sorted(midx.items(), key=lambda kv: kv[1])]
+    t_op = build_material_table(opaque_rows)
+    s_op, st_op = build_fused_scene(geom, t_op, lights,
+                                    resident_max=resident_max)
+    assert not st_op.cutout
+    with pltpu.force_tpu_interpret_mode():
+        op = np.asarray(render_pixels_fused(
+            cfg, uni, s_op, default_dome(), pix, 48, jnp.int32(0),
+            static=st_op))
+    assert abs(f.mean() - op.reshape(24, 24, 3).mean()) > 1e-3
 
 
 def test_fused_first_hit_aovs_match_general():

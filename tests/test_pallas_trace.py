@@ -28,8 +28,11 @@ def _random_geom(n_tris=128, seed=0):
         v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
         n0=z3, n1=z3, n2=z3, t0=z3, t1=z3, t2=z3, bsign=z3,
         uv0=z2, uv1=z2, uv2=z2,
+        c0=jnp.ones((n_tris, 3), jnp.float32),
+        c1=jnp.ones((n_tris, 3), jnp.float32),
+        c2=jnp.ones((n_tris, 3), jnp.float32),
         material_id=zi, object_id=zi, face_id=zi, instance_id=zi, flags=zi,
-        packed_f=jnp.zeros((n_tris, 39), jnp.float32),
+        packed_f=jnp.zeros((n_tris, 45), jnp.float32),
         packed_i=jnp.zeros((n_tris, 5), jnp.int32)))
 
 
