@@ -129,6 +129,7 @@ class GiScene:
         self._texture_manager = TextureManager()
         self._material_index: dict[str | None, int] = {}
         self._light_arrays = None
+        self._lowered_frame = 0.0  # frame value the materials were lowered at
         self._dome_data: DomeLightData | None = None
         self._aov_state: dict[str, jnp.ndarray] | None = None
         self._fb_shape: tuple[int, int] | None = None
@@ -401,10 +402,20 @@ def render(params: GiRenderParams) -> None:
         log.info("refreshed %d instance transform(s) in %.1f ms (no geometry rebuild)",
                  len(pending), 1e3 * (time.monotonic() - t0))
 
+    # animated materials (frame/time nodes): a frame change re-lowers the
+    # material table and resets accumulation (the reference re-renders
+    # time-dependent materials per frame; MtlxMdlCodeGen.cpp:116-144)
+    frame_val = float(params.render_settings.get("frame", 0.0) or 0.0)
+    if (scene._material_table is not None and frame_val != scene._lowered_frame
+            and any(r.traits.is_animated for r in scene._lowered_materials)):
+        scene.dirty |= DirtyFlags.MATERIALS | DirtyFlags.FRAMEBUFFER
+
     if scene.dirty & DirtyFlags.MATERIALS or scene._material_table is None:
         rows = [None] * (len(scene._material_index))
         for path, idx in scene._material_index.items():
-            rows[idx] = lower_material(scene.materials.get(path) if path else None)
+            rows[idx] = lower_material(
+                scene.materials.get(path) if path else None, frame=frame_val)
+        scene._lowered_frame = frame_val
         scene._material_table, scene._texture_pool = build_materials(
             rows, scene._texture_manager)
         scene._lowered_materials = rows

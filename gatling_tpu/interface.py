@@ -97,6 +97,13 @@ MESH_FLAG_FLIP_FACING = 1 << 0
 MESH_FLAG_DOUBLE_SIDED = 1 << 1
 
 FLOAT_MAX = np.float32(3.402823466e38)
+
+# barycentric edge slack: rays through a shared triangle edge must hit at
+# least one of the adjacent triangles (the Vulkan RT hardware traversal the
+# reference dispatches is watertight by spec; exact u+v == 1 pixel-center
+# alignments otherwise fall through the crack). Dimensionless, applied as
+# u >= -eps, v >= -eps, u + v <= 1 + eps in every intersector.
+BARY_EPS = np.float32(1e-6)
 FLOAT_MIN = np.float32(1.175494351e-38)
 
 # Maximum number of per-mesh primvar streams exposed to materials

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gatling_tpu.interface import FLOAT_MAX
+from gatling_tpu.interface import BARY_EPS, FLOAT_MAX
 from gatling_tpu.ops.geometry import SceneGeometry
 from gatling_tpu.ops.intersect import Hit
 
@@ -193,7 +193,8 @@ def _leaf_intersect(geom: SceneGeometry, tri_idx, o, d, tmin, tmax):
     qvec = jnp.cross(tvec, e1)
     v = jnp.sum(d * qvec, axis=-1) * inv
     t = jnp.sum(e2 * qvec, axis=-1) * inv
-    valid = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > tmin) & (t < tmax)
+    valid = (ok & (u >= -BARY_EPS) & (v >= -BARY_EPS)
+             & (u + v <= 1 + BARY_EPS) & (t > tmin) & (t < tmax))
     return t, u, v, valid
 
 

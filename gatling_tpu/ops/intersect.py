@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from gatling_tpu.interface import FLOAT_MAX
+from gatling_tpu.interface import BARY_EPS, FLOAT_MAX
 from gatling_tpu.ops.geometry import SceneGeometry
 
 
@@ -52,7 +52,7 @@ def _mt_block(org, dirn, v0, e1, e2, tmin, tmax):
     t = jnp.sum(e2[None, :, :] * qvec, axis=-1) * inv_det
     valid = (
         (jnp.abs(det) > 1e-12)
-        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (u >= -BARY_EPS) & (v >= -BARY_EPS) & (u + v <= 1.0 + BARY_EPS)
         & (t > tmin[:, None]) & (t < tmax[:, None])
     )
     return t, u, v, valid

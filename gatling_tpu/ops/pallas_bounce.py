@@ -61,6 +61,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gatling_tpu.interface import (
+    BARY_EPS,
     FLOAT_MAX,
     LightArrays,
     MESH_FLAG_DOUBLE_SIDED,
@@ -579,7 +580,7 @@ def _tri_hit_test(tread, t, ox, oy, oz, dx, dy, dz, tmin):
     pz = oz + tt * dz
     u = tread(TR_R1 + 0, t) * px + tread(TR_R1 + 1, t) * py + tread(TR_R1 + 2, t) * pz + tread(TR_R1 + 3, t)
     v = tread(TR_R2 + 0, t) * px + tread(TR_R2 + 1, t) * py + tread(TR_R2 + 2, t) * pz + tread(TR_R2 + 3, t)
-    ok = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (tt > tmin)
+    ok = ok & (u >= -BARY_EPS) & (v >= -BARY_EPS) & (u + v <= 1.0 + BARY_EPS) & (tt > tmin)
     return tt, u, v, ok
 
 
@@ -1013,7 +1014,7 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
                         tt = -po[:, 0:128] * inv
                         u = po[:, 128:256] + tt * pd[:, 128:256]
                         v = po[:, 256:384] + tt * pd[:, 256:384]
-                        okm = (okm & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                        okm = (okm & (u >= -BARY_EPS) & (v >= -BARY_EPS) & (u + v <= 1.0 + BARY_EPS)
                                & (tt > tmin) & (tt < cap_t))
                         if cutout:
                             xi = _cutout_xi(
@@ -1263,7 +1264,7 @@ def _trace_clustered_occluded(tri_ref, l1_ref, l2_ref, cache, occ128, acc,
                         tt = -po[:, 0:128] * inv
                         u = po[:, 128:256] + tt * pd[:, 128:256]
                         v = po[:, 256:384] + tt * pd[:, 256:384]
-                        okm = (okm & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                        okm = (okm & (u >= -BARY_EPS) & (v >= -BARY_EPS) & (u + v <= 1.0 + BARY_EPS)
                                & (tt > SHADOW_TMIN) & (tt < dist_col))
                         if cutout:
                             xi = _cutout_xi(

@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gatling_tpu.interface import FLOAT_MAX
+from gatling_tpu.interface import BARY_EPS, FLOAT_MAX
 from gatling_tpu.ops.geometry import SceneGeometry
 from gatling_tpu.ops.intersect import Hit
 
@@ -126,7 +126,7 @@ def _closest_hit_kernel(feat_ref, tmin_ref, tmax_ref, coeffs_ref,
         t = tn * inv
         u = un * inv
         v = vn * inv
-        valid = (ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        valid = (ok_det & (u >= -BARY_EPS) & (v >= -BARY_EPS) & (u + v <= 1.0 + BARY_EPS)
                  & (t > tmin) & (t < tmax) & (t < best_t))
         tm = jnp.where(valid, t, FLOAT_MAX)
         tile_min = jnp.min(tm, axis=1, keepdims=True)  # [RB,1]
@@ -175,7 +175,7 @@ def _occlusion_kernel(feat_ref, tmin_ref, tmax_ref, coeffs_ref, hit_out):
         t = tn * inv
         u = un * inv
         v = vn * inv
-        valid = (ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        valid = (ok_det & (u >= -BARY_EPS) & (v >= -BARY_EPS) & (u + v <= 1.0 + BARY_EPS)
                  & (t > tmin) & (t < tmax))
         return any_hit | jnp.any(valid, axis=1, keepdims=True)
 
@@ -305,7 +305,7 @@ def _mt_tile(feat, tile, tmin, tmax):
     qz = tx * e1y - ty * e1x
     v = (dx * qx + dy * qy + dz * qz) * inv
     t = (e2x * qx + e2y * qy + e2z * qz) * inv
-    valid = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > tmin) & (t < tmax)
+    valid = ok & (u >= -BARY_EPS) & (v >= -BARY_EPS) & (u + v <= 1.0 + BARY_EPS) & (t > tmin) & (t < tmax)
     return t, u, v, valid
 
 
@@ -446,7 +446,7 @@ def intersect_features_jnp(origins, dirs, tmin, tmax, tables: TraceTables) -> Hi
         t = tn * inv
         u = un * inv
         v = vn * inv
-        valid = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > tmin[:, None]) & (t < tmax[:, None])
+        valid = ok & (u >= -BARY_EPS) & (v >= -BARY_EPS) & (u + v <= 1 + BARY_EPS) & (t > tmin[:, None]) & (t < tmax[:, None])
         tm = jnp.where(valid, t, FLOAT_MAX)
         idx = jnp.argmin(tm, axis=1)
         rows = jnp.arange(tm.shape[0])

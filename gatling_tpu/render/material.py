@@ -104,6 +104,9 @@ class MaterialTraits:
     # different backface parameters would need real MDL compilation.
     has_backface_bsdf: bool = False
     has_backface_edf: bool = False
+    # the network contains frame/time nodes (MtlxMdlCodeGen.cpp:116-144
+    # time-node detection): re-lower when the frame setting changes
+    is_animated: bool = False
 
 
 @dataclasses.dataclass
@@ -141,7 +144,7 @@ def _vec3(v) -> tuple[float, float, float]:
 
 
 def _resolve_input(desc: MaterialDesc, node: ShaderNode, name: str, default,
-                   color_hint: bool = False):
+                   color_hint: bool = False, frame: float = 0.0):
     """Follow a shader input through the node graph (render/shadergraph.py):
     constants and texture-affine chains (multiply/mix/add/... over one
     image) fold exactly into (value, TextureRef) — the graph-compiler
@@ -154,7 +157,7 @@ def _resolve_input(desc: MaterialDesc, node: ShaderNode, name: str, default,
     from gatling_tpu.render.shadergraph import GraphLowering
     from gatling_tpu.render.texture import baked_ref
 
-    gv = GraphLowering(desc).eval_input(node, name, default, color_hint)
+    gv = GraphLowering(desc, frame=frame).eval_input(node, name, default, color_hint)
     if isinstance(default, (int, float, bool)) or default is None:
         value = float(gv.constant[0])
     else:
@@ -167,8 +170,10 @@ def _resolve_input(desc: MaterialDesc, node: ShaderNode, name: str, default,
     return value, tex, is_srgb
 
 
-def lower_material(desc: MaterialDesc | None) -> LoweredMaterial:
-    """Lower one material network to uber-BSDF parameters."""
+def lower_material(desc: MaterialDesc | None, frame: float = 0.0) -> LoweredMaterial:
+    """Lower one material network to uber-BSDF parameters. `frame` feeds
+    frame/time nodes; materials containing them get traits.is_animated and
+    are re-lowered by gi.render when the frame setting changes."""
     params = dict(_DEFAULTS)
     textures: dict[str, TextureRef] = {}
     traits = MaterialTraits()
@@ -180,9 +185,16 @@ def lower_material(desc: MaterialDesc | None) -> LoweredMaterial:
     if node is None:
         return LoweredMaterial(params=params, traits=traits, textures=textures)
 
+    from gatling_tpu.render.shadergraph import normalize_shader_id
+
+    traits.is_animated = any(
+        normalize_shader_id(n.shader_id) in ("frame", "time")
+        for n in desc.nodes.values())
+
     def grab(input_name: str, param: str, conv=float, default=None, color=False):
         d = _DEFAULTS[param] if default is None else default
-        val, tex, _srgb = _resolve_input(desc, node, input_name, d, color_hint=color)
+        val, tex, _srgb = _resolve_input(desc, node, input_name, d,
+                                         color_hint=color, frame=frame)
         params[param] = conv(val) if val is not None else d
         if tex is not None:
             textures[param] = tex
@@ -220,8 +232,8 @@ def lower_material(desc: MaterialDesc | None) -> LoweredMaterial:
         grab("specular_IOR", "ior")
         grab("transmission", "transmission")
         grab("opacity", "opacity", lambda v: float(np.mean(_vec3(v))))
-        val, tex, _ = _resolve_input(desc, node, "emission_color", (1.0, 1.0, 1.0))
-        emission_scale, _, _ = _resolve_input(desc, node, "emission", 0.0)
+        val, tex, _ = _resolve_input(desc, node, "emission_color", (1.0, 1.0, 1.0), frame=frame)
+        emission_scale, _, _ = _resolve_input(desc, node, "emission", 0.0, frame=frame)
         params["emissive"] = tuple(float(emission_scale) * c for c in _vec3(val))
         params["thin_walled"] = int(bool(node.inputs.get("thin_walled", False)))
     elif sid in ("ND_open_pbr_surface_surfaceshader", "open_pbr_surface"):
@@ -231,8 +243,8 @@ def lower_material(desc: MaterialDesc | None) -> LoweredMaterial:
         grab("specular_ior", "ior")
         grab("transmission_weight", "transmission")
         grab("geometry_opacity", "opacity")
-        val, _, _ = _resolve_input(desc, node, "emission_color", (1.0, 1.0, 1.0))
-        lum, _, _ = _resolve_input(desc, node, "emission_luminance", 0.0)
+        val, _, _ = _resolve_input(desc, node, "emission_color", (1.0, 1.0, 1.0), frame=frame)
+        lum, _, _ = _resolve_input(desc, node, "emission_luminance", 0.0, frame=frame)
         params["emissive"] = tuple(float(lum) * c for c in _vec3(val))
         params["thin_walled"] = int(bool(node.inputs.get("geometry_thin_walled", False)))
     elif sid in ("ND_gltf_pbr_surfaceshader", "gltf_pbr"):

@@ -171,12 +171,34 @@ def _mix(fg: GraphValue, bg: GraphValue, mix: GraphValue, node_id: str) -> Graph
 _WRAP_MAP = {"periodic": "repeat", "clamp": "clamp", "mirror": "mirror",
              "constant": "black"}
 
+# MaterialX nodedef-name type suffixes (ND_<node>_<outtype>[_<intype>])
+_ND_TYPE_TOKENS = {
+    "float", "color3", "color4", "vector2", "vector3", "vector4", "integer",
+    "boolean", "string", "filename", "surfaceshader", "displacementshader",
+    "matrix33", "matrix44", "color3FA", "color4FA", "vector2FA", "vector3FA",
+    "vector4FA",
+}
+
+
+def normalize_shader_id(sid: str) -> str:
+    """USD-authored MaterialX nodes carry nodedef names (`ND_multiply_color3`,
+    `ND_image_color3`, `ND_frame_float`); strip the prefix and type suffixes
+    so both authoring routes (mtlx XML tags and USD info:id) hit the same
+    node handlers."""
+    if not sid.startswith("ND_"):
+        return sid
+    parts = sid[3:].split("_")
+    while len(parts) > 1 and parts[-1] in _ND_TYPE_TOKENS:
+        parts.pop()
+    return "_".join(parts)
+
 
 class GraphLowering:
     """Recursive evaluator over one material's node dict."""
 
-    def __init__(self, desc) -> None:
+    def __init__(self, desc, frame: float = 0.0) -> None:
         self.desc = desc
+        self.frame = float(frame)
         self._stack: list[str] = []  # cycle guard
 
     def _resolve_path(self, path: str) -> str:
@@ -243,7 +265,7 @@ class GraphLowering:
         return GraphValue(constant=_vec4(fallback), texture=ref)
 
     def _eval_node(self, node, out_name: str, default, color_hint: bool) -> GraphValue:
-        sid = node.shader_id
+        sid = normalize_shader_id(node.shader_id)
         ev = lambda name, d=(0.0, 0.0, 0.0, 1.0), hint=False: self.eval_input(  # noqa: E731
             node, name, d, hint)
 
@@ -295,6 +317,16 @@ class GraphLowering:
             # tangent-space decode: map [0,1] -> [-1,1] (the reference's
             # normal-map scale/bias patch, previewSurfaceNetworkPatcher.cpp)
             return v.with_affine(scale=(2.0, 2.0, 2.0, 1.0), bias=(-1.0, -1.0, -1.0, 0.0))
+        if sid in ("frame", "time"):
+            # current frame folds to a constant at lowering time; materials
+            # containing these nodes carry the is_animated trait and are
+            # re-lowered whenever the frame render setting changes (the
+            # reference's time-node detection, MtlxMdlCodeGen.cpp:116-144)
+            val = self.frame
+            if sid == "time":
+                fps = float(node.inputs.get("fps", 24.0) or 24.0)
+                val = val / fps
+            return GraphValue(constant=(val, val, val, val))
         if sid.startswith("UsdPrimvarReader") or sid in ("texcoord", "geompropvalue"):
             return GraphValue(constant=_vec4(node.inputs.get("fallback", default)))
         get_logger().debug("shader graph: unhandled node %s (%s)", sid, node.path)

@@ -75,3 +75,47 @@ def test_bvh_cornell():
     assert (np.asarray(brute.tri) == np.asarray(tr.tri)).mean() > 0.995
     # hit rates must match exactly (the box front is open, so not all rays hit)
     assert (np.asarray(tr.tri) >= 0).mean() == (np.asarray(brute.tri) >= 0).mean()
+
+
+def test_shared_edge_watertight():
+    """Rays through the exact shared edge of a fan-triangulated quad must
+    hit one of the adjacent triangles in every tracer (the Vulkan RT
+    traversal the reference dispatches is watertight by spec; BARY_EPS)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gatling_tpu.interface import FLOAT_MAX
+    from gatling_tpu.ops.geometry import build_geometry
+    from gatling_tpu.ops.intersect import intersect_brute
+    from gatling_tpu.ops import pallas_trace as ptr
+    from gatling_tpu.scene.meshproc import build_triangulated_mesh
+    from gatling_tpu.scene.stage import MeshDesc
+
+    pts = np.array([[-1.4, -1.4, 0], [1.4, -1.4, 0],
+                    [-1.4, 1.4, 0], [1.4, 1.4, 0]], np.float32)
+    mesh = build_triangulated_mesh(pts, np.array([4]), np.array([0, 1, 3, 2]))
+    geom = build_geometry(
+        [MeshDesc(path="/q", mesh=mesh, transform=np.eye(4), material=None,
+                  double_sided=True, object_id=0)], {None: 0})
+
+    # origins exactly on the diagonal x == y (the shared edge), z = 5
+    xs = np.linspace(-1.3, 1.3, 41, dtype=np.float32)
+    o = jnp.asarray(np.stack([xs, xs, np.full_like(xs, 5.0)], axis=1))
+    d = jnp.asarray(np.tile(np.array([[0, 0, -1]], np.float32), (len(xs), 1)))
+    tmin = jnp.zeros(len(xs))
+    tmax = jnp.full((len(xs),), FLOAT_MAX)
+
+    hit = intersect_brute(o, d, tmin, tmax, geom)
+    assert bool((np.asarray(hit.tri) >= 0).all()), "brute misses shared edge"
+
+    tables = ptr.build_trace_tables(geom)
+    feat = ptr.intersect_features_jnp(o, d, tmin, tmax, tables)
+    assert bool((np.asarray(feat.tri) >= 0).all()), "feature tracer misses shared edge"
+
+    from gatling_tpu.ops import bvh as bvh_mod
+    from gatling_tpu.ops.geometry import pack_geometry
+
+    bvh, order = bvh_mod.build_bvh(geom.v0, geom.e1, geom.e2)
+    rgeom = pack_geometry(bvh_mod.reorder_geometry(geom, order))
+    bh = bvh_mod.traverse_closest(o, d, tmin, tmax, bvh, rgeom)
+    assert bool((np.asarray(bh.tri) >= 0).all()), "bvh walk misses shared edge"

@@ -150,3 +150,57 @@ def test_id_and_normal_aovs():
     center = n[10:16, 10:16]
     assert center[..., 1].mean() < -0.8
     assert np.isfinite(depth.data).all()
+
+
+def test_animated_material_relowered_on_frame_change():
+    """frame/time nodes: changing the `frame` render setting re-lowers the
+    material table (traits.is_animated) and resets accumulation — the
+    Materials.MtlxFrame behavior (reference: MtlxMdlCodeGen.cpp:116-144)."""
+    from gatling_tpu.scene.stage import (CameraDesc, MaterialDesc, MeshDesc,
+                                         ShaderNode)
+    from gatling_tpu.scene.meshproc import build_triangulated_mesh
+
+    pts = np.array([[-1, -1, 0], [1, -1, 0], [-1, 1, 0], [1, 1, 0]], np.float32)
+    mesh = MeshDesc(
+        path="/q",
+        mesh=build_triangulated_mesh(pts, np.array([4]), np.array([0, 1, 3, 2])),
+        transform=np.eye(4), material="/mat", double_sided=True, object_id=0)
+    nodes = {
+        "/mat/s": ShaderNode(
+            path="/mat/s", shader_id="UsdPreviewSurface", inputs={},
+            input_connections={"emissiveColor": ("/mat/mul", "out")}),
+        "/mat/mul": ShaderNode(
+            path="/mat/mul", shader_id="ND_multiply_color3",
+            inputs={"in2": (0.01, 0.0, 0.0)},
+            input_connections={"in1": ("/mat/f", "out")}),
+        "/mat/f": ShaderNode(path="/mat/f", shader_id="ND_frame_float",
+                             inputs={}, input_connections={}),
+    }
+    mat = MaterialDesc(path="/mat", surface_node="/mat/s", nodes=nodes)
+
+    s = default_settings()
+    s.update(spp=1, maxBounces=1, frame=0.0)
+    scene = gi.create_scene()
+    scene.add_mesh(mesh)
+    scene.add_material(mat)
+    cam = CameraDesc(position=np.array([0, 0, 2], np.float32),
+                     forward=np.array([0, 0, -1], np.float32),
+                     up=np.array([0, 1, 0], np.float32), vfov=1.2)
+    buf = gi.GiRenderBuffer(16, 16, 4)
+    params = gi.GiRenderParams(
+        scene=scene, camera=cam,
+        aov_bindings=[gi.GiAovBinding(AovId.COLOR, buf)], render_settings=s)
+
+    gi.render(params)
+    gi.render(params)
+    assert scene.sample_offset == 2
+    dark = buf.data[..., 0].mean()
+    assert scene._lowered_frame == 0.0
+
+    s["frame"] = 50.0
+    gi.render(params)
+    assert scene.sample_offset == 1  # frame change reset accumulation
+    assert scene._lowered_frame == 50.0
+    bright = buf.data[..., 0].mean()
+    # emission = frame * 0.01: frame 50 must be distinctly brighter
+    assert bright > dark + 0.2

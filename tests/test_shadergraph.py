@@ -226,3 +226,60 @@ def test_lower_material_multiply_texture(tmp_path):
     out = np.asarray(sample_pool(pool, jnp.zeros(1, jnp.int32),
                                  jnp.asarray([[0.5, 0.5]], jnp.float32)))
     np.testing.assert_allclose(out[0, :3], [0.5] * 3, atol=1e-3)
+
+
+def test_nd_nodedef_name_normalization():
+    """USD-authored MaterialX nodes carry ND_ nodedef ids; they must hit
+    the same handlers as mtlx XML tags (normalize_shader_id)."""
+    from gatling_tpu.render.shadergraph import normalize_shader_id
+
+    assert normalize_shader_id("ND_multiply_color3") == "multiply"
+    assert normalize_shader_id("ND_image_color3") == "image"
+    assert normalize_shader_id("ND_convert_float_color3") == "convert"
+    assert normalize_shader_id("ND_swizzle_color3_float") == "swizzle"
+    assert normalize_shader_id("ND_frame_float") == "frame"
+    assert normalize_shader_id("ND_standard_surface_surfaceshader") == "standard_surface"
+    assert normalize_shader_id("UsdUVTexture") == "UsdUVTexture"
+
+    # a multiply chain authored with ND_ ids folds like the tag route
+    nodes = [
+        _node("/s", "surf", conns={"in": ("/mul", "out")}),
+        _node("/mul", "ND_multiply_color3", {"in2": 0.25},
+              {"in1": ("/add", "out")}),
+        _node("/add", "ND_add_color3", {"in1": 0.5, "in2": 0.3}),
+    ]
+    gv = _eval(_mat(nodes, "/s"))
+    assert gv.texture is None
+    np.testing.assert_allclose(gv.constant[:3], [0.2] * 3, atol=1e-6)
+
+
+def test_frame_and_time_nodes(caplog):
+    """frame/time nodes fold to the lowering-time frame value and mark the
+    material animated (Materials.MtlxFrame analog; reference time-node
+    detection MtlxMdlCodeGen.cpp:116-144)."""
+    nodes = [
+        _node("/s", "UsdPreviewSurface",
+              conns={"diffuseColor": ("/mix", "out")}),
+        _node("/mix", "multiply", {"in2": (0.01, 0.02, 0.0)},
+              {"in1": ("/f", "out")}),
+        _node("/f", "ND_frame_float"),
+    ]
+    desc = _mat(nodes, "/s")
+    m0 = lower_material(desc, frame=0.0)
+    m10 = lower_material(desc, frame=10.0)
+    assert m0.traits.is_animated and m10.traits.is_animated
+    np.testing.assert_allclose(m0.params["base_color"], [0.0, 0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(m10.params["base_color"], [0.1, 0.2, 0.0], atol=1e-6)
+
+    # time = frame / fps
+    nodes_t = [
+        _node("/s", "UsdPreviewSurface", conns={"metallic": ("/t", "out")}),
+        _node("/t", "time", {"fps": 10.0}),
+    ]
+    mt = lower_material(_mat(nodes_t, "/s"), frame=5.0)
+    assert mt.traits.is_animated
+    assert abs(mt.params["metallic"] - 0.5) < 1e-6
+
+    # a static material is not animated
+    m_static = lower_material(_mat([_node("/s", "UsdPreviewSurface")], "/s"))
+    assert not m_static.traits.is_animated
