@@ -122,6 +122,7 @@ class GiScene:
         self._accel: Accel | None = None
         self._tracer: str = "brute"
         self._material_table = None
+        self._lowered_materials: list = []
         self._has_volumes = False
         self._has_cutout = False
         self._fused_scene = None
@@ -288,6 +289,10 @@ def _build_config(params: GiRenderParams, width: int, height: int, aov_mask: int
         has_volumes=params.scene._has_volumes,
         has_cutout=params.scene._has_cutout,
         has_dome=(params.dome_light or params.scene.dome_light) is not None,
+        dynamic_params=tuple(
+            (idx, pname, expr)
+            for idx, m in enumerate(params.scene._lowered_materials or [])
+            for pname, expr in sorted(m.dynamic.items())),
     )
 
 
@@ -502,12 +507,14 @@ def render(params: GiRenderParams) -> None:
             for r in scene._lowered_materials)
         has_opacity_textures = any(
             "opacity" in r.textures for r in scene._lowered_materials)
-        # per-corner displayColor rides the wavefront integrator only
+        # per-corner displayColor and view/normal-dependent material inputs
+        # ride the wavefront integrator only
         has_vertex_colors = any(
             getattr(m.mesh, "colors", None) is not None
             for m in scene.meshes)
+        has_dynamic = bool(config.dynamic_params)
         use_fused = (_jax.default_backend() == "tpu"
-                     and not has_vertex_colors
+                     and not has_vertex_colors and not has_dynamic
                      and supports_fused(config, has_textures, has_normal_maps,
                                         has_scattering, has_opacity_textures))
     if use_fused:

@@ -90,6 +90,11 @@ class RenderConfig:
     # (the reference compiles any-hit shaders per cutout material,
     # Gi.cpp:1110 opaque flag)
     has_cutout: bool = False
+    # view/normal-dependent material inputs: STATIC (mat_index, param_name,
+    # shadergraph.Expr) triples substituted per hit — the wavefront analog
+    # of the reference's per-material generated code reading
+    # state::direction (Materials.MtlxViewDirection)
+    dynamic_params: tuple = ()
 
 
 class Accel(NamedTuple):
@@ -456,6 +461,23 @@ def trace_sample(
         params = gather_params(materials, st["material_id"])
         params = apply_textures(materials, textures, params, st["material_id"], st["uv"])
         params = params._replace(base_color=params.base_color * st["vcolor"])
+        if config.dynamic_params:
+            # view/normal-dependent inputs (viewdirection/normal node
+            # chains): evaluate each material's expr over the batch and
+            # substitute where the hit's material matches
+            from gatling_tpu.render.shadergraph import eval_dynamic_expr
+
+            rgb_params = ("base_color", "emissive", "specular_color")
+            for mat_idx, pname, expr in config.dynamic_params:
+                val = eval_dynamic_expr(expr, s["direction"], st["normal"])
+                sel = st["material_id"] == mat_idx
+                cur = getattr(params, pname)
+                if pname in rgb_params:
+                    params = params._replace(
+                        **{pname: jnp.where(sel[:, None], val[:, :3], cur)})
+                else:
+                    params = params._replace(
+                        **{pname: jnp.where(sel, val[:, 0], cur)})
         st["normal"] = perturb_normal(
             materials, textures, st["material_id"], st["uv"],
             st["normal"], st["tangent"], st["bitangent"])

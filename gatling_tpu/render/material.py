@@ -116,6 +116,9 @@ class LoweredMaterial:
     params: dict
     traits: MaterialTraits
     textures: dict[str, TextureRef]  # param -> texture request
+    # param -> dynamic expr (viewdirection/normal chains) evaluated per hit
+    # by the wavefront integrator (shadergraph.eval_dynamic_expr)
+    dynamic: dict = dataclasses.field(default_factory=dict)
 
 
 _DEFAULTS = {
@@ -150,11 +153,15 @@ def _resolve_input(desc: MaterialDesc, node: ShaderNode, name: str, default,
     image) fold exactly into (value, TextureRef) — the graph-compiler
     analog of MtlxMdlCodeGen.cpp:217-287.
 
-    Returns (value, TextureRef_or_None, is_srgb_hint). Texture file paths
-    are resolved relative to the material's layer directory. The returned
-    value has the shape of `default` (scalar stays scalar).
+    Returns (value, TextureRef_or_None, is_srgb_hint, dynamic_expr_or_None).
+    Texture file paths are resolved relative to the material's layer
+    directory. The returned value has the shape of `default` (scalar stays
+    scalar). A dynamic expr (viewdirection/normal leaves) is returned for
+    per-hit evaluation by the integrator; dynamic subtrees that ALSO read
+    textures fall back to the affine approximation (logged).
     """
-    from gatling_tpu.render.shadergraph import GraphLowering
+    from gatling_tpu.render.shadergraph import (
+        GraphLowering, expr_has_texture, expr_is_dynamic)
     from gatling_tpu.render.texture import baked_ref
 
     gv = GraphLowering(desc, frame=frame).eval_input(node, name, default, color_hint)
@@ -163,11 +170,21 @@ def _resolve_input(desc: MaterialDesc, node: ShaderNode, name: str, default,
     else:
         value = gv.constant[: max(len(tuple(default)), 3)]
     tex = gv.texture
+    dyn = None
     if gv.expr is not None:
-        # non-affine subtree: bake the exact composite into one pool slot
-        tex = baked_ref(gv.expr)
+        if expr_is_dynamic(gv.expr):
+            if expr_has_texture(gv.expr):
+                get_logger().warning(
+                    "shader graph: %s.%s mixes textures with view/normal-"
+                    "dependent nodes; using the affine approximation",
+                    node.path, name)
+            else:
+                dyn = gv.expr
+        else:
+            # non-affine static subtree: bake the composite into one slot
+            tex = baked_ref(gv.expr)
     is_srgb = tex.is_srgb if tex is not None else False
-    return value, tex, is_srgb
+    return value, tex, is_srgb, dyn
 
 
 def lower_material(desc: MaterialDesc | None, frame: float = 0.0) -> LoweredMaterial:
@@ -176,6 +193,7 @@ def lower_material(desc: MaterialDesc | None, frame: float = 0.0) -> LoweredMate
     are re-lowered by gi.render when the frame setting changes."""
     params = dict(_DEFAULTS)
     textures: dict[str, TextureRef] = {}
+    dynamic: dict = {}
     traits = MaterialTraits()
 
     node = None
@@ -193,11 +211,13 @@ def lower_material(desc: MaterialDesc | None, frame: float = 0.0) -> LoweredMate
 
     def grab(input_name: str, param: str, conv=float, default=None, color=False):
         d = _DEFAULTS[param] if default is None else default
-        val, tex, _srgb = _resolve_input(desc, node, input_name, d,
-                                         color_hint=color, frame=frame)
+        val, tex, _srgb, dyn = _resolve_input(desc, node, input_name, d,
+                                              color_hint=color, frame=frame)
         params[param] = conv(val) if val is not None else d
         if tex is not None:
             textures[param] = tex
+        if dyn is not None:
+            dynamic[param] = dyn
 
     sid = node.shader_id
     if sid == "gatling_uber":
@@ -232,8 +252,8 @@ def lower_material(desc: MaterialDesc | None, frame: float = 0.0) -> LoweredMate
         grab("specular_IOR", "ior")
         grab("transmission", "transmission")
         grab("opacity", "opacity", lambda v: float(np.mean(_vec3(v))))
-        val, tex, _ = _resolve_input(desc, node, "emission_color", (1.0, 1.0, 1.0), frame=frame)
-        emission_scale, _, _ = _resolve_input(desc, node, "emission", 0.0, frame=frame)
+        val, tex, _, _dyn = _resolve_input(desc, node, "emission_color", (1.0, 1.0, 1.0), frame=frame)
+        emission_scale, _, _, _ = _resolve_input(desc, node, "emission", 0.0, frame=frame)
         params["emissive"] = tuple(float(emission_scale) * c for c in _vec3(val))
         params["thin_walled"] = int(bool(node.inputs.get("thin_walled", False)))
     elif sid in ("ND_open_pbr_surface_surfaceshader", "open_pbr_surface"):
@@ -243,8 +263,8 @@ def lower_material(desc: MaterialDesc | None, frame: float = 0.0) -> LoweredMate
         grab("specular_ior", "ior")
         grab("transmission_weight", "transmission")
         grab("geometry_opacity", "opacity")
-        val, _, _ = _resolve_input(desc, node, "emission_color", (1.0, 1.0, 1.0), frame=frame)
-        lum, _, _ = _resolve_input(desc, node, "emission_luminance", 0.0, frame=frame)
+        val, _, _, _ = _resolve_input(desc, node, "emission_color", (1.0, 1.0, 1.0), frame=frame)
+        lum, _, _, _ = _resolve_input(desc, node, "emission_luminance", 0.0, frame=frame)
         params["emissive"] = tuple(float(lum) * c for c in _vec3(val))
         params["thin_walled"] = int(bool(node.inputs.get("geometry_thin_walled", False)))
     elif sid in ("ND_gltf_pbr_surfaceshader", "gltf_pbr"):
@@ -276,7 +296,8 @@ def lower_material(desc: MaterialDesc | None, frame: float = 0.0) -> LoweredMate
         or "opacity" in textures
     )
     traits.is_thin_walled = bool(params["thin_walled"])
-    return LoweredMaterial(params=params, traits=traits, textures=textures)
+    return LoweredMaterial(params=params, traits=traits, textures=textures,
+                           dynamic=dynamic)
 
 
 _CH_INDEX = {"r": 0, "g": 1, "b": 2, "a": 3, "rgb": 0}

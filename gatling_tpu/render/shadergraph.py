@@ -55,7 +55,11 @@ class Expr:
     gather as any other texture — exact at texel centers (all leaves are
     sampled with the same uv in this material model)."""
 
-    op: str  # const | tex | multiply | divide | add | subtract | mix | clamp | extract
+    # const | tex | multiply | divide | add | subtract | mix | clamp |
+    # extract | dot | abs | power | viewdir | normalvec
+    # (viewdir/normalvec are DYNAMIC leaves — per-ray values the wavefront
+    # integrator substitutes at shading time; expr_is_dynamic detects them)
+    op: str
     const: tuple[float, float, float, float] | None = None
     tex: TextureRef | None = None
     args: tuple["Expr", ...] = ()
@@ -64,6 +68,84 @@ class Expr:
 
 def _const_expr(c) -> Expr:
     return Expr(op="const", const=_vec4(c))
+
+
+_DYNAMIC_LEAVES = ("viewdir", "normalvec")
+
+
+def expr_is_dynamic(e: Expr | None) -> bool:
+    """True when the subtree reads per-ray state (view direction / shading
+    normal) — such exprs cannot be baked into textures; the wavefront
+    integrator evaluates them per hit (eval_dynamic_expr)."""
+    if e is None:
+        return False
+    if e.op in _DYNAMIC_LEAVES:
+        return True
+    return any(expr_is_dynamic(a) for a in e.args)
+
+
+def expr_has_texture(e: Expr | None) -> bool:
+    if e is None:
+        return False
+    if e.op == "tex":
+        return True
+    return any(expr_has_texture(a) for a in e.args)
+
+
+def eval_dynamic_expr(e: Expr, view_dir, normal):
+    """Evaluate a dynamic expr per ray: view_dir/normal are [N,3] jnp
+    arrays (view_dir points camera -> surface, the MDL state::direction
+    convention the reference's generated code reads). Returns [N,4].
+
+    Vector-aware ops: dot reduces the first 3 components; everything else
+    is elementwise over rgba. Texture leaves are excluded at lowering
+    (material.py falls back to the affine approximation for tex+dynamic
+    mixes), so this evaluator touches no memory beyond the hit state."""
+    import jax.numpy as jnp
+
+    n = view_dir.shape[0]
+
+    def pad4(v3):
+        return jnp.concatenate([v3, jnp.zeros((n, 1), v3.dtype)], axis=1)
+
+    def ev(x: Expr):
+        if x.op == "const":
+            return jnp.broadcast_to(jnp.asarray(x.const, jnp.float32), (n, 4))
+        if x.op == "viewdir":
+            return pad4(view_dir)
+        if x.op == "normalvec":
+            return pad4(normal)
+        if x.op == "dot":
+            a, b = ev(x.args[0]), ev(x.args[1])
+            d = jnp.sum(a[:, :3] * b[:, :3], axis=1, keepdims=True)
+            return jnp.broadcast_to(d, (n, 4))
+        if x.op == "multiply":
+            return ev(x.args[0]) * ev(x.args[1])
+        if x.op == "divide":
+            b = ev(x.args[1])
+            return jnp.where(b != 0.0, ev(x.args[0]) / jnp.where(b == 0.0, 1.0, b), 0.0)
+        if x.op == "add":
+            return ev(x.args[0]) + ev(x.args[1])
+        if x.op == "subtract":
+            return ev(x.args[0]) - ev(x.args[1])
+        if x.op == "mix":
+            fg, bg, m = ev(x.args[0]), ev(x.args[1]), ev(x.args[2])
+            return fg * m + bg * (1.0 - m)
+        if x.op == "clamp":
+            return jnp.clip(ev(x.args[0]), ev(x.args[1]), ev(x.args[2]))
+        if x.op == "abs":
+            return jnp.abs(ev(x.args[0]))
+        if x.op == "power":
+            a, b = ev(x.args[0]), ev(x.args[1])
+            return jnp.power(jnp.maximum(a, 0.0), b)
+        if x.op == "extract":
+            v = ev(x.args[0])
+            i = _CH.get(x.channel, 0)
+            return jnp.broadcast_to(v[:, i:i + 1], (n, 4))
+        # tex (excluded at lowering) and unknown ops: constant fallback
+        return jnp.broadcast_to(jnp.asarray(_vec4(None), jnp.float32), (n, 4))
+
+    return ev(e)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -317,6 +399,38 @@ class GraphLowering:
             # tangent-space decode: map [0,1] -> [-1,1] (the reference's
             # normal-map scale/bias patch, previewSurfaceNetworkPatcher.cpp)
             return v.with_affine(scale=(2.0, 2.0, 2.0, 1.0), bias=(-1.0, -1.0, -1.0, 0.0))
+        if sid == "viewdirection":
+            # per-ray dynamic leaf (world space, camera -> surface — the
+            # MDL state::direction convention the reference's generated
+            # code reads; Materials.MtlxViewDirection analog)
+            return GraphValue(constant=(0.0, 0.0, 1.0, 0.0),
+                              expr=Expr(op="viewdir"))
+        if sid == "normal" and not node.input_connections:
+            # world-space shading normal as a value node
+            return GraphValue(constant=(0.0, 0.0, 1.0, 0.0),
+                              expr=Expr(op="normalvec"))
+        if sid == "dotproduct":
+            a = ev("in1")
+            b = ev("in2")
+            d = sum(x * y for x, y in zip(a.constant[:3], b.constant[:3]))
+            return GraphValue(constant=(d, d, d, d),
+                              expr=Expr(op="dot", args=(a.exact, b.exact)))
+        if sid == "absval":
+            v = ev("in", default, color_hint)
+            const = tuple(abs(c) for c in v.constant)
+            if v.texture is None and v.expr is None:
+                return GraphValue(constant=const)
+            return GraphValue(constant=const, texture=v.texture,
+                              expr=Expr(op="abs", args=(v.exact,)))
+        if sid == "power":
+            a = ev("in1", default, color_hint)
+            b = ev("in2", (1.0, 1.0, 1.0, 1.0))
+            const = tuple(max(x, 0.0) ** y for x, y in zip(a.constant, b.constant))
+            if (a.texture is None and a.expr is None
+                    and b.texture is None and b.expr is None):
+                return GraphValue(constant=const)
+            return GraphValue(constant=const, texture=a.texture,
+                              expr=Expr(op="power", args=(a.exact, b.exact)))
         if sid in ("frame", "time"):
             # current frame folds to a constant at lowering time; materials
             # containing these nodes carry the is_animated trait and are

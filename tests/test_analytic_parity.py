@@ -299,3 +299,75 @@ def test_vertex_color_interpolation_against_barycentric_math():
         expected = expected + 0.04 + (1.0 - 0.04) * (1.0 - cos_o) ** 5
         assert np.allclose(albedo[py, px], expected, atol=3e-3), (
             (py, px), albedo[py, px], expected)
+
+
+def test_view_direction_material_against_projection_math():
+    """viewdirection-node materials (Materials.MtlxViewDirection analog):
+    base_color = mix(A, B, abs(dot(viewdirection, normal))) on a screen-
+    filling quad must equal the closed-form facing ratio cos(theta) of an
+    INDEPENDENT numpy pinhole projection at every probed pixel."""
+    from gatling_tpu.scene.stage import ShaderNode
+
+    z_wall = -5.0
+    pts = np.array([[-20, -20, z_wall], [20, -20, z_wall],
+                    [-20, 20, z_wall], [20, 20, z_wall]], np.float32)
+    mesh = build_triangulated_mesh(pts, np.array([4]), np.array([0, 1, 3, 2]))
+    meshes = [MeshDesc(path="/w", mesh=mesh, transform=np.eye(4),
+                       material="m", double_sided=True, object_id=0)]
+    geom = build_geometry(meshes, {"m": 0, None: 1})
+
+    # material network: mix(A, B, abs(dot(viewdirection, normal)))
+    from gatling_tpu.scene.stage import MaterialDesc
+    from gatling_tpu.render.material import lower_material as lm
+
+    A = (0.9, 0.1, 0.1)
+    B = (0.1, 0.1, 0.9)
+    nodes = {
+        "/m/s": ShaderNode(path="/m/s", shader_id="UsdPreviewSurface",
+                           inputs={"metallic": 0.0, "roughness": 1.0},
+                           input_connections={"diffuseColor": ("/m/mix", "out")}),
+        "/m/mix": ShaderNode(path="/m/mix", shader_id="ND_mix_color3",
+                             inputs={"fg": A, "bg": B},
+                             input_connections={"mix": ("/m/abs", "out")}),
+        "/m/abs": ShaderNode(path="/m/abs", shader_id="ND_absval_float",
+                             inputs={},
+                             input_connections={"in": ("/m/dot", "out")}),
+        "/m/dot": ShaderNode(path="/m/dot", shader_id="ND_dotproduct_vector3",
+                             inputs={},
+                             input_connections={"in1": ("/m/vd", "out"),
+                                                "in2": ("/m/n", "out")}),
+        "/m/vd": ShaderNode(path="/m/vd", shader_id="ND_viewdirection_vector3",
+                            inputs={}, input_connections={}),
+        "/m/n": ShaderNode(path="/m/n", shader_id="ND_normal_vector3",
+                           inputs={"space": "world"}, input_connections={}),
+    }
+    desc = MaterialDesc(path="/m", surface_node="/m/s", nodes=nodes)
+    lowered = lm(desc)
+    assert "base_color" in lowered.dynamic, "viewdirection chain not dynamic"
+    table = build_material_table([lowered, lower_material(None)])
+
+    w = h = 16
+    vfov = 0.9
+    cfg = RenderConfig(
+        width=w, height=h, spp=1, max_bounces=1, jittered=False, fis=False,
+        rr_bounce_offset=100,
+        aov_mask=(aov_bit(AovId.COLOR) | aov_bit(AovId.ALBEDO)),
+        dynamic_params=tuple((0, p, e) for p, e in sorted(lowered.dynamic.items())))
+    uni = _uniforms([0.0, 0.0, 0.0], [0, 0, -1], vfov=vfov)
+    pix = jnp.arange(w * h, dtype=jnp.int32)
+    from gatling_tpu.render.integrator import trace_sample
+
+    res = trace_sample(cfg, uni, geom, table, empty_light_arrays(),
+                       default_dome(), pix, jnp.int32(0))
+    albedo = np.asarray(res.first.albedo).reshape(h, w, 3)
+
+    tan_half = math.tan(vfov / 2)
+    for (py, px) in [(8, 8), (0, 0), (3, 12), (15, 2)]:
+        ndc_x = (2.0 * (px + 0.5) / w - 1.0) * tan_half * (w / h)
+        ndc_y = (2.0 * (py + 0.5) / h - 1.0) * tan_half
+        ray = np.array([ndc_x, ndc_y, -1.0])
+        cos_t = -ray[2] / np.linalg.norm(ray)  # |dot(viewdir, normal)|
+        expected = cos_t * np.array(A) + (1.0 - cos_t) * np.array(B)
+        expected = expected + 0.04 + (1.0 - 0.04) * (1.0 - cos_t) ** 5
+        assert np.allclose(albedo[py, px], expected, atol=3e-3), (
+            (py, px), albedo[py, px], expected, cos_t)
