@@ -38,28 +38,40 @@ def main() -> None:
     # sphere_field (290k tris, clustered tracer) defaults to a smaller config:
     # a 1200sq/16spp frame is a single multi-second XLA execution, which the
     # shared TPU worker's watchdog can kill (PERF.md "Known issues")
-    big_scene = scene_path == "sphere_field"
+    big_scene = scene_path in ("sphere_field", "interior")
     width = height = int(os.environ.get("GATLING_BENCH_RES", "512" if big_scene else "1200"))
     spp = int(os.environ.get("GATLING_BENCH_SPP", "4" if big_scene else "16"))
     max_bounces = int(os.environ.get("GATLING_BENCH_BOUNCES", "6" if big_scene else "8"))
-    use_nee = os.environ.get("GATLING_BENCH_NEE", "0") == "1"
+    # the interior (Evermotion-class ladder config 5) benches with NEE on:
+    # an enclosed room is unrenderable without it at these spp
+    use_nee = os.environ.get(
+        "GATLING_BENCH_NEE", "1" if scene_path == "interior" else "0") == "1"
     use_textured = os.environ.get("GATLING_BENCH_TEXTURED", "0") == "1"
     use_normalmap = os.environ.get("GATLING_BENCH_NORMALMAP", "0") == "1"
 
-    from gatling_tpu.gi import _build_accel
+    from gatling_tpu.gi import _build_accel, _choose_tracer
 
     if scene_path == "sphere_field":
         # Junk-Shop-class procedural stand-in (~290k triangles, BVH tracer)
         from gatling_tpu.scene.examples import sphere_field
 
         desc = sphere_field()
+    elif scene_path == "interior":
+        # Evermotion-Kitchen-class stand-in (ladder config 5): enclosed
+        # textured room, ~92k tris, clustered tracer + split-bounce textures
+        from gatling_tpu.scene.examples import interior
+
+        desc = interior()
     else:
         desc = load_scene(scene_path)
     mat_paths = sorted({m.material for m in desc.meshes if m.material})
     midx = {p: i for i, p in enumerate(mat_paths)}
     midx[None] = len(mat_paths)
     geom = build_geometry(desc.meshes, midx)
-    tracer, accel, geom = _build_accel(geom)
+    # tracer choice is cheap; the accel build (threaded host BVH) is
+    # deferred — the fused path never needs it
+    tracer = _choose_tracer(geom)
+    accel = None
     rows = [None] * len(midx)
     for p, i in midx.items():
         rows[i] = lower_material(desc.materials.get(p) if p else None)
@@ -106,6 +118,13 @@ def main() -> None:
         for r in rows:
             r.textures["base_color"] = TextureRef(file_path=_tex, is_srgb=False)
         table, pool = build_materials(rows)
+    elif any(r.textures for r in rows):
+        # scene-authored textures (e.g. the interior's UsdUVTexture set):
+        # build the texture pool and route through the split-bounce kernels
+        from gatling_tpu.render.material import build_materials
+
+        table, pool = build_materials(rows)
+        use_textured = True
     else:
         table = build_material_table(rows)
     scene_lights = [l for l in desc.lights if l.light_type != "dome"]
@@ -185,6 +204,11 @@ def main() -> None:
                 textures=pool if use_textured else None)
             return {"color": color, "segments": segs}
     else:
+        import dataclasses as _dc2
+
+        tracer, accel, geom = _build_accel(geom, tracer)
+        config = _dc2.replace(config, tracer=tracer)
+
         def render_once():
             return render_frame(config, uniforms, geom, table, lights,
                                 default_dome(), aovs, accel=accel)

@@ -155,6 +155,31 @@ def _write_output(img, args, aov):
     get_logger().info("wrote %s", args.output)
 
 
+def watched_material_sources(scene, scene_path: str) -> dict[str, float]:
+    """Hot-reload watch set: the scene file plus every material source it
+    references — texture files and .mdl modules — mapped to mtimes. The
+    analog of the reference's efsw watcher over the GLSL/MDL shader dir
+    (Gi.cpp:261-285): editing any material source invalidates and
+    re-renders."""
+    paths = {scene_path}
+    for mat in getattr(scene, "materials", {}).values():
+        base = getattr(mat, "base_dir", "") or ""
+        for node in mat.nodes.values():
+            f = node.inputs.get("file")
+            if isinstance(f, str) and f:
+                paths.add(f if os.path.isabs(f) else os.path.join(base, f))
+        mdl = getattr(mat, "mdl_source", None)
+        if mdl:
+            paths.add(mdl)
+    out = {}
+    for p in paths:
+        try:
+            out[p] = os.path.getmtime(p)
+        except OSError:
+            pass
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     init_logging()
     args = build_arg_parser().parse_args(argv)
@@ -166,22 +191,27 @@ def main(argv: list[str] | None = None) -> int:
         args.camera_path, checkpoint=args.checkpoint)
 
     if args.watch:
-        # scene-file watcher: the efsw shader hot-reload analog
+        # hot-reload watcher (the efsw shader watcher analog, Gi.cpp:261-285):
+        # watches the scene file AND every material source it references —
+        # texture files and .mdl modules — re-rendering on any change, the
+        # way the reference invalidates its shader cache when a GLSL/MDL
+        # source under the shader dir is edited
         _write_output(img, args, aov)
-        import os as _os
 
-        last = _os.path.getmtime(args.scene)
-        get_logger().info("watching %s for changes (ctrl-c to stop)", args.scene)
+        last = watched_material_sources(_scene, args.scene)
+        get_logger().info(
+            "watching %d file(s) (scene + material sources) for changes "
+            "(ctrl-c to stop)", len(last))
         try:
             while True:
                 time.sleep(0.5)
-                mtime = _os.path.getmtime(args.scene)
-                if mtime != last:
-                    last = mtime
+                now = watched_material_sources(_scene, args.scene)
+                if now != last:
                     img, _scene = render_scene_file(
                         args.scene, args.image_width, args.image_height,
                         settings, aov, args.camera_path)
                     _write_output(img, args, aov)
+                    last = watched_material_sources(_scene, args.scene)
         except KeyboardInterrupt:
             return 0
 

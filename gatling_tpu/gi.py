@@ -242,23 +242,31 @@ def _params_key(params: GiRenderParams, width: int, height: int):
 PALLAS_BRUTE_MAX_TRIS = 8192
 
 
-def _build_accel(geom) -> tuple[str, Accel, Any]:
-    """Pick the tracer for this scene size/backend and build its
-    acceleration data (the _giCreateBvh analog, Gi.cpp:1206-1315)."""
+def _choose_tracer(geom) -> str:
+    """Pick the wavefront tracer for this scene size/backend (the tracer
+    half of the _giCreateBvh analog, Gi.cpp:1206-1315)."""
     import jax
 
     forced = os.environ.get("GATLING_TRACER")
     t = geom.num_triangles
     on_tpu = jax.default_backend() == "tpu"
     if forced in ("brute", "pallas", "bvh"):
-        tracer = forced
-    elif on_tpu and t <= PALLAS_BRUTE_MAX_TRIS:
-        tracer = "pallas"
-    elif t > 2048:
-        tracer = "bvh"
-    else:
-        tracer = "brute"
+        return forced
+    if on_tpu and t <= PALLAS_BRUTE_MAX_TRIS:
+        return "pallas"
+    if t > 2048:
+        return "bvh"
+    return "brute"
 
+
+def _build_accel(geom, tracer: str | None = None) -> tuple[str, Accel, Any]:
+    """Build the chosen tracer's acceleration data (the build half of
+    _giCreateBvh, Gi.cpp:1206-1315). The fused megakernel never calls this
+    — it has its own cluster tables — so gi.render defers it until the
+    wavefront integrator is actually used (_ensure_accel): a threaded host
+    BVH over 10^5 triangles costs tens of seconds that a fused render
+    would pay for nothing."""
+    tracer = tracer or _choose_tracer(geom)
     if tracer == "pallas":
         return tracer, Accel(tables=build_trace_tables(geom)), geom
     if tracer == "bvh":
@@ -266,6 +274,16 @@ def _build_accel(geom) -> tuple[str, Accel, Any]:
         geom = reorder_geometry(geom, order)
         return tracer, Accel(bvh=bvh), geom
     return tracer, Accel(), geom
+
+
+def _ensure_accel(scene: "GiScene") -> None:
+    """Build the wavefront tracer's acceleration data on first use."""
+    if scene._accel is None:
+        t0 = time.monotonic()
+        scene._tracer, scene._accel, scene._geom = _build_accel(
+            scene._geom_base, scene._tracer)
+        get_logger().info("built %s acceleration data in %.1f ms",
+                          scene._tracer, 1e3 * (time.monotonic() - t0))
 
 
 def _build_config(params: GiRenderParams, width: int, height: int, aov_mask: int) -> RenderConfig:
@@ -370,7 +388,9 @@ def render(params: GiRenderParams) -> None:
         scene._material_index[None] = len(mat_paths)
         scene._geom_base, scene._geom_cache = build_geometry_cached(
             scene.meshes, scene._material_index)
-        scene._tracer, scene._accel, scene._geom = _build_accel(scene._geom_base)
+        scene._tracer = _choose_tracer(scene._geom_base)
+        scene._accel = None  # built lazily by _ensure_accel (fused skips it)
+        scene._geom = scene._geom_base
         scene._fused_scene = None
         scene._fused_order = None
         scene._pending_transforms.clear()
@@ -386,10 +406,13 @@ def render(params: GiRenderParams) -> None:
         pending = scene._pending_transforms
         scene._geom_base = update_instance_transforms(
             scene._geom_cache, pending, scene._material_index)
-        if scene._tracer == "bvh":
+        if scene._accel is None:
+            scene._geom = scene._geom_base  # still lazy
+        elif scene._tracer == "bvh":
             # the threaded BVH's topology is positional: it cannot be refit
             # in place, so the BVH (and only the BVH) is rebuilt
-            scene._tracer, scene._accel, scene._geom = _build_accel(scene._geom_base)
+            scene._tracer, scene._accel, scene._geom = _build_accel(
+                scene._geom_base, scene._tracer)
         elif scene._tracer == "pallas":
             scene._accel = Accel(tables=build_trace_tables(scene._geom_base))
             scene._geom = scene._geom_base
@@ -545,7 +568,7 @@ def render(params: GiRenderParams) -> None:
 
         n_par = _parallel_devices(s, n)
         if n_par > 1 and not want_first and not has_textures \
-                and n % (n_par * 1024) == 0:
+                and n % (n_par * 128) == 0:
             # multi-device fused render: frame tiles shard over the mesh's
             # "tiles" axis (SURVEY §2.10); first-hit AOVs and the textured
             # split-bounce stay single-device for now
@@ -589,6 +612,7 @@ def render(params: GiRenderParams) -> None:
         res = SampleResult(color=color, bounces=jnp.zeros((n,), jnp.int32), first=first)
         scene._aov_state = blend_aovs(config, uniforms, scene._aov_state, res)
     else:
+        _ensure_accel(scene)
         n_par = _parallel_devices(s, n)
         if n_par > 1 and n % n_par == 0 and config.tracer == "brute":
             # multi-device wavefront render: AOV state shards over the

@@ -70,6 +70,13 @@ from gatling_tpu.interface import (
 from gatling_tpu.ops.geometry import SceneGeometry
 from gatling_tpu.render.material import MaterialTable
 
+# Clustered-mode block size: the matrix walk's transposed-ray matmuls and
+# scratch are shaped around 1024-ray blocks, and 32x32-px tiles map to one
+# block (tight primary frusta). The RESIDENT (SMEM-table) path instead uses
+# static.block_rows = 16 (2048-ray blocks): measured on v5e (tools/
+# dead_prof.py), the per-block fixed grid+DMA overhead is ~2.6 us, and
+# halving the block count cut the all-alive bounce 4.9 -> 3.6 ms/iter with
+# no downside (8192-ray blocks were slightly worse).
 RAY_BLOCK = 1024
 BLOCK_ROWS = RAY_BLOCK // 128  # 8
 STATE_ROWS = 16
@@ -263,6 +270,10 @@ class FusedStatic:
     # consumption. Untextured opacity only (gi gates textured opacity to
     # the wavefront integrator).
     cutout: bool = False
+    # rays-per-kernel-block / 128. Clustered mode is pinned to 8 (the
+    # matrix walk + plan are shaped around 1024-ray blocks); the resident
+    # path uses 16 — see the RAY_BLOCK comment for the measurement.
+    block_rows: int = BLOCK_ROWS
 
     @property
     def clustered(self) -> bool:
@@ -485,7 +496,9 @@ def build_fused_scene_with_order(
                          pass_prob if cutout else None)
         static = FusedStatic(n_tris=n_real, n_mats=int(table.packed_f.shape[0]),
                              n_clusters=0, n_l1=1, light_types=light_types,
-                             tangents=tangents, cutout=cutout)
+                             tangents=tangents, cutout=cutout,
+                             block_rows=int(_os.environ.get(
+                                 "GATLING_BLOCK_ROWS", "16")))
         scene = FusedScene(
             tris=jnp.asarray(rows.T.copy()),  # [TRI_ROWS, T]
             mats=jnp.asarray(table.packed_f),
@@ -643,9 +656,9 @@ def _closest_body_factory(tread, ox, oy, oz, dx, dy, dz, tmin,
     return body
 
 
-def _hit_carry_init(want_uv=False, want_tan=False):
-    z = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
-    base = (jnp.full((BLOCK_ROWS, 128), FLOAT_MAX, jnp.float32), z, z,
+def _hit_carry_init(shape, want_uv=False, want_tan=False):
+    z = jnp.zeros(shape, jnp.float32)
+    base = (jnp.full(shape, FLOAT_MAX, jnp.float32), z, z,
             z, z, z, z, z, z, z, z, z, z, z, z, z, z)
     if want_uv:
         base = base + (z, z)
@@ -1359,7 +1372,7 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
                                      cutout=cut_arg)
         (best_t, u, v, gnx, gny, gnz, n0x, n0y, n0z,
          n1x, n1y, n1z, n2x, n2y, n2z, mat_f, dsided) = jax.lax.fori_loop(
-            0, static.n_tris, body, _hit_carry_init())
+            0, static.n_tris, body, _hit_carry_init(ox.shape))
         hit = alive & (best_t < FLOAT_MAX)
 
     miss = alive & ~hit
@@ -1392,15 +1405,15 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
     # round, not truncate: clustered attrs arrive via the hi/lo matmul
     # fetch (~2^-16 relative), so ids sit next to integers, not on them
     m_id = jnp.round(mat_f).astype(jnp.int32)
-    mp = [jnp.zeros((BLOCK_ROWS, 128), jnp.float32) for _ in range(11)]
+    mp = [jnp.zeros_like(mat_f) for _ in range(11)]
     # columns of MaterialTable.packed_f used here
     # 0-2 base_color, 3 metallic, 4 roughness, 5 ior, 7-9 emissive,
     # 14 transmission, 15 thin_walled, 24 backface_edf, 16-18 sigma_a
-    mp.append(jnp.zeros((BLOCK_ROWS, 128), jnp.float32))
+    mp.append(jnp.zeros_like(mat_f))
     cols = (0, 1, 2, 3, 4, 5, 7, 8, 9, 14, 15, 24)
     if static.volumes:
         cols = cols + (16, 17, 18)
-        mp.extend(jnp.zeros((BLOCK_ROWS, 128), jnp.float32) for _ in range(3))
+        mp.extend(jnp.zeros_like(mat_f) for _ in range(3))
     for mm in range(static.n_mats):
         is_m = m_id == mm
         for k, col in enumerate(cols):
@@ -1620,7 +1633,7 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
     dz = jnp.where(hit, k2z, dz)
 
     # ---- NEE (rp_main.chit sampleLight:30-129 + rgen:397-438) ----
-    shadow_count = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
+    shadow_count = jnp.zeros_like(radx)
     if nee:
         nee_able = hit & valid & ~pick_t
         rng_n1, k0 = _pcg_next(rng)
@@ -1687,7 +1700,7 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
 
                 occluded = jax.lax.fori_loop(
                     0, static.n_tris, occl_body,
-                    jnp.zeros((BLOCK_ROWS, 128), jnp.float32)) > 0.5
+                    jnp.zeros_like(radx)) > 0.5
 
             add = do_trace & ~occluded
             radx = radx + jnp.where(add, c_r, 0.0)
@@ -1909,6 +1922,25 @@ def unpack_radiance(state, r: int):
     return unpack_rows(state, 9, 3, r)
 
 
+
+def _eff_block_rows(static: FusedStatic, nb: int) -> int:
+    """Effective kernel block rows: static.block_rows clamped to the state
+    and forced to divide it exactly (small test states pad to 1024 rays =
+    8 chunks, below the resident default of 16). Mosaic requires block
+    sublane extents that are multiples of 8, and a grid that tiles the
+    array exactly — callers must pad the ray state to a multiple of 1024
+    rays (pack_state's r_pad contract)."""
+    br = min(static.block_rows, nb)
+    br -= br % 8
+    while br >= 8 and nb % br:
+        br -= 8
+    if br < 8:
+        raise ValueError(
+            f"ray state of {nb} chunks is not a multiple of 8 (1024 rays); "
+            "pad with pack_state(..., r_pad) first")
+    return br
+
+
 def _plan_specs(static: FusedStatic):
     """in_specs + per-block index maps for the XLA-computed walk plan."""
     c_pad = static.n_l1 * L1_FAN
@@ -1928,7 +1960,8 @@ def _plan_specs(static: FusedStatic):
 @partial(jax.jit, static_argnames=("static", "nee"))
 def bounce_step(params, scene: FusedScene, state, *, static: FusedStatic, nee: bool):
     """One fused bounce over the whole ray state [16, R/128, 128]."""
-    n_blocks = state.shape[1] // BLOCK_ROWS
+    br = _eff_block_rows(static, state.shape[1])
+    n_blocks = state.shape[1] // br
     kernel = partial(_bounce_kernel, static=static, nee=nee)
     plan_specs: list = []
     plan_args: tuple = ()
@@ -1950,11 +1983,9 @@ def bounce_step(params, scene: FusedScene, state, *, static: FusedStatic, nee: b
             pl.BlockSpec(memory_space=pltpu.SMEM),  # L1 AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # L2 AABBs
             *plan_specs,
-            pl.BlockSpec((STATE_ROWS, BLOCK_ROWS, 128), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
+            _block_spec(STATE_ROWS, br),
         ],
-        out_specs=pl.BlockSpec((STATE_ROWS, BLOCK_ROWS, 128), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=_block_spec(STATE_ROWS, br),
         out_shape=jax.ShapeDtypeStruct(state.shape, jnp.float32),
         input_output_aliases={6 + len(plan_specs): 0},
         scratch_shapes=scratch_shapes,
@@ -2027,7 +2058,8 @@ def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, *rest,
                                          cutout=cut_arg)
             carry = jax.lax.fori_loop(
                 0, static.n_tris, body,
-                _hit_carry_init(want_uv=True, want_tan=static.tangents))
+                _hit_carry_init(ox.shape, want_uv=True,
+                                want_tan=static.tangents))
             (best_t, u, v, gnx, gny, gnz, n0x, n0y, n0z,
              n1x, n1y, n1z, n2x, n2y, n2z, mat_f, dsided,
              uvx, uvy) = carry[:19]
@@ -2079,7 +2111,7 @@ def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, *rest,
             hit_ref[H_TAN + 2] = tz * tlen
             hit_ref[H_BS] = tbs
             for pad_row in range(H_BS + 1, HIT_ROWS_TAN):
-                hit_ref[pad_row] = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
+                hit_ref[pad_row] = jnp.zeros(hit_ref.shape[1:], jnp.float32)
 
 
 def _shade_kernel(params_ref, tri_ref, light_ref, l1_ref, l2_ref,
@@ -2185,15 +2217,16 @@ def _clu_vmem_limit(static: FusedStatic):
     return 100 * 1024 * 1024 if static.clu_vmem else 64 * 1024 * 1024
 
 
-def _block_spec(rows):
-    return pl.BlockSpec((rows, BLOCK_ROWS, 128), lambda i: (0, i, 0),
+def _block_spec(rows, block_rows=BLOCK_ROWS):
+    return pl.BlockSpec((rows, block_rows, 128), lambda i: (0, i, 0),
                         memory_space=pltpu.VMEM)
 
 
 @partial(jax.jit, static_argnames=("static",))
 def trace_step(params, scene: FusedScene, state, *, static: FusedStatic):
     """Textured-mode trace: closest hit + shading-state rows (no shading)."""
-    n_blocks = state.shape[1] // BLOCK_ROWS
+    br = _eff_block_rows(static, state.shape[1])
+    n_blocks = state.shape[1] // br
     tri_spec, scratch_shapes = _tri_specs(static)
     kernel = partial(_trace_kernel, static=static)
     plan_specs: list = []
@@ -2210,9 +2243,9 @@ def trace_step(params, scene: FusedScene, state, *, static: FusedStatic):
             pl.BlockSpec(memory_space=pltpu.SMEM),  # L1 AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # L2 AABBs
             *plan_specs,
-            _block_spec(STATE_ROWS),
+            _block_spec(STATE_ROWS, br),
         ],
-        out_specs=_block_spec(hit_row_count(static.tangents)),
+        out_specs=_block_spec(hit_row_count(static.tangents), br),
         out_shape=jax.ShapeDtypeStruct(
             (hit_row_count(static.tangents),) + state.shape[1:], jnp.float32),
         scratch_shapes=scratch_shapes,
@@ -2228,7 +2261,8 @@ def shade_step(params, scene: FusedScene, state, hitbuf, parbuf, *,
                static: FusedStatic, nee: bool):
     """Textured-mode shade: emission + BSDF + NEE shadow walk + RR, with
     per-ray material rows from the XLA texture stage."""
-    n_blocks = state.shape[1] // BLOCK_ROWS
+    br = _eff_block_rows(static, state.shape[1])
+    n_blocks = state.shape[1] // br
     tri_spec, scratch_shapes = _tri_specs(static)
     kernel = partial(_shade_kernel, static=static, nee=nee)
     return pl.pallas_call(
@@ -2240,11 +2274,11 @@ def shade_step(params, scene: FusedScene, state, hitbuf, parbuf, *,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lights
             pl.BlockSpec(memory_space=pltpu.SMEM),  # L1 AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # L2 AABBs
-            _block_spec(STATE_ROWS),
-            _block_spec(hit_row_count(static.tangents)),
-            _block_spec(PARAM_ROWS),
+            _block_spec(STATE_ROWS, br),
+            _block_spec(hit_row_count(static.tangents), br),
+            _block_spec(PARAM_ROWS, br),
         ],
-        out_specs=_block_spec(STATE_ROWS),
+        out_specs=_block_spec(STATE_ROWS, br),
         out_shape=jax.ShapeDtypeStruct(state.shape, jnp.float32),
         input_output_aliases={5: 0},
         scratch_shapes=scratch_shapes,

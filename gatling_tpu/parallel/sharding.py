@@ -167,9 +167,11 @@ def render_fused_sharded(
     n_tiles = mesh.shape["tiles"]
     n_spp_shards = mesh.shape["spp"]
     n = config.width * config.height
-    if n % (n_tiles * 1024) != 0:
+    # each shard must receive whole 128-ray chunks; render_pixels_fused
+    # pads its shard up to a kernel-block multiple internally
+    if n % (n_tiles * 128) != 0:
         raise ValueError(
-            f"pixel count {n} must divide into 1024-ray blocks per tile shard")
+            f"pixel count {n} must divide into 128-ray chunks per tile shard")
     if config.spp % n_spp_shards != 0:
         raise ValueError(f"spp {config.spp} not divisible by spp axis {n_spp_shards}")
     local_spp = config.spp // n_spp_shards

@@ -141,6 +141,43 @@ def supports_fused(config: RenderConfig, has_textures: bool,
     )
 
 
+def _chunk_prefix_switch(body_fn, state, live_chunks, block_rows=8):
+    """Run `body_fn` (state[16, sz, 128] -> same shape) over a lax.switch of
+    halving STATIC chunk-prefix sizes; the all-dead tail passes through
+    unchanged (the kernels leave dead rays untouched, so this is exact).
+
+    Measured motivation (tools/dead_prof.py, v5e, 1406 blocks): an ALL-DEAD
+    full-grid textured trace+shade costs 3.26 ms vs 4.95 ms all-alive — 66%
+    of a late bounce is fixed per-block grid+DMA overhead that the in-kernel
+    dead-block early-out cannot remove. Slicing the grid to the live prefix
+    removes it: 1/8-alive body measured 2.09 ms including the tail concat."""
+    rows, nb, lanes = state.shape
+    br = block_rows
+    sizes = [nb]
+    while len(sizes) < 6 and sizes[-1] > br:
+        half = max(br, -(-sizes[-1] // 2 // br) * br)
+        if half == sizes[-1]:
+            break
+        sizes.append(half)
+    sizes = sorted(set(sizes))  # ascending chunk counts
+    if len(sizes) <= 1:
+        return body_fn(state)
+
+    def branch(sz):
+        def f(st):
+            head = jax.lax.slice(st, (0, 0, 0), (rows, sz, lanes))
+            head = body_fn(head)
+            if sz == nb:
+                return head
+            return jnp.concatenate([head, st[:, sz:]], axis=1)
+        return f
+
+    idx = jnp.int32(0)
+    for sz in sizes[:-1]:
+        idx = idx + (live_chunks > sz).astype(jnp.int32)
+    return jax.lax.switch(idx, [branch(sz) for sz in sizes], state)
+
+
 def _material_rows_chunked(materials, textures, hitbuf, active, live_prefix):
     """Alive-prefix texture stage: rays are kept sorted alive-first between
     bounces, so the per-bounce XLA stage only runs over a prefix covering
@@ -251,16 +288,18 @@ def render_pixels_fused(
     returns the mean traced-segment count per sample [R] (path segments +
     NEE shadow rays — the Mray/s accounting source)."""
     r = pixel_index.shape[0]
-    r_pad = -(-r // 1024) * 1024
+    blk = static.block_rows * 128
+    r_pad = -(-r // blk) * blk
     px = pixel_index % config.width
     py = pixel_index // config.width
     nee = bool(config.nee)
     # ray compaction/sorting pays off when the cluster walk exists
-    # (coherence bounds cluster DMAs) or in textured mode (the alive-first
-    # prefix bounds the per-bounce XLA texture stage + lets whole kernel
-    # blocks take the dead-block early-out)
+    # (coherence bounds cluster DMAs); everywhere else an alive-first CHUNK
+    # partition (~0.2 ms at 1.44M rays) keeps the live set a prefix so the
+    # per-bounce kernels run on a sliced grid (_chunk_prefix_switch) instead
+    # of paying fixed per-block overhead for every dead block
     sort_rays = static.clustered
-    sort_alive = static.textured and not static.clustered
+    sort_alive = not static.clustered
     if sort_rays:
         scene_lo = jnp.min(scene.l1_aabbs[0:3], axis=1)
         scene_hi = jnp.max(scene.l1_aabbs[3:6], axis=1)
@@ -342,40 +381,53 @@ def render_pixels_fused(
         def body(carry2):
             bounce, st, orig_, perm_ = carry2
             params = make_params(config, uniforms, bounce)
-            if static.textured:
-                if sort_alive:
-                    # chunk-granularity alive-first partition: permuting
-                    # whole 128-ray lane chunks is ~free (_sort_chunks), so
-                    # re-partition EVERY bounce; the live prefix is the
-                    # number of chunks containing any alive ray
-                    chunk_alive = jnp.max(st[13], axis=1) > 0.5  # [NB]
-                    corder = jnp.argsort(
-                        jnp.where(chunk_alive, 0, 1).astype(jnp.uint32),
-                        stable=True)
-                    st = _sort_chunks(st, corder)
-                    nb_ = st.shape[1]
-                    orig_ = orig_.reshape(nb_, 128)[corder].reshape(-1)
-                    n_alive_chunks = jnp.sum(chunk_alive.astype(jnp.int32))
-                    prefix_len = jnp.maximum(n_alive_chunks, 1) * 128
-                    perm_ = perm_ | (n_alive_chunks < nb_)
-                else:
-                    # clustered: the coherence sort below keeps dead rays
-                    # last, so the live prefix is always tight
-                    alive_flat = st[13].reshape(-1) > 0.5
-                    iota = jnp.arange(alive_flat.shape[0], dtype=jnp.int32)
-                    prefix_len = jnp.max(jnp.where(alive_flat, iota, -1)) + 1
-                hitbuf = trace_step(params, scene, st, static=static)
-                stage = _material_rows_chunked(
-                    materials, textures, hitbuf,
-                    static.textured_params, prefix_len)
-                if static.tangents:
-                    parbuf, hitbuf = stage  # normal-mapped H_N rows
-                else:
-                    parbuf = stage
-                st = shade_step(params, scene, st, hitbuf, parbuf,
-                                static=static, nee=nee)
+            if sort_alive:
+                # chunk-granularity alive-first partition: permuting whole
+                # 128-ray lane chunks is ~free (_sort_chunks), so
+                # re-partition EVERY bounce; the live prefix is the number
+                # of chunks containing any alive ray. The stable partition
+                # permutation comes from a cumsum + inverse-scatter, NOT a
+                # sort — a stable argsort over the chunk keys measured
+                # 1.29 ms/bounce on v5e (hlo_stats compare_select fusion),
+                # ~13% of the whole bounce
+                chunk_alive = jnp.max(st[13], axis=1) > 0.5  # [NB]
+                nb_ = st.shape[1]
+                af = chunk_alive.astype(jnp.int32)
+                n_alive = jnp.sum(af)
+                pos_alive = jnp.cumsum(af) - 1            # rank among alive
+                pos_dead = jnp.cumsum(1 - af) - 1         # rank among dead
+                dest = jnp.where(chunk_alive, pos_alive, n_alive + pos_dead)
+                corder = jnp.zeros((nb_,), jnp.int32).at[dest].set(
+                    jnp.arange(nb_, dtype=jnp.int32))
+                st = _sort_chunks(st, corder)
+                orig_ = orig_.reshape(nb_, 128)[corder].reshape(-1)
+                live_chunks = jnp.maximum(n_alive, 1)
+                perm_ = perm_ | (live_chunks < nb_)
             else:
-                st = bounce_step(params, scene, st, static=static, nee=nee)
+                # clustered: the coherence sort below keeps dead rays last,
+                # making the live set a prefix — but the first iteration
+                # (or the one after the first-hit peel) enters unsorted, so
+                # bound the prefix by the LAST alive chunk, not the count
+                chunk_alive = jnp.max(st[13], axis=1) > 0.5
+                iota_c = jnp.arange(chunk_alive.shape[0], dtype=jnp.int32)
+                live_chunks = jnp.maximum(
+                    jnp.max(jnp.where(chunk_alive, iota_c, -1)) + 1, 1)
+
+            def chunk_body(head):
+                if static.textured:
+                    hitbuf = trace_step(params, scene, head, static=static)
+                    stage = _material_rows(materials, textures, hitbuf,
+                                           static.textured_params)
+                    if static.tangents:
+                        parbuf, hitbuf = stage  # normal-mapped H_N rows
+                    else:
+                        parbuf = stage
+                    return shade_step(params, scene, head, hitbuf, parbuf,
+                                      static=static, nee=nee)
+                return bounce_step(params, scene, head, static=static, nee=nee)
+
+            st = _chunk_prefix_switch(chunk_body, st, live_chunks,
+                                      static.block_rows)
             if sort_rays:
                 keys = _coherence_keys(st, scene_lo, scene_inv)
                 order = jnp.argsort(keys)

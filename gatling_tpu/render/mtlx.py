@@ -47,7 +47,12 @@ def _parse_value(val: str, type_name: str):
             return tuple(float(x) for x in val.split(","))
         except ValueError:
             return (0.0, 0.0, 0.0)
-    if type_name in ("filename", "string"):
+    if type_name == "filename":
+        # OS-path sanitizing (MtlxDocumentPatcher.cpp:41-54): Windows
+        # backslash-separated asset paths become forward-slash paths so
+        # downstream resolution is platform-uniform
+        return val.replace("\\", "/")
+    if type_name == "string":
         return val
     return val
 

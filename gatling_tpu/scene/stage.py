@@ -59,6 +59,7 @@ class MaterialDesc:
     surface_node: str | None  # path of node driving outputs:surface
     nodes: dict[str, ShaderNode]
     base_dir: str = ""  # for resolving relative texture asset paths
+    mdl_source: str | None = None  # .mdl module path (hot-reload watch)
 
 
 @dataclasses.dataclass(eq=False)  # identity equality: scene objects hold
@@ -278,7 +279,8 @@ def _build_material(prim: Prim, base_dir: str) -> MaterialDesc:
             mdl_path, str(sub) if sub else None, overrides,
             name=prim.path.strip("/").replace("/", "_"))
         return MaterialDesc(path=prim.path, surface_node=mdl_desc.surface_node,
-                            nodes=mdl_desc.nodes, base_dir=mdl_desc.base_dir)
+                            nodes=mdl_desc.nodes, base_dir=mdl_desc.base_dir,
+                            mdl_source=mdl_path)
 
     return MaterialDesc(path=prim.path, surface_node=surface_node, nodes=nodes, base_dir=base_dir)
 

@@ -232,3 +232,24 @@ def test_bundled_omni_mdl_modules():
     s = lower_material(load_mdl_material(
         "OmniSurface.mdl", "OmniSurface", {"emission_weight": 1.0}))
     assert s.params["base_color"][0] > 0.5
+
+
+def test_mtlx_filename_os_path_sanitize():
+    """Windows backslash asset paths are sanitized to forward slashes
+    (MtlxDocumentPatcher.cpp:41-54)."""
+    from gatling_tpu.render.mtlx import parse_mtlx
+
+    doc = """<?xml version="1.0"?>
+<materialx version="1.38">
+  <standard_surface name="s" type="surfaceshader">
+    <input name="base_color" type="color3" nodename="tex" />
+  </standard_surface>
+  <image name="tex" type="color3">
+    <input name="file" type="filename" value="C:\\assets\\wood.png" />
+  </image>
+</materialx>
+"""
+    mat = parse_mtlx(doc, name="m")
+    tex = [n for n in mat.nodes.values() if n.shader_id == "image"][0]
+    assert "\\" not in tex.inputs["file"]
+    assert tex.inputs["file"].endswith("assets/wood.png")

@@ -83,3 +83,37 @@ def test_gi_scene_mesh_handles():
 
     with pytest.raises(KeyError):
         scene.remove_mesh(b)  # stale handle
+
+
+def test_watched_material_sources(tmp_path):
+    """Hot-reload watch set covers scene + texture + mdl sources (the efsw
+    shader-watcher analog, Gi.cpp:261-285)."""
+    from gatling_tpu.cli import watched_material_sources
+    from gatling_tpu.scene.stage import MaterialDesc, ShaderNode
+
+    scene_file = tmp_path / "s.usda"
+    scene_file.write_text("#usda 1.0\n")
+    tex = tmp_path / "t.png"
+    tex.write_bytes(b"x")
+    mdl = tmp_path / "m.mdl"
+    mdl.write_text("mdl 1.7;")
+
+    node = ShaderNode(path="/m/tex", shader_id="UsdUVTexture",
+                      inputs={"file": "t.png"}, input_connections={})
+    mats = {
+        "/m": MaterialDesc(path="/m", surface_node="/m/s",
+                           nodes={node.path: node}, base_dir=str(tmp_path)),
+        "/m2": MaterialDesc(path="/m2", surface_node=None, nodes={},
+                            mdl_source=str(mdl)),
+    }
+
+    class FakeScene:
+        materials = mats
+
+    watched = watched_material_sources(FakeScene(), str(scene_file))
+    assert set(watched) == {str(scene_file), str(tex), str(mdl)}
+
+    # touching a material source changes the snapshot -> triggers re-render
+    import os
+    os.utime(tex, (1, 1))
+    assert watched_material_sources(FakeScene(), str(scene_file)) != watched

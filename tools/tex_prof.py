@@ -77,7 +77,8 @@ pix = jnp.arange(n, dtype=jnp.int32)
 px, py = pix % W, pix // W
 rng = jnp.zeros((n,), jnp.uint32)
 o, d, rng = generate_primary_rays(cu, W, H, px, py, rng, True, True, False)
-state = pack_state(o, d, rng, n)
+n_pad = -(-n // 2048) * 2048
+state = pack_state(o, d, rng, n_pad)
 params = make_params(config, uni, jnp.int32(0))
 
 
