@@ -180,6 +180,33 @@ def watched_material_sources(scene, scene_path: str) -> dict[str, float]:
     return out
 
 
+def watched_shader_sources() -> dict[str, float]:
+    """The shader-code watch set: gatling_tpu's render/ and ops/ Python
+    modules — the TPU analog of the reference's efsw watcher over
+    src/gi/shaders (Gi.cpp:18-20, 261-285). Editing one re-execs the
+    process so the new kernel/BSDF code compiles into fresh pipelines,
+    with accumulation reset (the reference also resets sampleOffset on
+    shader reload). Disable with GATLING_WATCH_SHADERS=0."""
+    if os.environ.get("GATLING_WATCH_SHADERS", "1") == "0":
+        return {}
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = {}
+    for sub in ("render", "ops"):
+        d = os.path.join(pkg_dir, sub)
+        try:
+            names = os.listdir(d)
+        except OSError:
+            continue
+        for f in names:
+            if f.endswith(".py"):
+                p = os.path.join(d, f)
+                try:
+                    out[p] = os.path.getmtime(p)
+                except OSError:
+                    pass
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     init_logging()
     args = build_arg_parser().parse_args(argv)
@@ -199,12 +226,24 @@ def main(argv: list[str] | None = None) -> int:
         _write_output(img, args, aov)
 
         last = watched_material_sources(_scene, args.scene)
+        last_shaders = watched_shader_sources()
         get_logger().info(
-            "watching %d file(s) (scene + material sources) for changes "
-            "(ctrl-c to stop)", len(last))
+            "watching %d file(s) (scene + material sources) and %d shader "
+            "module(s) for changes (ctrl-c to stop)",
+            len(last), len(last_shaders))
         try:
             while True:
                 time.sleep(0.5)
+                shaders_now = watched_shader_sources()
+                if shaders_now != last_shaders:
+                    # shader-code hot reload: re-exec so the edited kernel /
+                    # BSDF modules re-import and recompile (the pipeline
+                    # rebuild of Gi.cpp:2036-2040 s_forceShaderCacheInvalid;
+                    # accumulation resets like the reference's sample reset)
+                    get_logger().info("shader module changed; reloading")
+                    sys.stdout.flush()
+                    os.execv(sys.executable, [sys.executable, "-m",
+                                              "gatling_tpu.cli"] + sys.argv[1:])
                 now = watched_material_sources(_scene, args.scene)
                 if now != last:
                     img, _scene = render_scene_file(

@@ -45,6 +45,7 @@ from gatling_tpu.ops.pallas_trace import build_trace_tables
 from gatling_tpu.render.lights import build_light_arrays
 from gatling_tpu.render.material import build_materials, lower_material
 from gatling_tpu.render.texture import TextureManager, empty_pool
+from gatling_tpu.scene import meshproc
 from gatling_tpu.scene.stage import CameraDesc, LightDesc, MaterialDesc, MeshDesc
 from gatling_tpu.utils.config import default_settings
 from gatling_tpu.utils.handles import LinearDataStore
@@ -143,6 +144,13 @@ class GiScene:
         self._mesh_handles[id(mesh)] = handle
         # stable object id from the handle's slot index (survives removals)
         mesh.object_id = handle & 0xFFFFFFFF
+        # host-RAM mesh compression (giProcessMeshData analog,
+        # MeshProcessing.cpp:144-212): buffers are byteshuffle+deflate
+        # compressed at registration and decompressed lazily at geometry
+        # build; GATLING_COMPRESS_MESHES=0 disables
+        if os.environ.get("GATLING_COMPRESS_MESHES", "1") != "0" \
+                and not isinstance(mesh.mesh, meshproc.CompressedMesh):
+            mesh.mesh = meshproc.compress_mesh(mesh.mesh)
         self.meshes.append(mesh)
         self.dirty |= DirtyFlags.GEOMETRY | DirtyFlags.FRAMEBUFFER
         return mesh
@@ -311,6 +319,8 @@ def _build_config(params: GiRenderParams, width: int, height: int, aov_mask: int
             (idx, pname, expr)
             for idx, m in enumerate(params.scene._lowered_materials or [])
             for pname, expr in sorted(m.dynamic.items())),
+        has_backface=any(
+            m.backface for m in params.scene._lowered_materials or []),
     )
 
 
@@ -538,6 +548,7 @@ def render(params: GiRenderParams) -> None:
         has_dynamic = bool(config.dynamic_params)
         use_fused = (_jax.default_backend() == "tpu"
                      and not has_vertex_colors and not has_dynamic
+                     and not config.has_backface
                      and supports_fused(config, has_textures, has_normal_maps,
                                         has_scattering, has_opacity_textures))
     if use_fused:

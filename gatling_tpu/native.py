@@ -32,7 +32,7 @@ def _build_library() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-             "-o", _LIB_PATH, _SRC],
+             "-o", _LIB_PATH, _SRC, "-lz"],
             check=True, capture_output=True, timeout=120)
         return True
     except (subprocess.SubprocessError, FileNotFoundError) as e:  # noqa: BLE001
@@ -66,6 +66,13 @@ def get_library() -> ctypes.CDLL | None:
         lib.gatling_build_bvh.restype = ctypes.c_int64
         lib.gatling_dedup.argtypes = [f32p, ctypes.c_int64, ctypes.c_int64, i32p]
         lib.gatling_dedup.restype = ctypes.c_int64
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.gatling_compress.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, u8p, ctypes.c_int64]
+        lib.gatling_compress.restype = ctypes.c_int64
+        lib.gatling_decompress.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, u8p, ctypes.c_int64]
+        lib.gatling_decompress.restype = ctypes.c_int64
         _lib = lib
         get_logger().debug("loaded native library %s", _LIB_PATH)
         return _lib
@@ -115,3 +122,37 @@ def native_dedup(rows: np.ndarray):
     remap = np.empty(n, np.int32)
     unique = lib.gatling_dedup(_fp(rows), n, stride, _ip(remap))
     return remap, int(unique)
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def native_compress(raw: bytes | np.ndarray, elem_size: int) -> bytes | None:
+    """Byteshuffle + deflate one buffer (giProcessMeshData analog,
+    MeshProcessing.cpp:56-78). None when the native library is unavailable
+    or compression would not fit the bound (callers keep the raw bytes)."""
+    lib = get_library()
+    if lib is None:
+        return None
+    src = np.frombuffer(bytes(raw), np.uint8) if not isinstance(raw, np.ndarray) else raw
+    src = np.ascontiguousarray(src, np.uint8)
+    cap = src.size + src.size // 8 + 256
+    dst = np.empty(cap, np.uint8)
+    csize = lib.gatling_compress(_u8p(src), src.size, elem_size, _u8p(dst), cap)
+    if csize <= 0:
+        return None
+    return dst[:csize].tobytes()
+
+
+def native_decompress(blob: bytes, n: int, elem_size: int) -> np.ndarray | None:
+    """Inverse of native_compress: returns [n] uint8 or None."""
+    lib = get_library()
+    if lib is None:
+        return None
+    src = np.frombuffer(blob, np.uint8)
+    dst = np.empty(n, np.uint8)
+    got = lib.gatling_decompress(_u8p(src), src.size, elem_size, _u8p(dst), n)
+    if got != n:
+        return None
+    return dst

@@ -200,8 +200,12 @@ def build_geometry_cached(
 
     instance_counter = 0
     cursor = 0
+    from gatling_tpu.scene.meshproc import materialize_mesh
+
     for mesh_desc in mesh_descs:
-        tm = mesh_desc.mesh
+        # lazy decompression of compressed mesh payloads (the reference
+        # decompresses at BLAS-build time, MeshProcessing.cpp:214-236)
+        tm = materialize_mesh(mesh_desc.mesh)
         transforms = mesh_desc.instance_transforms
         if transforms is None:
             transforms = mesh_desc.transform[None]
@@ -252,8 +256,10 @@ def update_instance_transforms(
             continue
         transforms = mesh_desc.instance_transforms
         xform = mesh_desc.transform if transforms is None else transforms[local_i]
+        from gatling_tpu.scene.meshproc import materialize_mesh
+
         rows = _instance_rows(
-            mesh_desc.mesh, xform, mesh_desc,
+            materialize_mesh(mesh_desc.mesh), xform, mesh_desc,
             material_index.get(mesh_desc.material, 0),
             mesh_desc.object_id,
             int(cache.arrays["inst"][start]))

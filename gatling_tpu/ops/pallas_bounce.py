@@ -217,11 +217,35 @@ HIT_ROWS_TAN = 24
 def hit_row_count(tangents: bool) -> int:
     return HIT_ROWS_TAN if tangents else HIT_ROWS
 
-# split-bounce per-ray material rows (written by the XLA texture stage)
-PR_BASE, PR_METAL, PR_ROUGH, PR_IOR = 0, 3, 4, 5
-PR_EM, PR_TRANS, PR_THIN, PR_BFEDF = 6, 9, 10, 11
-PR_VOL_A = 12  # 12-14: volume absorption coefficient (sigma_a)
-PARAM_ROWS = 16
+# split-bounce per-ray material rows (written by the XLA texture stage).
+# SLIM layout (round 3): only parameters that actually have textures in the
+# scene get per-ray rows — everything else is resolved in-kernel from the
+# SMEM material table by the same select loop the one-kernel bounce uses.
+# Measured motivation (tools/tex_prof.py, v5e, 1.44M rays): building +
+# writing the full 16-row parbuf cost ~2 ms/bounce on top of the ~4 ms
+# gather floor of the texture taps themselves.
+PR_WIDTHS = {"base_color": 3, "emissive": 3, "metallic": 1, "roughness": 1}
+PARAM_ROWS = 16  # legacy full layout (kept for the row-width upper bound)
+
+
+def slim_param_layout(textured_params: tuple[str, ...]) -> tuple[tuple[str, int], ...]:
+    """Static (name, first_row) layout of the slim parbuf, in the fixed
+    name order below. 'opacity' never reaches the fused path (gi gates
+    textured-opacity cutout to the wavefront integrator)."""
+    layout = []
+    row = 0
+    for name in ("base_color", "emissive", "metallic", "roughness"):
+        if name in textured_params:
+            layout.append((name, row))
+            row += PR_WIDTHS[name]
+    return tuple(layout)
+
+
+def slim_param_rows(textured_params: tuple[str, ...]) -> int:
+    """Row count of the slim parbuf, padded to a multiple of 8 (vreg
+    sublane tile; also keeps DMA extents 8-aligned)."""
+    used = sum(PR_WIDTHS[n] for n, _ in slim_param_layout(textured_params))
+    return max(8, -(-used // 8) * 8)
 
 
 class FusedScene(NamedTuple):
@@ -1331,6 +1355,31 @@ def _bounce_kernel(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
                      plan, state_ref, out_ref, scratch, static=static, nee=nee)
 
 
+def _resolve_material_rows(mat_ref, mat_f, n_mats: int, volumes: bool):
+    """Select-loop resolve of per-ray material params from the SMEM table
+    (shared by the one-kernel bounce and the split-bounce shade kernel).
+
+    Columns of MaterialTable.packed_f used: 0-2 base_color, 3 metallic,
+    4 roughness, 5 ior, 7-9 emissive, 14 transmission, 15 thin_walled,
+    24 backface_edf, 16-18 sigma_a. Returns the 12 shading params plus
+    (va_r, va_g, va_b) or Nones.
+
+    m_id by round, not truncate: clustered attrs arrive via the hi/lo
+    matmul fetch (~2^-16 relative), so ids sit next to integers."""
+    m_id = jnp.round(mat_f).astype(jnp.int32)
+    cols = (0, 1, 2, 3, 4, 5, 7, 8, 9, 14, 15, 24)
+    if volumes:
+        cols = cols + (16, 17, 18)
+    mp = [jnp.zeros_like(mat_f) for _ in range(len(cols))]
+    for mm in range(n_mats):
+        is_m = m_id == mm
+        for k, col in enumerate(cols):
+            mp[k] = jnp.where(is_m, mat_ref[mm, col], mp[k])
+    if not volumes:
+        mp = mp + [None, None, None]
+    return tuple(mp)
+
+
 def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
                  plan, state_ref, out_ref, scratch, *, static: FusedStatic,
                  nee: bool):
@@ -1402,25 +1451,10 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
     nx, ny, nz = nx * fsign, ny * fsign, nz * fsign
 
     # ---- material row resolve ----
-    # round, not truncate: clustered attrs arrive via the hi/lo matmul
-    # fetch (~2^-16 relative), so ids sit next to integers, not on them
-    m_id = jnp.round(mat_f).astype(jnp.int32)
-    mp = [jnp.zeros_like(mat_f) for _ in range(11)]
-    # columns of MaterialTable.packed_f used here
-    # 0-2 base_color, 3 metallic, 4 roughness, 5 ior, 7-9 emissive,
-    # 14 transmission, 15 thin_walled, 24 backface_edf, 16-18 sigma_a
-    mp.append(jnp.zeros_like(mat_f))
-    cols = (0, 1, 2, 3, 4, 5, 7, 8, 9, 14, 15, 24)
-    if static.volumes:
-        cols = cols + (16, 17, 18)
-        mp.extend(jnp.zeros_like(mat_f) for _ in range(3))
-    for mm in range(static.n_mats):
-        is_m = m_id == mm
-        for k, col in enumerate(cols):
-            mp[k] = jnp.where(is_m, mat_ref[mm, col], mp[k])
     (base_r, base_g, base_b, metallic, roughness, ior,
-     em_r, em_g, em_b, transm, thinw, bf_edf) = mp[:12]
-    va_r, va_g, va_b = (mp[12], mp[13], mp[14]) if static.volumes else (None, None, None)
+     em_r, em_g, em_b, transm, thinw, bf_edf,
+     va_r, va_g, va_b) = _resolve_material_rows(
+        mat_ref, mat_f, static.n_mats, static.volumes)
 
     _shade_core(
         params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref, scratch,
@@ -2114,7 +2148,7 @@ def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, *rest,
                 hit_ref[pad_row] = jnp.zeros(hit_ref.shape[1:], jnp.float32)
 
 
-def _shade_kernel(params_ref, tri_ref, light_ref, l1_ref, l2_ref,
+def _shade_kernel(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
                   state_ref, hit_ref, par_ref, out_ref, *scratch,
                   static: FusedStatic, nee: bool):
     any_alive = jnp.max(state_ref[13]) > 0.5
@@ -2141,6 +2175,24 @@ def _shade_kernel(params_ref, tri_ref, light_ref, l1_ref, l2_ref,
         radz = radz + jnp.where(miss, tpz * params_ref[P_BG_B], 0.0)
         miss_rec = jnp.where(miss, params_ref[P_BOUNCE] + 1.0, s(14))
 
+        # untextured params from the SMEM table; textured ones (per the
+        # static slim layout) override from the XLA stage's parbuf rows
+        (base_r, base_g, base_b, metallic, roughness, ior,
+         em_r, em_g, em_b, transm, thinw, bf_edf,
+         va_r, va_g, va_b) = _resolve_material_rows(
+            mat_ref, hit_ref[H_MAT], static.n_mats, static.volumes)
+        for name, row in slim_param_layout(static.textured_params):
+            if name == "base_color":
+                base_r, base_g, base_b = (par_ref[row], par_ref[row + 1],
+                                          par_ref[row + 2])
+            elif name == "emissive":
+                em_r, em_g, em_b = (par_ref[row], par_ref[row + 1],
+                                    par_ref[row + 2])
+            elif name == "metallic":
+                metallic = par_ref[row]
+            elif name == "roughness":
+                roughness = par_ref[row]
+
         _shade_core(
             params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref, scratch,
             static, nee,
@@ -2152,15 +2204,10 @@ def _shade_kernel(params_ref, tri_ref, light_ref, l1_ref, l2_ref,
             gnx=hit_ref[H_GN + 0], gny=hit_ref[H_GN + 1], gnz=hit_ref[H_GN + 2],
             nx=hit_ref[H_N + 0], ny=hit_ref[H_N + 1], nz=hit_ref[H_N + 2],
             front=hit_ref[H_FRONT] > 0.5, dsided=hit_ref[H_DS],
-            base_r=par_ref[PR_BASE + 0], base_g=par_ref[PR_BASE + 1],
-            base_b=par_ref[PR_BASE + 2], metallic=par_ref[PR_METAL],
-            roughness=par_ref[PR_ROUGH], ior=par_ref[PR_IOR],
-            em_r=par_ref[PR_EM + 0], em_g=par_ref[PR_EM + 1],
-            em_b=par_ref[PR_EM + 2], transm=par_ref[PR_TRANS],
-            thinw=par_ref[PR_THIN], bf_edf=par_ref[PR_BFEDF],
-            va_r=par_ref[PR_VOL_A + 0] if static.volumes else None,
-            va_g=par_ref[PR_VOL_A + 1] if static.volumes else None,
-            va_b=par_ref[PR_VOL_A + 2] if static.volumes else None)
+            base_r=base_r, base_g=base_g, base_b=base_b, metallic=metallic,
+            roughness=roughness, ior=ior, em_r=em_r, em_g=em_g, em_b=em_b,
+            transm=transm, thinw=thinw, bf_edf=bf_edf,
+            va_r=va_r, va_g=va_g, va_b=va_b)
 
 
 def _tri_specs(static: FusedStatic):
@@ -2271,23 +2318,24 @@ def shade_step(params, scene: FusedScene, state, hitbuf, parbuf, *,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params
             tri_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # materials
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lights
             pl.BlockSpec(memory_space=pltpu.SMEM),  # L1 AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # L2 AABBs
             _block_spec(STATE_ROWS, br),
             _block_spec(hit_row_count(static.tangents), br),
-            _block_spec(PARAM_ROWS, br),
+            _block_spec(slim_param_rows(static.textured_params), br),
         ],
         out_specs=_block_spec(STATE_ROWS, br),
         out_shape=jax.ShapeDtypeStruct(state.shape, jnp.float32),
-        input_output_aliases={5: 0},
+        input_output_aliases={6: 0},
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_clu_vmem_limit(static),
         ),
-    )(params, scene.tris, scene.lights, scene.l1_aabbs, scene.l2_aabbs,
-      state, hitbuf, parbuf)
+    )(params, scene.tris, scene.mats, scene.lights, scene.l1_aabbs,
+      scene.l2_aabbs, state, hitbuf, parbuf)
 
 
 def make_params(config, uniforms, bounce) -> jnp.ndarray:

@@ -26,7 +26,6 @@ from gatling_tpu.ops.pallas_bounce import (
     H_MAT,
     H_UVX,
     H_UVY,
-    PARAM_ROWS,
     FusedScene,
     FusedStatic,
     bounce_step,
@@ -236,25 +235,38 @@ def _material_rows(materials, textures, hitbuf, active=None,
     material rows."""
     from gatling_tpu.render.material import (apply_textures, gather_params,
                                              perturb_normal)
-    from gatling_tpu.ops.pallas_bounce import H_BS, H_N, H_TAN, HIT_ROWS
+    from gatling_tpu.ops.pallas_bounce import (
+        H_BS, H_N, H_TAN, HIT_ROWS, slim_param_layout, slim_param_rows)
 
+    if active is None:
+        active = ("base_color", "emissive", "metallic", "roughness")
+    active = tuple(active)
     rows, nb, lanes = hitbuf.shape
     flat = hitbuf.reshape(rows, nb * lanes)
     mat = jnp.clip(jnp.round(flat[H_MAT]).astype(jnp.int32), 0, None)
     uv = jnp.stack([flat[H_UVX], flat[H_UVY]], axis=-1)
     p = gather_params(materials, mat)
     p = apply_textures(materials, textures, p, mat, uv, active)
+    # SLIM parbuf: only the textured params get per-ray rows; the shade
+    # kernel resolves everything else from the SMEM material table
+    # (pallas_bounce.slim_param_layout is the shared row map)
+    out_rows: list = []
+    for name, _row in slim_param_layout(active):
+        if name == "base_color":
+            out_rows += [p.base_color[:, 0], p.base_color[:, 1],
+                         p.base_color[:, 2]]
+        elif name == "emissive":
+            out_rows += [p.emissive[:, 0], p.emissive[:, 1],
+                         p.emissive[:, 2]]
+        elif name == "metallic":
+            out_rows.append(p.metallic)
+        elif name == "roughness":
+            out_rows.append(p.roughness)
+    n_rows = slim_param_rows(active)
     zero = jnp.zeros_like(p.metallic)
-    out = jnp.stack([
-        p.base_color[:, 0], p.base_color[:, 1], p.base_color[:, 2],
-        p.metallic, p.roughness, p.ior,
-        p.emissive[:, 0], p.emissive[:, 1], p.emissive[:, 2],
-        p.transmission, p.thin_walled.astype(jnp.float32), p.backface_edf,
-        p.volume_absorption[:, 0], p.volume_absorption[:, 1],
-        p.volume_absorption[:, 2], zero,
-    ], axis=0)
-    assert out.shape[0] == PARAM_ROWS
-    rowsbuf = out.reshape(PARAM_ROWS, nb, lanes)
+    out_rows += [zero] * (n_rows - len(out_rows))
+    out = jnp.stack(out_rows, axis=0)
+    rowsbuf = out.reshape(n_rows, nb, lanes)
     result = [rowsbuf]
     if rows > HIT_ROWS:
         n = flat[H_N:H_N + 3].T

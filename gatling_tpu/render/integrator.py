@@ -95,6 +95,10 @@ class RenderConfig:
     # of the reference's per-material generated code reading
     # state::direction (Materials.MtlxViewDirection)
     dynamic_params: tuple = ()
+    # some material has a distinct MDL backface surface: remap the material
+    # row by facing before shading (MaterialTable.backface_id; reference:
+    # Backend.cpp DF_NAMES backface scattering/emission)
+    has_backface: bool = False
 
 
 class Accel(NamedTuple):
@@ -458,6 +462,15 @@ def trace_sample(
 
         # ---- hit shading (rp_main.chit) ----
         st = _shading_state(geom, hit, s["direction"])
+        if config.has_backface:
+            # distinct backface surfaces: shade back-facing hits with the
+            # material's appended backface row (MDL `backface:` field;
+            # reference: Backend.cpp DF_NAMES backface scattering/emission)
+            from gatling_tpu.render.material import MI_BACKFACE_ID, _gather_rows
+
+            bfid = _gather_rows(materials.packed_i,
+                                st["material_id"])[:, MI_BACKFACE_ID]
+            st["material_id"] = jnp.where(st["front"], st["material_id"], bfid)
         params = gather_params(materials, st["material_id"])
         params = apply_textures(materials, textures, params, st["material_id"], st["uv"])
         params = params._replace(base_color=params.base_color * st["vcolor"])
@@ -469,7 +482,8 @@ def trace_sample(
 
             rgb_params = ("base_color", "emissive", "specular_color")
             for mat_idx, pname, expr in config.dynamic_params:
-                val = eval_dynamic_expr(expr, s["direction"], st["normal"])
+                val = eval_dynamic_expr(expr, s["direction"], st["normal"],
+                                        primvars={"displayColor": st["vcolor"]})
                 sel = st["material_id"] == mat_idx
                 cur = getattr(params, pname)
                 if pname in rgb_params:

@@ -57,10 +57,14 @@ class MaterialTable(NamedTuple):
     metallic_tex_ch: jnp.ndarray  # [M] i32
     roughness_tex_ch: jnp.ndarray  # [M] i32
     opacity_tex_ch: jnp.ndarray  # [M] i32
+    # row the integrator shades back-facing hits with (== own index unless
+    # the material has a distinct MDL backface surface; see
+    # build_material_table)
+    backface_id: jnp.ndarray  # [M] i32
     # packed row-gather mirrors (one gather per hit instead of ~14;
     # see ops/geometry.py packed_f rationale)
-    packed_f: jnp.ndarray  # [M, 24] f32
-    packed_i: jnp.ndarray  # [M, 9] i32
+    packed_f: jnp.ndarray  # [M, 25] f32
+    packed_i: jnp.ndarray  # [M, 10] i32
 
     @property
     def count(self) -> int:
@@ -72,6 +76,8 @@ MF_BASE, MF_METAL, MF_ROUGH, MF_IOR, MF_OPACITY = 0, 3, 4, 5, 6
 MF_EMISSIVE, MF_USW, MF_SPEC, MF_TRANS, MF_THIN = 7, 10, 11, 14, 15
 MF_VOL_A, MF_VOL_S, MF_VOL_BIAS, MF_OPACITY_THRESH = 16, 19, 22, 23
 MF_BACKFACE_EDF = 24
+# packed_i column of the backface-row index (build_material_table)
+MI_BACKFACE_ID = 9
 
 
 def _pack_material_table(t: MaterialTable) -> MaterialTable:
@@ -86,7 +92,7 @@ def _pack_material_table(t: MaterialTable) -> MaterialTable:
     packed_i = jnp.stack([
         t.base_color_tex, t.emissive_tex, t.metallic_tex, t.roughness_tex,
         t.opacity_tex, t.normal_tex, t.metallic_tex_ch, t.roughness_tex_ch,
-        t.opacity_tex_ch,
+        t.opacity_tex_ch, t.backface_id,
     ], axis=1)
     return t._replace(packed_f=packed_f, packed_i=packed_i)
 
@@ -119,6 +125,12 @@ class LoweredMaterial:
     # param -> dynamic expr (viewdirection/normal chains) evaluated per hit
     # by the wavefront integrator (shadergraph.eval_dynamic_expr)
     dynamic: dict = dataclasses.field(default_factory=dict)
+    # distinct backface surface params (MDL `backface:` field, lowered by
+    # render/mdl.py): build_material_table appends a second row with these
+    # overriding the front params; the wavefront integrator selects it on
+    # back-facing hits (reference: Backend.cpp DF_NAMES backface
+    # scattering/emission/intensity)
+    backface: dict = dataclasses.field(default_factory=dict)
 
 
 _DEFAULTS = {
@@ -289,6 +301,7 @@ def lower_material(desc: MaterialDesc | None, frame: float = 0.0) -> LoweredMate
     # MDL backface traits forwarded by the front end (render/mdl.py)
     traits.has_backface_bsdf = bool(node.inputs.get("has_backface_bsdf", False))
     traits.has_backface_edf = bool(node.inputs.get("has_backface_edf", False))
+    backface = dict(node.inputs.get("backface_params") or {})
     traits.is_emissive = any(c > 0.0 for c in params["emissive"]) or "emissive" in textures
     traits.has_cutout = (
         params["opacity_threshold"] > 0.0
@@ -297,7 +310,7 @@ def lower_material(desc: MaterialDesc | None, frame: float = 0.0) -> LoweredMate
     )
     traits.is_thin_walled = bool(params["thin_walled"])
     return LoweredMaterial(params=params, traits=traits, textures=textures,
-                           dynamic=dynamic)
+                           dynamic=dynamic, backface=backface)
 
 
 _CH_INDEX = {"r": 0, "g": 1, "b": 2, "a": 3, "rgb": 0}
@@ -335,10 +348,32 @@ def build_material_table(
     texture_slots: dict[int, dict[str, int]] | None = None,
 ) -> MaterialTable:
     """Pack lowered materials into device arrays. texture_slots maps
-    material row -> {param: texture slot} (from render/texture.py)."""
+    material row -> {param: texture slot} (from render/texture.py).
+
+    Materials with a distinct MDL backface surface get a SECOND row
+    appended (front params overridden by the backface dict; emission is
+    exactly the backface's own — material_surface() defaults to none);
+    packed_i column MI_BACKFACE_ID records the row the integrator selects
+    on back-facing hits. Backface rows are constants-only (no textures)."""
     if not lowered:
         lowered = [lower_material(None)]
     texture_slots = texture_slots or {}
+
+    n_front = len(lowered)
+    backface_ids = list(range(n_front))
+    expanded = list(lowered)
+    for i, m in enumerate(lowered):
+        if not m.backface:
+            continue
+        bf_params = dict(m.params)
+        bf_params["emissive"] = (0.0, 0.0, 0.0)
+        bf_params.update({k: v for k, v in m.backface.items()
+                          if k in _DEFAULTS})
+        expanded.append(LoweredMaterial(
+            params=bf_params, traits=m.traits, textures={}))
+        backface_ids[i] = len(expanded) - 1
+    backface_ids += list(range(n_front, len(expanded)))
+    lowered = expanded
 
     def col(name, width=None, dtype=np.float32):
         if width:
@@ -382,8 +417,9 @@ def build_material_table(
         metallic_tex_ch=ch_col("metallic"),
         roughness_tex_ch=ch_col("roughness"),
         opacity_tex_ch=ch_col("opacity"),
+        backface_id=jnp.asarray(np.array(backface_ids, np.int32)),
         packed_f=jnp.zeros((len(lowered), 25), jnp.float32),
-        packed_i=jnp.zeros((len(lowered), 9), jnp.int32),
+        packed_i=jnp.zeros((len(lowered), 10), jnp.int32),
     )
     return _pack_material_table(table)
 

@@ -363,21 +363,38 @@ def _lower_mdl_body(source: str, sub_identifier: str | None,
             if isinstance(v, (int, float)):
                 out["ior"] = float(v)
 
+        def lower_surface(surf_expr: str, dst: dict) -> None:
+            sc = (_parse_call(surf_expr.strip())
+                  if "material_surface" in surf_expr else None)
+            if not sc:
+                return
+            if "scattering" in sc[1]:
+                _lower_bsdf(sc[1]["scattering"], ev, dst)
+            emis = sc[1].get("emission")
+            if emis and "material_emission" in emis:
+                ec = _parse_call(emis.strip())
+                if ec:
+                    inten = ev.value(ec[1].get("intensity"))
+                    if inten is not None:
+                        dst["emissive_color"] = (
+                            inten if isinstance(inten, tuple)
+                            else (float(inten),) * 3)
+                        dst["emissive_intensity"] = 1.0
+
         surf = named.get("surface")
         if surf:
-            sc = _parse_call(surf.strip()) if "material_surface" in surf else None
-            if sc:
-                if "scattering" in sc[1]:
-                    _lower_bsdf(sc[1]["scattering"], ev, out)
-                emis = sc[1].get("emission")
-                if emis and "material_emission" in emis:
-                    ec = _parse_call(emis.strip())
-                    if ec:
-                        inten = ev.value(ec[1].get("intensity"))
-                        if inten is not None:
-                            out["emissive_color"] = (
-                                inten if isinstance(inten, tuple) else (float(inten),) * 3)
-                            out["emissive_intensity"] = 1.0
+            lower_surface(surf, out)
+        # distinct backface surface (MDL `backface:` field): lowered into
+        # its own parameter dict; build_material_table appends a second
+        # material row the integrator selects on back-facing hits
+        # (reference: Backend.cpp DF_NAMES backface scattering/emission,
+        # Frontend.cpp:104-121)
+        bface = named.get("backface")
+        if bface:
+            bf_out: dict = {}
+            lower_surface(bface, bf_out)
+            if bf_out:
+                out["__backface__"] = bf_out
         vol = named.get("volume")
         if vol and "material_volume" in vol:
             vc = _parse_call(vol.strip())
@@ -523,8 +540,19 @@ def load_mdl_material(
     # (reference: MdlMaterialCompiler instance-compiles the body,
     # MdlMaterialCompiler.cpp:193-266)
     body = _lower_mdl_body(source, sub_identifier, merged)
+    backface_body = body.pop("__backface__", None)
     for k, v in body.items():
         inputs[k] = v
+    if backface_body is not None:
+        # fold backface emission the same way as the front's post-process;
+        # bsdf params stay in uber names (material.py merges them over the
+        # front params for the appended backface row)
+        bf = dict(backface_body)
+        ec = bf.pop("emissive_color", None)
+        ei = bf.pop("emissive_intensity", 1.0)
+        if ec is not None:
+            bf["emissive"] = tuple(float(c) * float(ei) for c in ec)
+        inputs["backface_params"] = bf
 
     # post-process gates (OmniPBR semantics)
     if not inputs.pop("enable_emission", True):

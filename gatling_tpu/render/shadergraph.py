@@ -56,9 +56,12 @@ class Expr:
     sampled with the same uv in this material model)."""
 
     # const | tex | multiply | divide | add | subtract | mix | clamp |
-    # extract | dot | abs | power | viewdir | normalvec
-    # (viewdir/normalvec are DYNAMIC leaves — per-ray values the wavefront
-    # integrator substitutes at shading time; expr_is_dynamic detects them)
+    # extract | dot | abs | power | viewdir | normalvec | primvar
+    # (viewdir/normalvec/primvar are DYNAMIC leaves — per-ray values the
+    # wavefront integrator substitutes at shading time; expr_is_dynamic
+    # detects them. primvar carries the primvar name in `channel` — the
+    # scene-data lookup analog, mdl_interface.glsl scene_data_lookup_* /
+    # rp_main.h scene-data infos)
     op: str
     const: tuple[float, float, float, float] | None = None
     tex: TextureRef | None = None
@@ -70,7 +73,13 @@ def _const_expr(c) -> Expr:
     return Expr(op="const", const=_vec4(c))
 
 
-_DYNAMIC_LEAVES = ("viewdir", "normalvec")
+_DYNAMIC_LEAVES = ("viewdir", "normalvec", "primvar")
+
+# per-corner primvar channels the geometry pipeline interpolates; other
+# names fall back to the reader's fallback constant (logged). The reference
+# packs up to 6 arbitrary scene-data infos per mesh (rp_main.h:125-145);
+# here displayColor rides the packed c0/c1/c2 rows (ops/geometry.py).
+_INTERPOLATED_PRIMVARS = ("displayColor",)
 
 
 def expr_is_dynamic(e: Expr | None) -> bool:
@@ -92,10 +101,12 @@ def expr_has_texture(e: Expr | None) -> bool:
     return any(expr_has_texture(a) for a in e.args)
 
 
-def eval_dynamic_expr(e: Expr, view_dir, normal):
+def eval_dynamic_expr(e: Expr, view_dir, normal, primvars=None):
     """Evaluate a dynamic expr per ray: view_dir/normal are [N,3] jnp
     arrays (view_dir points camera -> surface, the MDL state::direction
-    convention the reference's generated code reads). Returns [N,4].
+    convention the reference's generated code reads). `primvars` maps
+    primvar name -> [N,3] interpolated values (the scene-data renderer
+    state, mdl_interface.glsl scene_data_lookup_*). Returns [N,4].
 
     Vector-aware ops: dot reduces the first 3 components; everything else
     is elementwise over rgba. Texture leaves are excluded at lowering
@@ -115,6 +126,11 @@ def eval_dynamic_expr(e: Expr, view_dir, normal):
             return pad4(view_dir)
         if x.op == "normalvec":
             return pad4(normal)
+        if x.op == "primvar":
+            if primvars and x.channel in primvars:
+                return pad4(primvars[x.channel])
+            return jnp.broadcast_to(
+                jnp.asarray(_vec4(x.const), jnp.float32), (n, 4))
         if x.op == "dot":
             a, b = ev(x.args[0]), ev(x.args[1])
             d = jnp.sum(a[:, :3] * b[:, :3], axis=1, keepdims=True)
@@ -441,7 +457,27 @@ class GraphLowering:
                 fps = float(node.inputs.get("fps", 24.0) or 24.0)
                 val = val / fps
             return GraphValue(constant=(val, val, val, val))
-        if sid.startswith("UsdPrimvarReader") or sid in ("texcoord", "geompropvalue"):
+        if sid.startswith("UsdPrimvarReader") or sid == "geompropvalue":
+            # scene-data (primvar) lookup: interpolated channels become
+            # DYNAMIC leaves the wavefront integrator substitutes per hit
+            # (the reference reads packed scene-data infos from the BLAS
+            # payload, mdl_interface.glsl scene_data_lookup_* /
+            # Frontend.cpp scene-data names); names the geometry pipeline
+            # does not interpolate fall back to the reader's constant
+            var = str(node.inputs.get("varname",
+                                      node.inputs.get("geomprop", "")))
+            fallback = _vec4(node.inputs.get("fallback",
+                                             node.inputs.get("default", default)))
+            if var in _INTERPOLATED_PRIMVARS:
+                return GraphValue(constant=fallback,
+                                  expr=Expr(op="primvar", channel=var,
+                                            const=fallback))
+            if var:
+                get_logger().info(
+                    "shader graph: primvar %r is not an interpolated "
+                    "channel; using the reader fallback (%s)", var, node.path)
+            return GraphValue(constant=fallback)
+        if sid == "texcoord":
             return GraphValue(constant=_vec4(node.inputs.get("fallback", default)))
         get_logger().debug("shader graph: unhandled node %s (%s)", sid, node.path)
         return GraphValue(constant=_vec4(default))

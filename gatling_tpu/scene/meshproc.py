@@ -55,6 +55,85 @@ class TriangulatedMesh:
         return len(self.face_ids)
 
 
+_COMPRESS_MIN_BYTES = 1024  # reference: blosc only for buffers >= 1 KiB
+
+
+@dataclasses.dataclass
+class CompressedMesh:
+    """A TriangulatedMesh with its buffers byteshuffle+deflate compressed —
+    the giProcessMeshData analog (reference: MeshProcessing.cpp:56-78
+    blosc level 3 BITSHUFFLE per buffer >= 1 KiB, decompressed lazily at
+    BLAS build :214-236). Buffers below the threshold stay raw. The
+    geometry builder materializes via decompress_mesh at build time.
+
+    `colors` mirrors TriangulatedMesh.colors for `is not None` presence
+    checks (gi.py vertex-color routing)."""
+
+    blobs: dict  # field -> (payload: bytes|np.ndarray, shape, dtype, compressed)
+    num_triangles: int
+    colors: object = None  # non-None marker when the mesh has vertex colors
+
+
+def compress_mesh(tm: TriangulatedMesh) -> CompressedMesh:
+    """Compress every buffer of a triangulated mesh (native byteshuffle +
+    zlib; python-zlib fallback with an identical stream layout)."""
+    import zlib
+
+    from gatling_tpu.native import native_compress
+
+    blobs: dict = {}
+    for f in dataclasses.fields(TriangulatedMesh):
+        arr = getattr(tm, f.name)
+        if arr is None:
+            blobs[f.name] = None
+            continue
+        arr = np.ascontiguousarray(arr)
+        if arr.nbytes < _COMPRESS_MIN_BYTES:
+            blobs[f.name] = (arr, arr.shape, arr.dtype, False)
+            continue
+        elem = arr.dtype.itemsize
+        blob = native_compress(arr.view(np.uint8).reshape(-1), elem)
+        if blob is None:
+            # python fallback: identical byteshuffle + zlib stream
+            flat = arr.view(np.uint8).reshape(-1, elem)
+            blob = zlib.compress(flat.T.tobytes(), 3)
+        blobs[f.name] = (blob, arr.shape, arr.dtype, True)
+    return CompressedMesh(blobs=blobs, num_triangles=tm.num_triangles,
+                          colors=() if tm.colors is not None else None)
+
+
+def decompress_mesh(cm: CompressedMesh) -> TriangulatedMesh:
+    """Inverse of compress_mesh (giDecompressMeshData analog)."""
+    import zlib
+
+    from gatling_tpu.native import native_decompress
+
+    out = {}
+    for name, entry in cm.blobs.items():
+        if entry is None:
+            out[name] = None
+            continue
+        payload, shape, dtype, compressed = entry
+        if not compressed:
+            out[name] = payload
+            continue
+        n = int(np.prod(shape)) * dtype.itemsize
+        elem = dtype.itemsize
+        raw = native_decompress(payload, n, elem)
+        if raw is None:
+            flat = np.frombuffer(zlib.decompress(payload), np.uint8)
+            raw = flat.reshape(elem, -1).T.reshape(-1).copy()
+        out[name] = raw.view(dtype).reshape(shape)
+    return TriangulatedMesh(**out)
+
+
+def materialize_mesh(tm) -> TriangulatedMesh:
+    """TriangulatedMesh passthrough / CompressedMesh decompression."""
+    if isinstance(tm, CompressedMesh):
+        return decompress_mesh(tm)
+    return tm
+
+
 def triangulate_counts(face_vertex_counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Fan-triangulate polygon faces.
 

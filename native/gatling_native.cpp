@@ -18,6 +18,8 @@
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
+
+#include <zlib.h>
 #include <vector>
 
 namespace {
@@ -188,6 +190,43 @@ int64_t gatling_dedup(const float* data, int64_t n, int64_t stride,
     }
   }
   return unique;
+}
+
+// Mesh-buffer compression: byteshuffle (split byte planes, the blosc
+// SHUFFLE filter) + zlib deflate level 3 — the giProcessMeshData analog
+// (reference: MeshProcessing.cpp:56-78 blosc level 3 BITSHUFFLE per buffer
+// >= 1 KiB). Returns the compressed size, or -1 when dst_cap is too small
+// (callers fall back to storing raw).
+int64_t gatling_compress(const uint8_t* src, int64_t n, int64_t elem_size,
+                         uint8_t* dst, int64_t dst_cap) {
+  if (n <= 0 || elem_size <= 0 || n % elem_size != 0) return -1;
+  const int64_t count = n / elem_size;
+  std::vector<uint8_t> shuffled((size_t)n);
+  for (int64_t b = 0; b < elem_size; ++b) {
+    uint8_t* plane = shuffled.data() + b * count;
+    for (int64_t i = 0; i < count; ++i) plane[i] = src[i * elem_size + b];
+  }
+  uLongf out_len = (uLongf)dst_cap;
+  if (compress2(dst, &out_len, shuffled.data(), (uLong)n, 3) != Z_OK)
+    return -1;
+  return (int64_t)out_len;
+}
+
+// Inverse of gatling_compress. Returns n on success, -1 on corrupt input.
+int64_t gatling_decompress(const uint8_t* src, int64_t csize,
+                           int64_t elem_size, uint8_t* dst, int64_t n) {
+  if (n <= 0 || elem_size <= 0 || n % elem_size != 0) return -1;
+  const int64_t count = n / elem_size;
+  std::vector<uint8_t> shuffled((size_t)n);
+  uLongf out_len = (uLongf)n;
+  if (uncompress(shuffled.data(), &out_len, src, (uLong)csize) != Z_OK ||
+      (int64_t)out_len != n)
+    return -1;
+  for (int64_t b = 0; b < elem_size; ++b) {
+    const uint8_t* plane = shuffled.data() + b * count;
+    for (int64_t i = 0; i < count; ++i) dst[i * elem_size + b] = plane[i];
+  }
+  return n;
 }
 
 }  // extern "C"

@@ -283,3 +283,59 @@ def test_frame_and_time_nodes(caplog):
     # a static material is not animated
     m_static = lower_material(_mat([_node("/s", "UsdPreviewSurface")], "/s"))
     assert not m_static.traits.is_animated
+
+
+def test_primvar_reader_becomes_dynamic_leaf():
+    """geompropvalue / UsdPrimvarReader on an interpolated channel lowers to
+    a DYNAMIC primvar leaf (the scene-data lookup analog,
+    mdl_interface.glsl scene_data_lookup_*); the wavefront integrator
+    substitutes the per-hit interpolated value."""
+    from gatling_tpu.render.shadergraph import (Expr, eval_dynamic_expr,
+                                                expr_is_dynamic)
+
+    nodes = [
+        _node("/s", "surf", conns={"in": ("/pv", "out")}),
+        _node("/pv", "UsdPrimvarReader_float3",
+              {"varname": "displayColor", "fallback": (0.2, 0.3, 0.4)}),
+    ]
+    gv = _eval(_mat(nodes, "/s"), color=True)
+    assert gv.expr is not None and gv.expr.op == "primvar"
+    assert gv.expr.channel == "displayColor"
+    assert expr_is_dynamic(gv.expr)
+    np.testing.assert_allclose(gv.constant[:3], [0.2, 0.3, 0.4], atol=1e-6)
+
+    vc = jnp.asarray(np.array([[0.9, 0.1, 0.5], [0.2, 0.8, 0.3]], np.float32))
+    zeros = jnp.zeros((2, 3), jnp.float32)
+    out = np.asarray(eval_dynamic_expr(gv.expr, zeros, zeros,
+                                       primvars={"displayColor": vc}))
+    np.testing.assert_allclose(out[:, :3], np.asarray(vc), atol=1e-6)
+    # without the channel, the reader fallback applies
+    out2 = np.asarray(eval_dynamic_expr(gv.expr, zeros, zeros, primvars={}))
+    np.testing.assert_allclose(out2[0, :3], [0.2, 0.3, 0.4], atol=1e-6)
+
+
+def test_primvar_reader_unknown_name_falls_back():
+    """Non-interpolated primvar names degrade to the reader fallback with a
+    log, not a dynamic leaf."""
+    nodes = [
+        _node("/s", "surf", conns={"in": ("/pv", "out")}),
+        _node("/pv", "geompropvalue",
+              {"geomprop": "myCustomData", "default": (0.7, 0.7, 0.7)}),
+    ]
+    gv = _eval(_mat(nodes, "/s"))
+    assert gv.expr is None and gv.texture is None
+    np.testing.assert_allclose(gv.constant[:3], [0.7] * 3, atol=1e-6)
+
+
+def test_lower_material_primvar_base_color():
+    """A UsdPreviewSurface with diffuseColor <- UsdPrimvarReader(displayColor)
+    carries the primvar expr as a dynamic param (material.py lowering)."""
+    nodes = [
+        _node("/s", "UsdPreviewSurface", {},
+              {"diffuseColor": ("/pv", "out")}),
+        _node("/pv", "UsdPrimvarReader_float3",
+              {"varname": "displayColor", "fallback": (0.5, 0.5, 0.5)}),
+    ]
+    lowered = lower_material(_mat(nodes, "/s"))
+    assert "base_color" in lowered.dynamic
+    assert lowered.dynamic["base_color"].op == "primvar"

@@ -82,7 +82,7 @@ def test_param_rows_chunked_matches_material_rows(checker_file):
     import jax
 
     from gatling_tpu.ops.pallas_bounce import (
-        H_MAT, H_UVX, H_UVY, HIT_ROWS, PARAM_ROWS,
+        H_MAT, H_UVX, H_UVY, HIT_ROWS, slim_param_rows,
     )
     from gatling_tpu.render.fused import _material_rows, _material_rows_chunked
     from gatling_tpu.render.material import (
@@ -110,9 +110,10 @@ def test_param_rows_chunked_matches_material_rows(checker_file):
         got = np.asarray(jax.jit(
             lambda h, a: _material_rows_chunked(table, pool, h, None, a)
         )(hitbuf, jnp.int32(alive)))
-        assert got.shape == (PARAM_ROWS, nb, lanes)
-        flat_ref = ref.reshape(PARAM_ROWS, -1)[:, :alive]
-        flat_got = got.reshape(PARAM_ROWS, -1)[:, :alive]
+        n_par = slim_param_rows(("base_color", "emissive", "metallic", "roughness"))
+        assert got.shape == (n_par, nb, lanes)
+        flat_ref = ref.reshape(n_par, -1)[:, :alive]
+        flat_got = got.reshape(n_par, -1)[:, :alive]
         # same math; XLA FMA contraction may differ at the last ulp
         np.testing.assert_allclose(flat_got, flat_ref, rtol=2e-7, atol=1e-7)
 

@@ -1,3 +1,5 @@
+import os
+
 from gatling_tpu.utils.handles import HandleStore, LinearDataStore
 from gatling_tpu.utils.config import default_settings, descriptor
 
@@ -117,3 +119,19 @@ def test_watched_material_sources(tmp_path):
     import os
     os.utime(tex, (1, 1))
     assert watched_material_sources(FakeScene(), str(scene_file)) != watched
+
+
+def test_watched_shader_sources(monkeypatch):
+    """The shader-code watch set covers the render/ and ops/ modules (the
+    efsw src/gi/shaders watcher analog, Gi.cpp:261-285) and is disabled by
+    GATLING_WATCH_SHADERS=0."""
+    from gatling_tpu.cli import watched_shader_sources
+
+    monkeypatch.delenv("GATLING_WATCH_SHADERS", raising=False)
+    watched = watched_shader_sources()
+    names = {os.path.basename(p) for p in watched}
+    assert "integrator.py" in names and "pallas_bounce.py" in names
+    assert all(isinstance(t, float) for t in watched.values())
+
+    monkeypatch.setenv("GATLING_WATCH_SHADERS", "0")
+    assert watched_shader_sources() == {}

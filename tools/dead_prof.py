@@ -25,7 +25,7 @@ from gatling_tpu.render.camera import CameraUniforms, generate_primary_rays
 from gatling_tpu.ops.pallas_bounce import (build_fused_scene, pack_state,
                                            make_params, trace_step,
                                            shade_step, bounce_step,
-                                           hit_row_count, PARAM_ROWS)
+                                           hit_row_count, slim_param_rows)
 from gatling_tpu import imgio
 from gatling_tpu.interface import AovId, aov_bit
 
@@ -108,7 +108,7 @@ print(f"rays={n}, blocks={n//1024}, backend={jax.default_backend()}")
 
 def tex_body(st):
     hit = trace_step(params, scene, st, static=static_tex)
-    par = jnp.zeros((PARAM_ROWS,) + st.shape[1:], jnp.float32)
+    par = jnp.zeros((slim_param_rows(static_tex.textured_params),) + st.shape[1:], jnp.float32)
     return shade_step(params, scene, st, hit, par, static=static_tex, nee=False)
 
 

@@ -143,11 +143,12 @@ bench_k("trace_step",
         lambda st: st + 0.0 * trace_step(params, scene, st, static=static_tex)[0, 0, 0],
         state)
 
-bench_k("_material_rows (full)",
-        lambda hb: 0.0 * hb + jnp.pad(
-            _material_rows(table, pool, hb, static_tex.textured_params),
-            ((0, hb.shape[0] - 16), (0, 0), (0, 0))),
-        hitbuf0)
+def _mr_padded(hb):
+    par = _material_rows(table, pool, hb, static_tex.textured_params)
+    return 0.0 * hb + jnp.pad(
+        par, ((0, hb.shape[0] - par.shape[0]), (0, 0), (0, 0)))
+
+bench_k("_material_rows (full)", _mr_padded, hitbuf0)
 
 parbuf0 = jax.jit(lambda hb: _material_rows(table, pool, hb,
                                             static_tex.textured_params))(hitbuf0)
