@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import math
 import os
 import time
 from typing import Any
@@ -284,6 +285,23 @@ def _build_accel(geom, tracer: str | None = None) -> tuple[str, Accel, Any]:
     return tracer, Accel(), geom
 
 
+def _fused_mat_table(scene: "GiScene"):
+    """Material table for the fused kernel's SMEM copy. Textured scenes get
+    the texture MEANS substituted into the textured columns
+    (material.substitute_texture_means): the split-bounce shade kernel
+    never reads those columns (the slim parbuf overrides them), and the
+    textureLodBounces setting runs late bounces through the plain kernel
+    where the means ARE the intended "top mip" values."""
+    table = scene._material_table
+    pool = scene._texture_pool
+    if pool is not None and (int(pool.texels.shape[0]) > 1
+                             or int(pool.texels_u32.shape[0]) > 1):
+        from gatling_tpu.render.material import substitute_texture_means
+
+        return substitute_texture_means(table, pool)
+    return table
+
+
 def _ensure_accel(scene: "GiScene") -> None:
     """Build the wavefront tracer's acceleration data on first use."""
     if scene._accel is None:
@@ -321,6 +339,7 @@ def _build_config(params: GiRenderParams, width: int, height: int, aov_mask: int
             for pname, expr in sorted(m.dynamic.items())),
         has_backface=any(
             m.backface for m in params.scene._lowered_materials or []),
+        tex_lod_bounces=int(s.get("textureLodBounces", 0)),
     )
 
 
@@ -432,7 +451,7 @@ def render(params: GiRenderParams) -> None:
             from gatling_tpu.ops.pallas_bounce import build_fused_scene_with_order
 
             fs, fstatic, order = build_fused_scene_with_order(
-                scene._geom_base, scene._material_table, scene._light_arrays,
+                scene._geom_base, _fused_mat_table(scene), scene._light_arrays,
                 reuse_order=scene._fused_order)
             scene._fused_scene = (fs, fstatic)
             scene._fused_order = order
@@ -541,8 +560,17 @@ def render(params: GiRenderParams) -> None:
         has_opacity_textures = any(
             "opacity" in r.textures for r in scene._lowered_materials)
         # per-corner displayColor and view/normal-dependent material inputs
-        # ride the wavefront integrator only
-        has_vertex_colors = any(
+        # ride the wavefront integrator only — but only when some material
+        # actually READS the vcolor rows (the fallback's vcolor multiply or
+        # a geompropvalue primvar leaf); bound materials that ignore them
+        # keep the fused path
+        from gatling_tpu.render.shadergraph import expr_reads_primvar
+
+        vcolor_used = any(
+            m.params.get("vcolor_mul", 0.0)
+            or any(expr_reads_primvar(e) for e in m.dynamic.values())
+            for m in scene._lowered_materials or [])
+        has_vertex_colors = vcolor_used and any(
             getattr(m.mesh, "colors", None) is not None
             for m in scene.meshes)
         has_dynamic = bool(config.dynamic_params)
@@ -559,7 +587,7 @@ def render(params: GiRenderParams) -> None:
         if getattr(scene, "_fused_scene", None) is None:
             fs, fstatic, order = build_fused_scene_with_order(
                 scene._geom_base if scene._geom_base is not None else scene._geom,
-                scene._material_table, scene._light_arrays)
+                _fused_mat_table(scene), scene._light_arrays)
             scene._fused_scene = (fs, fstatic)
             scene._fused_order = order
         fs, fstatic = scene._fused_scene
@@ -578,18 +606,21 @@ def render(params: GiRenderParams) -> None:
         from gatling_tpu.render.texture import empty_pool as _empty_pool
 
         n_par = _parallel_devices(s, n)
-        if n_par > 1 and not want_first and not has_textures \
-                and n % (n_par * 128) == 0:
+        if n_par > 1 and not want_first and n % (n_par * 128) == 0:
             # multi-device fused render: frame tiles shard over the mesh's
-            # "tiles" axis (SURVEY §2.10); first-hit AOVs and the textured
-            # split-bounce stay single-device for now
+            # "tiles" axis (SURVEY §2.10), textured split-bounce included
+            # (replicated material table + texture pool); first-hit AOVs
+            # stay single-device
             from gatling_tpu.parallel.sharding import (
                 make_mesh, render_fused_sharded)
 
             mesh = make_mesh(n_tiles=n_par)
             color, _segs = render_fused_sharded(
                 config, uniforms, fs, fstatic,
-                scene._dome_data or default_dome(), mesh)
+                scene._dome_data or default_dome(), mesh,
+                materials=scene._material_table if has_textures else None,
+                textures=(scene._texture_pool or _empty_pool())
+                if has_textures else None)
             out = color
         else:
             out = render_pixels_fused(
@@ -732,6 +763,188 @@ def giCreateDomeLight(scene: GiScene, file_path: str) -> GiDomeLight:
     dome = GiDomeLight(file_path=file_path)
     scene.set_dome_light(dome)
     return dome
+
+
+# ---------------------------------------------------------------------------
+# analytic-light C-style surface (Gi.h:223-257). Each light handle is a
+# LightDesc with explicit_frame params (positions/tangents/radii given
+# directly rather than extracted from an axis-aligned USD transform); the
+# create defaults mirror Gi.cpp's (unit emission, diffuse=specular=1).
+# ---------------------------------------------------------------------------
+
+_light_counter = [0]
+
+
+def _gi_make_light(scene: GiScene, light_type: str, **extra) -> LightDesc:
+    _light_counter[0] += 1
+    params = dict(intensity=1.0, exposure=0.0,
+                  color=np.ones(3, np.float32), normalize=False,
+                  diffuse=1.0, specular=1.0, enableColorTemperature=False,
+                  colorTemperature=6500.0, explicit_frame=True)
+    params.update(extra)
+    light = LightDesc(path=f"/__gi_light_{_light_counter[0]}",
+                      light_type=light_type, transform=np.eye(4),
+                      params=params)
+    light._gi_scene = scene  # type: ignore[attr-defined]
+    scene.add_light(light)
+    return light
+
+
+def _gi_light_dirty(light: LightDesc) -> None:
+    light._gi_scene.dirty |= DirtyFlags.LIGHTS | DirtyFlags.FRAMEBUFFER  # type: ignore[attr-defined]
+
+
+def _gi_destroy_light(scene: GiScene, light: LightDesc) -> None:
+    scene.remove_light(light)
+
+
+def _gi_set_emission(light: LightDesc, rgb) -> None:
+    # baseEmission is the final product (the Hydra layer pre-multiplies
+    # intensity/exposure/normalization, light.cpp:59-90); express it as
+    # color with unit multipliers
+    light.params.update(color=np.asarray(rgb, np.float32), intensity=1.0,
+                        exposure=0.0, normalize=False)
+    _gi_light_dirty(light)
+
+
+def _gi_set_diff_spec(light: LightDesc, diffuse: float, specular: float) -> None:
+    light.params.update(diffuse=float(diffuse), specular=float(specular))
+    _gi_light_dirty(light)
+
+
+def giCreateSphereLight(scene: GiScene) -> LightDesc:
+    return _gi_make_light(scene, "sphere", radius=0.5,
+                          radius_xyz=(0.5, 0.5, 0.5), treatAsPoint=False)
+
+
+def giDestroySphereLight(scene: GiScene, light: LightDesc) -> None:
+    _gi_destroy_light(scene, light)
+
+
+def giSetSphereLightPosition(light: LightDesc, position) -> None:
+    light.transform = np.eye(4)
+    light.transform[3, :3] = np.asarray(position, np.float64)
+    _gi_light_dirty(light)
+
+
+def giSetSphereLightBaseEmission(light: LightDesc, rgb) -> None:
+    _gi_set_emission(light, rgb)
+
+
+def giSetSphereLightRadius(light: LightDesc, rx: float, ry: float, rz: float) -> None:
+    light.params.update(radius_xyz=(rx, ry, rz), radius=max(rx, ry, rz))
+    _gi_light_dirty(light)
+
+
+giSetSphereLightDiffuseSpecular = _gi_set_diff_spec
+
+
+def giCreateDistantLight(scene: GiScene) -> LightDesc:
+    return _gi_make_light(scene, "distant", angle=0.0,
+                          direction=(0.0, 0.0, -1.0))
+
+
+def giDestroyDistantLight(scene: GiScene, light: LightDesc) -> None:
+    _gi_destroy_light(scene, light)
+
+
+def giSetDistantLightDirection(light: LightDesc, direction) -> None:
+    light.params["direction"] = np.asarray(direction, np.float64)
+    _gi_light_dirty(light)
+
+
+def giSetDistantLightBaseEmission(light: LightDesc, rgb) -> None:
+    _gi_set_emission(light, rgb)
+
+
+def giSetDistantLightAngle(light: LightDesc, angle: float) -> None:
+    # the USD layer authors degrees (lights.py converts); the C surface is
+    # radians like the reference — store pre-converted degrees
+    light.params["angle"] = math.degrees(float(angle))
+    _gi_light_dirty(light)
+
+
+giSetDistantLightDiffuseSpecular = _gi_set_diff_spec
+
+
+def giCreateRectLight(scene: GiScene) -> LightDesc:
+    return _gi_make_light(scene, "rect", width=1.0, height=1.0,
+                          t0=(1.0, 0.0, 0.0), t1=(0.0, 1.0, 0.0))
+
+
+def giDestroyRectLight(scene: GiScene, light: LightDesc) -> None:
+    _gi_destroy_light(scene, light)
+
+
+def giSetRectLightOrigin(light: LightDesc, origin) -> None:
+    light.transform = np.eye(4)
+    light.transform[3, :3] = np.asarray(origin, np.float64)
+    _gi_light_dirty(light)
+
+
+def giSetRectLightTangents(light: LightDesc, t0, t1) -> None:
+    light.params.update(t0=tuple(t0), t1=tuple(t1))
+    _gi_light_dirty(light)
+
+
+def giSetRectLightBaseEmission(light: LightDesc, rgb) -> None:
+    _gi_set_emission(light, rgb)
+
+
+def giSetRectLightDimensions(light: LightDesc, width: float, height: float) -> None:
+    light.params.update(width=float(width), height=float(height))
+    _gi_light_dirty(light)
+
+
+giSetRectLightDiffuseSpecular = _gi_set_diff_spec
+
+
+def giCreateDiskLight(scene: GiScene) -> LightDesc:
+    return _gi_make_light(scene, "disk", radius=0.5, radius_xy=(0.5, 0.5),
+                          t0=(1.0, 0.0, 0.0), t1=(0.0, 1.0, 0.0))
+
+
+def giDestroyDiskLight(scene: GiScene, light: LightDesc) -> None:
+    _gi_destroy_light(scene, light)
+
+
+def giSetDiskLightOrigin(light: LightDesc, origin) -> None:
+    light.transform = np.eye(4)
+    light.transform[3, :3] = np.asarray(origin, np.float64)
+    _gi_light_dirty(light)
+
+
+def giSetDiskLightTangents(light: LightDesc, t0, t1) -> None:
+    light.params.update(t0=tuple(t0), t1=tuple(t1))
+    _gi_light_dirty(light)
+
+
+def giSetDiskLightBaseEmission(light: LightDesc, rgb) -> None:
+    _gi_set_emission(light, rgb)
+
+
+def giSetDiskLightRadius(light: LightDesc, rx: float, ry: float) -> None:
+    light.params.update(radius_xy=(rx, ry), radius=max(rx, ry))
+    _gi_light_dirty(light)
+
+
+giSetDiskLightDiffuseSpecular = _gi_set_diff_spec
+
+
+def giSetDomeLightRotation(light: GiDomeLight, quat) -> None:
+    light.rotation = np.asarray(quat, np.float32)
+
+
+def giSetDomeLightBaseEmission(light: GiDomeLight, rgb) -> None:
+    light.base_emission = np.asarray(rgb, np.float32)
+
+
+def giSetDomeLightDiffuseSpecular(light: GiDomeLight, diffuse: float,
+                                  specular: float) -> None:
+    # stored for parity; the reference packs this into its UBO and no
+    # shader reads it (Gi.cpp:2386, rp_main.h:29 — see Uniforms comment)
+    light.diffuse = float(diffuse)
+    light.specular = float(specular)
 
 
 def giCreateMaterialFromMtlxStr(scene: GiScene, name: str, mtlx_src: str):

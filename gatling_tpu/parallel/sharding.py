@@ -151,6 +151,8 @@ def render_fused_sharded(
     static,         # ops.pallas_bounce.FusedStatic (compile-time)
     dome: DomeLightData,
     mesh: Mesh,
+    materials=None,  # MaterialTable (replicated; textured split-bounce)
+    textures=None,   # TexturePool (replicated; textured split-bounce)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Multi-chip FUSED render: the [16, R/128, 128] bounce-kernel state is
     embarrassingly parallel over the "tiles" axis (PERF.md round-2 #6) —
@@ -158,9 +160,11 @@ def render_fused_sharded(
     samples shard over "spp" with a psum mean. Returns (color [N,3],
     traced-segments [N]) in framebuffer order.
 
-    The scene tables (triangles or HBM clusters, materials, lights, AABBs)
-    are replicated: they are read-only and small relative to HBM, so no
-    collective ever touches them — only the spp reduction crosses ICI.
+    The scene tables (triangles or HBM clusters, materials, lights, AABBs,
+    texture pool) are replicated: they are read-only and small relative to
+    HBM, so no collective ever touches them — only the spp reduction crosses
+    ICI. The textured split-bounce mode (static.textured) shards the same
+    way: its XLA texture stage gathers from the replicated pool per shard.
     """
     from gatling_tpu.render.fused import render_pixels_fused
 
@@ -176,23 +180,27 @@ def render_fused_sharded(
         raise ValueError(f"spp {config.spp} not divisible by spp axis {n_spp_shards}")
     local_spp = config.spp // n_spp_shards
     pixel_index = jnp.arange(n, dtype=jnp.int32)
+    textured = materials is not None
 
-    def shard_fn(pixel_idx, uniforms, scene, dome):
+    def shard_fn(pixel_idx, uniforms, scene, dome, *mat_tex):
         spp_rank = jax.lax.axis_index("spp")
         sample_offset = uniforms.sample_offset + spp_rank * local_spp
         color, segs = render_pixels_fused(
             config, uniforms, scene, dome, pixel_idx, local_spp,
-            sample_offset, static=static, with_stats=True)
+            sample_offset, static=static, with_stats=True,
+            materials=mat_tex[0] if textured else None,
+            textures=mat_tex[1] if textured else None)
         if n_spp_shards > 1:
             color = jax.lax.pmean(color, "spp")
             segs = jax.lax.pmean(segs, "spp")
         return color, segs
 
+    extra = (materials, textures) if textured else ()
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P("tiles"), P(), P(), P()),
+        in_specs=(P("tiles"), P(), P(), P()) + (P(),) * len(extra),
         out_specs=(P("tiles"), P("tiles")),
         check_vma=False,
     )
-    return fn(pixel_index, uniforms, scene, dome)
+    return fn(pixel_index, uniforms, scene, dome, *extra)

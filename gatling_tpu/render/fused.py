@@ -427,15 +427,28 @@ def render_pixels_fused(
 
             def chunk_body(head):
                 if static.textured:
-                    hitbuf = trace_step(params, scene, head, static=static)
-                    stage = _material_rows(materials, textures, hitbuf,
-                                           static.textured_params)
-                    if static.tangents:
-                        parbuf, hitbuf = stage  # normal-mapped H_N rows
-                    else:
-                        parbuf = stage
-                    return shade_step(params, scene, head, hitbuf, parbuf,
-                                      static=static, nee=nee)
+                    def split(h):
+                        hitbuf = trace_step(params, scene, h, static=static)
+                        stage = _material_rows(materials, textures, hitbuf,
+                                               static.textured_params)
+                        if static.tangents:
+                            parbuf, hb = stage  # normal-mapped H_N rows
+                        else:
+                            parbuf, hb = stage, hitbuf
+                        return shade_step(params, scene, h, hb, parbuf,
+                                          static=static, nee=nee)
+
+                    if config.tex_lod_bounces > 0:
+                        # texture LOD: bounces >= k take the plain one-kernel
+                        # bounce — scene.mats holds the texture MEANS in the
+                        # textured columns (substitute_texture_means), so
+                        # this is exactly "top mip" shading with zero taps
+                        return jax.lax.cond(
+                            bounce < config.tex_lod_bounces, split,
+                            lambda h: bounce_step(params, scene, h,
+                                                  static=static, nee=nee),
+                            head)
+                    return split(head)
                 return bounce_step(params, scene, head, static=static, nee=nee)
 
             st = _chunk_prefix_switch(chunk_body, st, live_chunks,

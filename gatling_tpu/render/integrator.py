@@ -99,6 +99,14 @@ class RenderConfig:
     # row by facing before shading (MaterialTable.backface_id; reference:
     # Backend.cpp DF_NAMES backface scattering/emission)
     has_backface: bool = False
+    # texture LOD: bounces >= k shade with each texture's MEAN value (the
+    # "top mip" — path-tracing texture filtering: the ray footprint after k
+    # vertices spans many texels). 0 = off (exact taps every bounce, the
+    # reference's behavior). On the fused path, LOD bounces run the plain
+    # untextured kernel against a mean-substituted SMEM table
+    # (material.substitute_texture_means) — the per-bounce XLA texture
+    # stage vanishes entirely for bounces >= k.
+    tex_lod_bounces: int = 0
 
 
 class Accel(NamedTuple):
@@ -473,7 +481,15 @@ def trace_sample(
             st["material_id"] = jnp.where(st["front"], st["material_id"], bfid)
         params = gather_params(materials, st["material_id"])
         params = apply_textures(materials, textures, params, st["material_id"], st["uv"])
-        params = params._replace(base_color=params.base_color * st["vcolor"])
+        # vcolor multiply is gated per material (MF_VCOLOR_MUL=1 only on the
+        # displayColor fallback material); bound materials reach the rows
+        # through geompropvalue primvar reads instead
+        from gatling_tpu.render.material import MF_VCOLOR_MUL, _gather_rows
+
+        vmul = _gather_rows(materials.packed_f,
+                            st["material_id"])[:, MF_VCOLOR_MUL]
+        params = params._replace(base_color=params.base_color * (
+            1.0 + (st["vcolor"] - 1.0) * vmul[:, None]))
         if config.dynamic_params:
             # view/normal-dependent inputs (viewdirection/normal node
             # chains): evaluate each material's expr over the batch and

@@ -88,10 +88,15 @@ def build_light_arrays(lights: list[LightDesc], capacity: int = 8) -> LightArray
     for i, l in enumerate(by_type["sphere"]):
         m, p = l.transform, l.params
         pos = transform_point(m, [0, 0, 0])
-        r = p["radius"]
-        rx = float(transform_dir(m, [r, 0, 0])[0])
-        ry = float(transform_dir(m, [0, r, 0])[1])
-        rz = float(transform_dir(m, [0, 0, r])[2])
+        if p.get("explicit_frame"):
+            # C-style API route (giSetSphereLightRadius): radii are given
+            # directly, not extracted from an axis-aligned transform
+            rx, ry, rz = (float(v) for v in p["radius_xyz"])
+        else:
+            r = p["radius"]
+            rx = float(transform_dir(m, [r, 0, 0])[0])
+            ry = float(transform_dir(m, [0, r, 0])[1])
+            rz = float(transform_dir(m, [0, 0, r])[2])
         area = _area_ellipsoid(rx, ry, rz)
         norm = area if (p["normalize"] and area > 0) else 1.0
         if p.get("treatAsPoint"):
@@ -106,9 +111,12 @@ def build_light_arrays(lights: list[LightDesc], capacity: int = 8) -> LightArray
 
     for i, l in enumerate(by_type["distant"]):
         m, p = l.transform, l.params
-        # direction light travels: -Z through inverse-transpose (light.cpp:168-175)
-        nrm_m = np.linalg.inv(m[:3, :3]).T
-        d = np.asarray([0.0, 0.0, -1.0]) @ nrm_m
+        if p.get("explicit_frame"):
+            d = np.asarray(p["direction"], np.float64)
+        else:
+            # direction light travels: -Z through inverse-transpose (light.cpp:168-175)
+            nrm_m = np.linalg.inv(m[:3, :3]).T
+            d = np.asarray([0.0, 0.0, -1.0]) @ nrm_m
         d = d / np.linalg.norm(d)
         angle = math.radians(p["angle"])
         sin_half = math.sin(angle * 0.5)
@@ -123,10 +131,18 @@ def build_light_arrays(lights: list[LightDesc], capacity: int = 8) -> LightArray
     for i, l in enumerate(by_type["rect"]):
         m, p = l.transform, l.params
         origin = transform_point(m, [0, 0, 0])
-        t0 = transform_dir(m, [1, 0, 0]); t0 = t0 / np.linalg.norm(t0)
-        t1 = transform_dir(m, [0, 1, 0]); t1 = t1 / np.linalg.norm(t1)
-        width = float(transform_dir(m, [p["width"], 0, 0])[0])
-        height = float(transform_dir(m, [0, p["height"], 0])[1])
+        if p.get("explicit_frame"):
+            # C-style API route (giSetRectLightTangents/Dimensions): the
+            # frame is given directly, no axis-component extraction
+            t0 = np.asarray(p["t0"], np.float64); t0 = t0 / np.linalg.norm(t0)
+            t1 = np.asarray(p["t1"], np.float64); t1 = t1 / np.linalg.norm(t1)
+            width = float(p["width"])
+            height = float(p["height"])
+        else:
+            t0 = transform_dir(m, [1, 0, 0]); t0 = t0 / np.linalg.norm(t0)
+            t1 = transform_dir(m, [0, 1, 0]); t1 = t1 / np.linalg.norm(t1)
+            width = float(transform_dir(m, [p["width"], 0, 0])[0])
+            height = float(transform_dir(m, [0, p["height"], 0])[1])
         area = width * height
         norm = area if (p["normalize"] and area > 0) else 1.0
         arrs["rect_origin"] = arrs["rect_origin"].at[i].set(jnp.asarray(origin, jnp.float32))
@@ -140,11 +156,16 @@ def build_light_arrays(lights: list[LightDesc], capacity: int = 8) -> LightArray
     for i, l in enumerate(by_type["disk"]):
         m, p = l.transform, l.params
         origin = transform_point(m, [0, 0, 0])
-        t0 = transform_dir(m, [1, 0, 0]); t0 = t0 / np.linalg.norm(t0)
-        t1 = transform_dir(m, [0, 1, 0]); t1 = t1 / np.linalg.norm(t1)
-        r = p["radius"]
-        rx = float(transform_dir(m, [r, 0, 0])[0])
-        ry = float(transform_dir(m, [0, r, 0])[1])
+        if p.get("explicit_frame"):
+            t0 = np.asarray(p["t0"], np.float64); t0 = t0 / np.linalg.norm(t0)
+            t1 = np.asarray(p["t1"], np.float64); t1 = t1 / np.linalg.norm(t1)
+            rx, ry = (float(v) for v in p["radius_xy"])
+        else:
+            t0 = transform_dir(m, [1, 0, 0]); t0 = t0 / np.linalg.norm(t0)
+            t1 = transform_dir(m, [0, 1, 0]); t1 = t1 / np.linalg.norm(t1)
+            r = p["radius"]
+            rx = float(transform_dir(m, [r, 0, 0])[0])
+            ry = float(transform_dir(m, [0, r, 0])[1])
         area = rx * ry * math.pi
         norm = area if (p["normalize"] and area > 0) else 1.0
         arrs["disk_origin"] = arrs["disk_origin"].at[i].set(jnp.asarray(origin, jnp.float32))

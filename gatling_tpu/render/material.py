@@ -45,6 +45,7 @@ class MaterialTable(NamedTuple):
     volume_scattering: jnp.ndarray  # [M,3]
     volume_bias: jnp.ndarray  # [M]
     backface_edf: jnp.ndarray  # [M] f32 0/1 (traits.has_backface_edf)
+    vcolor_mul: jnp.ndarray  # [M] f32 0/1: multiply interpolated vcolor rows
     # texture slot per parameter, -1 = constant (wired by render/texture.py)
     base_color_tex: jnp.ndarray  # [M] i32
     emissive_tex: jnp.ndarray  # [M] i32
@@ -63,7 +64,7 @@ class MaterialTable(NamedTuple):
     backface_id: jnp.ndarray  # [M] i32
     # packed row-gather mirrors (one gather per hit instead of ~14;
     # see ops/geometry.py packed_f rationale)
-    packed_f: jnp.ndarray  # [M, 25] f32
+    packed_f: jnp.ndarray  # [M, 26] f32
     packed_i: jnp.ndarray  # [M, 10] i32
 
     @property
@@ -76,6 +77,7 @@ MF_BASE, MF_METAL, MF_ROUGH, MF_IOR, MF_OPACITY = 0, 3, 4, 5, 6
 MF_EMISSIVE, MF_USW, MF_SPEC, MF_TRANS, MF_THIN = 7, 10, 11, 14, 15
 MF_VOL_A, MF_VOL_S, MF_VOL_BIAS, MF_OPACITY_THRESH = 16, 19, 22, 23
 MF_BACKFACE_EDF = 24
+MF_VCOLOR_MUL = 25
 # packed_i column of the backface-row index (build_material_table)
 MI_BACKFACE_ID = 9
 
@@ -88,6 +90,7 @@ def _pack_material_table(t: MaterialTable) -> MaterialTable:
         t.transmission[:, None], t.thin_walled[:, None].astype(jnp.float32),
         t.volume_absorption, t.volume_scattering, t.volume_bias[:, None],
         t.opacity_threshold[:, None], t.backface_edf[:, None],
+        t.vcolor_mul[:, None],
     ], axis=1)
     packed_i = jnp.stack([
         t.base_color_tex, t.emissive_tex, t.metallic_tex, t.roughness_tex,
@@ -105,9 +108,9 @@ class MaterialTraits:
     is_emissive: bool = False
     has_cutout: bool = False
     is_thin_walled: bool = False
-    # distinct backface expressions exist (MDL `backface:` field). The
-    # evaluators reuse the front BSDF/EDF values for these — expressing
-    # different backface parameters would need real MDL compilation.
+    # distinct backface expressions exist (MDL `backface:` field); their
+    # lowered params ride LoweredMaterial.backface and become an appended
+    # material row (build_material_table)
     has_backface_bsdf: bool = False
     has_backface_edf: bool = False
     # the network contains frame/time nodes (MtlxMdlCodeGen.cpp:116-144
@@ -148,6 +151,10 @@ _DEFAULTS = {
     "volume_absorption": (0.0, 0.0, 0.0),
     "volume_scattering": (0.0, 0.0, 0.0),
     "volume_bias": 0.0,
+    # 1.0 only on the displayColor fallback material: multiplies the
+    # interpolated per-corner vcolor rows into base_color (bound materials
+    # read primvars explicitly via geompropvalue instead)
+    "vcolor_mul": 0.0,
 }
 
 
@@ -298,6 +305,7 @@ def lower_material(desc: MaterialDesc | None, frame: float = 0.0) -> LoweredMate
         textures["normal"] = dataclasses.replace(
             nref, scale=(2.0, 2.0, 2.0, 1.0), bias=(-1.0, -1.0, -1.0, 0.0), is_srgb=False)
 
+    params["vcolor_mul"] = float(bool(node.inputs.get("_vcolor_multiply", False)))
     # MDL backface traits forwarded by the front end (render/mdl.py)
     traits.has_backface_bsdf = bool(node.inputs.get("has_backface_bsdf", False))
     traits.has_backface_edf = bool(node.inputs.get("has_backface_edf", False))
@@ -408,6 +416,9 @@ def build_material_table(
         volume_bias=col("volume_bias"),
         backface_edf=jnp.asarray(np.array(
             [float(m.traits.has_backface_edf) for m in lowered], np.float32)),
+        vcolor_mul=jnp.asarray(np.array(
+            [float(m.params.get("vcolor_mul", 0.0)) for m in lowered],
+            np.float32)),
         base_color_tex=tex_col("base_color"),
         emissive_tex=tex_col("emissive"),
         metallic_tex=tex_col("metallic"),
@@ -418,7 +429,7 @@ def build_material_table(
         roughness_tex_ch=ch_col("roughness"),
         opacity_tex_ch=ch_col("opacity"),
         backface_id=jnp.asarray(np.array(backface_ids, np.int32)),
-        packed_f=jnp.zeros((len(lowered), 25), jnp.float32),
+        packed_f=jnp.zeros((len(lowered), 26), jnp.float32),
         packed_i=jnp.zeros((len(lowered), 10), jnp.int32),
     )
     return _pack_material_table(table)
@@ -504,6 +515,46 @@ def apply_textures(table: MaterialTable, pool, params: BsdfParams,
     if active is None or "opacity" in active:
         updates["opacity"] = scalar(4, 8, params.opacity)
     return params._replace(**updates)
+
+
+def substitute_texture_means(table: MaterialTable, pool) -> MaterialTable:
+    """Texture-LOD material table: every textured parameter's constant is
+    replaced by its texture's MEAN value (the "top mip", pool.mean).
+
+    Rationale (render setting textureLodBounces=k): after k path vertices
+    the ray footprint on any further surface spans many texels — classic
+    path-tracing texture filtering substitutes a high mip level there. With
+    the slim parbuf the fused shade kernel resolves textured parameters
+    from the per-ray parbuf rows, so the SMEM table's copies of those
+    columns are dead on the split-bounce path; holding the means there lets
+    bounces >= k run the plain (untextured) bounce_step — the whole texture
+    stage disappears from late bounces at the cost of indirect-only texture
+    detail. Host-side, build time only."""
+    mean = np.asarray(pool.mean, np.float32)  # [T, 4]
+
+    def rgb(const, tex):
+        tex = np.asarray(tex)
+        out = np.array(const, np.float32)
+        sel = tex >= 0
+        out[sel] = mean[tex[sel]][:, :3]
+        return jnp.asarray(out)
+
+    def scalar(const, tex, ch):
+        tex, ch = np.asarray(tex), np.asarray(ch)
+        out = np.array(const, np.float32)
+        sel = tex >= 0
+        out[sel] = mean[tex[sel], ch[sel]]
+        return jnp.asarray(out)
+
+    t = table._replace(
+        base_color=rgb(table.base_color, table.base_color_tex),
+        emissive=rgb(table.emissive, table.emissive_tex),
+        metallic=scalar(table.metallic, table.metallic_tex,
+                        table.metallic_tex_ch),
+        roughness=scalar(table.roughness, table.roughness_tex,
+                         table.roughness_tex_ch),
+    )
+    return _pack_material_table(t)
 
 
 def textured_params(lowered: "list[LoweredMaterial]") -> tuple[str, ...]:

@@ -93,6 +93,15 @@ def expr_is_dynamic(e: Expr | None) -> bool:
     return any(expr_is_dynamic(a) for a in e.args)
 
 
+def expr_reads_primvar(e: Expr | None) -> bool:
+    """True when the subtree contains a scene-data (primvar) leaf."""
+    if e is None:
+        return False
+    if e.op == "primvar":
+        return True
+    return any(expr_reads_primvar(a) for a in e.args)
+
+
 def expr_has_texture(e: Expr | None) -> bool:
     if e is None:
         return False

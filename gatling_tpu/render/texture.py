@@ -83,6 +83,10 @@ class TexturePool(NamedTuple):
     wrap_t: jnp.ndarray  # [T] i32
     scale: jnp.ndarray  # [T, 4] f32
     bias: jnp.ndarray  # [T, 4] f32
+    # [T, 4] f32 per-slot mean of (linear texels * scale + bias) — the
+    # "top mip": texture-LOD bounces substitute it for the per-ray tap
+    # (render setting textureLodBounces; material.substitute_texture_means)
+    mean: jnp.ndarray
 
     @property
     def count(self) -> int:
@@ -110,6 +114,7 @@ def empty_pool() -> TexturePool:
         wrap_t=jnp.full((1,), WRAP_REPEAT, jnp.int32),
         scale=jnp.ones((1, 4), jnp.float32),
         bias=jnp.zeros((1, 4), jnp.float32),
+        mean=jnp.zeros((1, 4), jnp.float32),
     )
 
 
@@ -281,9 +286,13 @@ class TextureManager:
         raws, srgbs = [], []
         packable = True
         offsets, widths, heights, ws, wt, scales, biases = [], [], [], [], [], [], []
+        means = []
         off = 0
         for ref in refs:
             img = self._load(ref)
+            means.append(img.reshape(-1, 4).mean(axis=0)
+                         * np.asarray(ref.scale, np.float32)
+                         + np.asarray(ref.bias, np.float32))
             raw, hdr = self._load_raw(ref)
             codes = np.round(raw * 255.0)
             if hdr or raw.size == 0 or np.abs(raw * 255.0 - codes).max() > 1e-3 \
@@ -344,6 +353,7 @@ class TextureManager:
             wrap_t=jnp.asarray(np.array(wt, np.int32)),
             scale=jnp.asarray(np.array(scales, np.float32)),
             bias=jnp.asarray(np.array(biases, np.float32)),
+            mean=jnp.asarray(np.array(means, np.float32)),
         )
 
 

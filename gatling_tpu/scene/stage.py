@@ -375,8 +375,13 @@ def _display_color_material(prim: Prim, vertex_colors: bool = False
         v = dc.value[0] if isinstance(dc.value, list) else dc.value
         color = tuple(float(c) for c in v)[:3]
     path = prim.path + "/__displayColor"
+    inputs: dict = {"diffuseColor": color}
+    if vertex_colors:
+        # only THIS material multiplies the interpolated vcolor rows in;
+        # bound materials with their own base_color ignore them
+        inputs["_vcolor_multiply"] = True
     node = ShaderNode(path=path + "/s", shader_id="UsdPreviewSurface",
-                      inputs={"diffuseColor": color}, input_connections={})
+                      inputs=inputs, input_connections={})
     return MaterialDesc(path=path, surface_node=node.path, nodes={node.path: node})
 
 
@@ -413,17 +418,19 @@ def _build_mesh(prim: Prim, world: np.ndarray, object_id: int) -> MeshDesc | Non
     if binding:
         material = binding[0]
 
-    # non-constant displayColor on an unbound mesh rides as per-corner
-    # vertex colors (the bound material wins otherwise, as in Hydra)
+    # non-constant displayColor rides as per-corner vertex colors for BOTH
+    # unbound meshes (feeding the white fallback material's vcolor multiply)
+    # and bound ones (feeding geompropvalue/UsdPrimvarReader scene-data
+    # reads, rp_main.h scene-data infos); bound materials that read no
+    # primvar ignore the rows (the multiply is gated per material)
     colors = None
     colors_interp = meshproc.Interpolation.CONSTANT
-    if material is None:
-        ci = _display_color_interp(prim, len(points), len(counts), len(indices))
-        if ci is not None and ci != meshproc.Interpolation.CONSTANT:
-            dc = prim.attrs.get("primvars:displayColor")
-            colors = np.asarray([[float(c) for c in v][:3] for v in dc.value],
-                                np.float32)
-            colors_interp = ci
+    ci = _display_color_interp(prim, len(points), len(counts), len(indices))
+    if ci is not None and ci != meshproc.Interpolation.CONSTANT:
+        dc = prim.attrs.get("primvars:displayColor")
+        colors = np.asarray([[float(c) for c in v][:3] for v in dc.value],
+                            np.float32)
+        colors_interp = ci
 
     tri = meshproc.build_triangulated_mesh(
         points=np.asarray(points, np.float32),

@@ -82,6 +82,7 @@ def compute_render_spec(stage: Stage) -> RenderSpec:
     mapping = {
         "gtl:spp": ("spp", int),
         "gtl:errorPixelThreshold": ("errorPixelThreshold", int),
+        "gtl:flipThreshold": ("flipThreshold", float),
         "gtl:frame": ("frame", float),
         "gtl:jitteredSampling": ("jitteredSampling", bool),
         "gtl:clippingPlanes": ("clippingPlanes", bool),
@@ -216,6 +217,7 @@ def run_graphical_test(scene_path: str | Path, output_dir: str | Path) -> list[s
     output_dir.mkdir(parents=True, exist_ok=True)
     images, spec = render_products(scene_path)
     threshold = int(spec.settings.get("errorPixelThreshold", 0))
+    flip_threshold = float(spec.settings.get("flipThreshold", 0.0))
 
     failures = []
     for name, test_img in images.items():
@@ -235,6 +237,15 @@ def run_graphical_test(scene_path: str | Path, output_dir: str | Path) -> list[s
             imgio.write_image_file(output_dir / f"diff_{name}.png", diff_img)
             failures.append(
                 f"{name}: {error_pixels} error components > threshold {threshold}")
+        if flip_threshold > 0.0 and test_img.shape[-1] >= 3:
+            # perceptual gate (BASELINE north star: FLIP-matched images):
+            # mean LDR-FLIP against the committed reference
+            from gatling_tpu.flip import mean_flip
+
+            score = mean_flip(ref_img[..., :3], test_img[..., :3])
+            if score > flip_threshold:
+                failures.append(
+                    f"{name}: mean FLIP {score:.4f} > threshold {flip_threshold}")
     return failures
 
 

@@ -257,8 +257,12 @@ def test_vertex_color_interpolation_against_barycentric_math():
     meshes = [MeshDesc(path="/w", mesh=mesh, transform=np.eye(4),
                        material="m", double_sided=True, object_id=0)]
     geom = build_geometry(meshes, {"m": 0, None: 1})
-    # white diffuse so albedo == interpolated vertex color exactly
-    table = build_material_table([_diffuse((1.0, 1.0, 1.0)), lower_material(None)])
+    # white diffuse so albedo == interpolated vertex color exactly; the
+    # vcolor multiply is opt-in per material (MF_VCOLOR_MUL — only the
+    # displayColor fallback sets it in production)
+    white = _diffuse((1.0, 1.0, 1.0))
+    white.params["vcolor_mul"] = 1.0
+    table = build_material_table([white, lower_material(None)])
 
     w = h = 16
     vfov = 0.6

@@ -107,12 +107,16 @@ def test_fused_sharded_matches_single(monkeypatch):
         dome_emission_multiplier=jnp.ones(3, jnp.float32),
         dome_diffuse_specular=jnp.ones(2, jnp.float32))
 
-    # 4 tiles x 1024 rays: 64x64 framebuffer, 1 block per tile shard
+    # 2 tiles x 2 spp shards = 4 devices: jax 0.9.0's TPU-interpret
+    # shared-memory barrier DEADLOCKS with 8 concurrent device threads on
+    # low-core hosts (measured: tools/interpret_mesh_probe.py — 8x1 and
+    # 4x2 hang, <=4 devices pass); the sharding semantics under test are
+    # mesh-size-independent
     config = RenderConfig(width=64, height=64, spp=2, max_bounces=2,
                           has_dome=False, rr_bounce_offset=100)
     n = 64 * 64
     pix = jnp.arange(n, dtype=jnp.int32)
-    mesh = make_mesh(n_tiles=4, n_spp=2)
+    mesh = make_mesh(n_tiles=2, n_spp=2)
 
     with pltpu.force_tpu_interpret_mode():
         single, single_segs = render_pixels_fused(
@@ -146,3 +150,84 @@ def test_gi_parallel_devices_matches_single(monkeypatch):
     s2 = dict(s, parallelDevices=8)
     img8, _ = render_scene_file("/root/reference/cornell.usda", 32, 32, s2)
     np.testing.assert_allclose(img8, img1, rtol=2e-5, atol=1e-6)
+
+
+@requires_8
+def test_fused_sharded_textured_matches_single():
+    """The TEXTURED split-bounce fused path sharded over tiles x spp must
+    match the single-device textured render bit-for-bit: the XLA texture
+    stage gathers from the replicated pool inside each shard."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gatling_tpu import imgio
+    from gatling_tpu.ops.geometry import build_geometry
+    from gatling_tpu.ops.pallas_bounce import build_fused_scene
+    from gatling_tpu.parallel.sharding import render_fused_sharded
+    from gatling_tpu.render.fused import render_pixels_fused
+    from gatling_tpu.render.integrator import (RenderConfig, Uniforms,
+                                               default_dome)
+    from gatling_tpu.render.lights import build_light_arrays
+    from gatling_tpu.render.material import (build_materials, lower_material,
+                                             textured_params)
+    from gatling_tpu.render.texture import TextureRef
+    from gatling_tpu.render.camera import CameraUniforms
+    from gatling_tpu.scene.stage import load_scene
+
+    desc = load_scene("/root/reference/cornell.usda")
+    mat_paths = sorted({m.material for m in desc.meshes if m.material})
+    midx = {p: i for i, p in enumerate(mat_paths)}
+    midx[None] = len(mat_paths)
+    geom = build_geometry(desc.meshes, midx)
+    rows = [None] * len(midx)
+    for p, i in midx.items():
+        rows[i] = lower_material(desc.materials.get(p) if p else None)
+    img = np.zeros((16, 16, 4), np.uint8)
+    img[..., 3] = 255
+    c = ((np.arange(16)[:, None] // 4 + np.arange(16)[None, :] // 4) % 2)
+    img[..., 0] = np.where(c, 220, 60)
+    img[..., 1] = 128
+    img[..., 2] = np.where(c, 60, 220)
+    import tempfile, os
+
+    f = os.path.join(tempfile.mkdtemp(), "checker.png")
+    imgio.write_image_file(f, img)
+    for r in rows:
+        r.textures["base_color"] = TextureRef(file_path=f, is_srgb=False)
+    table, pool = build_materials(rows)
+    scene, static = build_fused_scene(geom, table, build_light_arrays([]))
+    static = dataclasses.replace(static, textured=True,
+                                 textured_params=textured_params(rows))
+    cam = desc.first_camera()
+    uniforms = Uniforms(
+        camera=CameraUniforms(
+            jnp.asarray(cam.position), jnp.asarray(cam.forward), jnp.asarray(cam.up),
+            jnp.float32(cam.vfov), jnp.float32(0), jnp.float32(0), jnp.float32(0),
+            jnp.float32(cam.clip_start), jnp.float32(cam.clip_end)),
+        sample_offset=jnp.int32(0), inv_total_sample_count=jnp.float32(1.0),
+        max_sample_value=jnp.float32(10), rr_inv_min_term_prob=jnp.float32(0.95),
+        light_intensity_multiplier=jnp.float32(1), meters_per_scene_unit=jnp.float32(1),
+        max_volume_walk_length=jnp.int32(7),
+        dome_rotation=jnp.asarray([0, 0, 0, 1.0], jnp.float32),
+        dome_emission_multiplier=jnp.ones(3, jnp.float32),
+        dome_diffuse_specular=jnp.ones(2, jnp.float32))
+
+    # 4-device mesh: see the interpret-barrier deadlock note above
+    config = RenderConfig(width=64, height=64, spp=2, max_bounces=2,
+                          has_dome=False, rr_bounce_offset=100)
+    n = 64 * 64
+    pix = jnp.arange(n, dtype=jnp.int32)
+    mesh = make_mesh(n_tiles=2, n_spp=2)
+
+    with pltpu.force_tpu_interpret_mode():
+        single = render_pixels_fused(
+            config, uniforms, scene, default_dome(), pix, 2, jnp.int32(0),
+            static=static, materials=table, textures=pool)
+        sharded, _segs = render_fused_sharded(
+            config, uniforms, scene, static, default_dome(), mesh,
+            materials=table, textures=pool)
+
+    np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
+                               rtol=1e-5, atol=1e-6)

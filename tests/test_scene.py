@@ -128,3 +128,59 @@ def "Instance" (
     sc = load_scene(tmp_path / "main.usda")
     assert len(sc.meshes) == 1
     assert sc.meshes[0].mesh.num_triangles == 1
+
+
+def test_c_style_light_api():
+    """The full analytic-light C surface (Gi.h:223-257): create/setters
+    flow into the packed light tables with the explicit frame (positions,
+    tangents, radii given directly, not via a USD transform)."""
+    import numpy as np
+
+    from gatling_tpu import gi
+    from gatling_tpu.render.lights import build_light_arrays
+
+    scene = gi.giCreateScene()
+
+    s = gi.giCreateSphereLight(scene)
+    gi.giSetSphereLightPosition(s, (1.0, 2.0, 3.0))
+    gi.giSetSphereLightBaseEmission(s, (2.0, 3.0, 4.0))
+    gi.giSetSphereLightRadius(s, 0.5, 0.6, 0.7)
+    gi.giSetSphereLightDiffuseSpecular(s, 0.8, 0.9)
+
+    d = gi.giCreateDistantLight(scene)
+    gi.giSetDistantLightDirection(d, (0.0, -1.0, 0.0))
+    gi.giSetDistantLightAngle(d, 0.1)
+
+    r = gi.giCreateRectLight(scene)
+    gi.giSetRectLightOrigin(r, (0.0, 0.0, 5.0))
+    gi.giSetRectLightTangents(r, (0.0, 1.0, 0.0), (1.0, 0.0, 0.0))
+    gi.giSetRectLightDimensions(r, 2.0, 3.0)
+
+    k = gi.giCreateDiskLight(scene)
+    gi.giSetDiskLightRadius(k, 0.25, 0.5)
+
+    arrays = build_light_arrays(scene.lights)
+    assert int(arrays.sphere_count) == 1 and int(arrays.distant_count) == 1
+    assert int(arrays.rect_count) == 1 and int(arrays.disk_count) == 1
+    np.testing.assert_allclose(np.asarray(arrays.sphere_pos[0]), (1, 2, 3))
+    np.testing.assert_allclose(np.asarray(arrays.sphere_emission[0]), (2, 3, 4))
+    np.testing.assert_allclose(np.asarray(arrays.sphere_radius[0]), (0.5, 0.6, 0.7))
+    np.testing.assert_allclose(np.asarray(arrays.sphere_diff_spec[0]), (0.8, 0.9))
+    np.testing.assert_allclose(np.asarray(arrays.distant_dir[0]), (0, -1, 0))
+    np.testing.assert_allclose(float(arrays.distant_angle[0]), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(arrays.rect_origin[0]), (0, 0, 5))
+    np.testing.assert_allclose(np.asarray(arrays.rect_t0[0]), (0, 1, 0))
+    np.testing.assert_allclose(np.asarray(arrays.rect_size[0]), (2, 3))
+    np.testing.assert_allclose(np.asarray(arrays.disk_radius[0]), (0.25, 0.5))
+
+    gi.giDestroySphereLight(scene, s)
+    gi.giDestroyDistantLight(scene, d)
+    gi.giDestroyRectLight(scene, r)
+    gi.giDestroyDiskLight(scene, k)
+    assert scene.lights == []
+
+    dome = gi.giCreateDomeLight(scene, "/nonexistent.hdr")
+    gi.giSetDomeLightRotation(dome, (0, 0, 0, 1))
+    gi.giSetDomeLightBaseEmission(dome, (2.0, 2.0, 2.0))
+    gi.giSetDomeLightDiffuseSpecular(dome, 0.5, 0.25)
+    assert dome.diffuse == 0.5 and dome.specular == 0.25
