@@ -279,7 +279,10 @@ def _lower_bsdf(expr: str, ev: _BodyEval, out: dict, depth: int = 0) -> None:
             w = ev.value(named.get("weight"))
             w = float(w) if isinstance(w, (int, float)) else 1.0
             if "roughness" in layer:
-                out["roughness"] = layer["roughness"]
+                # weight-lerp: a weight-0 layer must not stomp the base
+                base_r = out.get("roughness")
+                out["roughness"] = (layer["roughness"] if base_r is None
+                                    else (1 - w) * base_r + w * layer["roughness"])
             if layer.get("transmission"):
                 out["transmission"] = w * layer["transmission"]
             if layer.get("metallic") and w > 0.5:
@@ -301,8 +304,137 @@ def _lower_bsdf(expr: str, ev: _BodyEval, out: dict, depth: int = 0) -> None:
             _lower_bsdf(named["base"], ev, out, depth + 1)
 
 
+def _resolve_module(qualifier: str, base_dir: str = "") -> str | None:
+    """MDL module qualifier ('::nvidia::core_definitions') -> module file.
+    Search order mirrors resolve_mdl_path: asset dir, GATLING_MDL_PATHS,
+    bundled modules (the MdlEntityResolver analog, MdlEntityResolver.cpp)."""
+    rel = os.path.join(*[p for p in qualifier.split("::") if p]) + ".mdl"
+    candidates = []
+    if base_dir:
+        candidates.append(os.path.join(base_dir, rel))
+    for d in os.environ.get("GATLING_MDL_PATHS", "").split(os.pathsep):
+        if d:
+            candidates.append(os.path.join(d, rel))
+    candidates.append(os.path.join(BUNDLED_MDL_DIR, rel))
+    for c in candidates:
+        if os.path.isfile(c):
+            return c
+    return None
+
+
+_BUILTIN_MODULES = ("df", "state", "math", "base", "tex", "anno", "limits",
+                    "scene", "debug", "std")
+
+
+def _lower_instance_call(caller_src: str, expr: str, ev: "_BodyEval",
+                         base_dir: str = "", depth: int = 0) -> dict:
+    """Lower a material-INSTANCE body: `export material X(...) =
+    some::module::base_material(args...)` — the dominant pattern in
+    TurboSquid/Omniverse assets built on ::nvidia::core_definitions or the
+    Omni* modules. Resolves the called material in the imported/bundled
+    module set, binds the evaluated arguments over its parameter defaults,
+    and recursively lowers the callee's own body. Material-valued arguments
+    (wrapper materials like add_emission(base: ...)) lower recursively; on
+    key conflicts the BASE material wins for scattering parameters and the
+    wrapper wins for what it adds (emission).
+
+    Reference: the MDL SDK resolves instantiations through
+    MdlEntityResolver + instance compilation (MdlMaterialCompiler.cpp:
+    193-266); the bundled module set is src/gi/mdl (rendererPlugin.cpp:
+    54-55)."""
+    if depth > 4:
+        return {}
+    expr = expr.strip()
+    m = re.match(r"([\w:]+)\s*\(", expr)
+    if not m:
+        return {}
+    parts = [p for p in m.group(1).split("::") if p]
+    mat_name = parts[-1]
+    if parts[0] in _BUILTIN_MODULES or mat_name in ("material", "color"):
+        return {}
+    mod_srcs: list[tuple[str, str]] = []
+
+    def add_module(path: str | None) -> None:
+        if path:
+            try:
+                with open(path, "r", encoding="utf-8", errors="replace") as f:
+                    mod_srcs.append((f.read(), os.path.dirname(path)))
+            except OSError:
+                get_logger().error("cannot read MDL module %s", path)
+
+    if len(parts) > 1:
+        add_module(_resolve_module("::".join(parts[:-1]), base_dir))
+    else:
+        # unqualified: the caller's own module, then star imports
+        mod_srcs.append((caller_src, base_dir))
+        for im in re.finditer(r"^\s*import\s+(?:::)?([\w:]+)::\*\s*;",
+                              caller_src, re.M):
+            q = im.group(1)
+            if q.split("::")[0] not in _BUILTIN_MODULES:
+                add_module(_resolve_module(q, base_dir))
+    call = _parse_call(expr)
+    if not call:
+        return {}
+    _n, named, positional = call
+
+    for src, mdir in mod_srcs:
+        if not re.search(r"export\s+material\s+%s\s*\(" % re.escape(mat_name),
+                         src):
+            continue
+        defaults = _extract_material_params(src, mat_name)
+        bound = dict(defaults)
+        keys = list(defaults.keys())
+        nested: list[dict] = []
+
+        def bind(key: str | None, argtext: str) -> None:
+            v = ev.value(argtext)
+            if v is None and re.match(r"[\w:]+\s*\(", argtext.strip()):
+                sub = _lower_instance_call(caller_src, argtext, ev,
+                                           base_dir, depth + 1)
+                if sub:
+                    nested.append(sub)
+                    return
+            if v is not None and key is not None:
+                bound[key] = v
+
+        for i, argtext in enumerate(positional):
+            bind(keys[i] if i < len(keys) else None, argtext)
+        for k, argtext in named.items():
+            bind(k if k in defaults else None, argtext)
+
+        out: dict = {}
+        # the callee's (now-bound) parameters run through the well-known
+        # name map so texture/scalar params surface even when its body's df
+        # graph is only partially recognizable
+        for mdl_name, value in bound.items():
+            mapping = _PARAM_MAP.get(mdl_name)
+            if mapping is None:
+                continue
+            uber, _kind = mapping
+            if isinstance(value, tuple) and value and value[0] == "__texture__":
+                tex_path = value[1]
+                if tex_path and not os.path.isabs(tex_path):
+                    tex_path = os.path.join(mdir, tex_path)
+                if tex_path:
+                    out[uber if uber.endswith("_texture")
+                        else uber + "_texture"] = tex_path
+            else:
+                out[uber] = value
+        out.update(_lower_mdl_body(src, mat_name, bound, base_dir=mdir))
+        for sub in nested:
+            emis = {k: v for k, v in out.items() if k.startswith("emissive")}
+            out.update(sub)       # base material wins for scattering keys
+            out.update(emis)      # wrapper wins for what it adds
+        return out
+    if depth == 0:
+        get_logger().info(
+            "MDL instance call %s:: %s not resolved; parameter-name mapping "
+            "applies", "::".join(parts[:-1]), mat_name)
+    return {}
+
+
 def _lower_mdl_body(source: str, sub_identifier: str | None,
-                    params: dict) -> dict:
+                    params: dict, base_dir: str = "") -> dict:
     """Extract the material body expression and lower its df graph to
     uber-BSDF inputs. Returns {} when no recognizable body exists (the
     parameter-name mapping then applies instead)."""
@@ -316,6 +448,17 @@ def _lower_mdl_body(source: str, sub_identifier: str | None,
         if not em:
             return {}
         body = rest[em.end():]
+        # bound the body expression at its terminating top-level ';' so a
+        # later material in the same file can't bleed into the lowering
+        depth0 = 0
+        for i, ch in enumerate(body):
+            if ch in "([{":
+                depth0 += 1
+            elif ch in ")]}":
+                depth0 -= 1
+            elif ch == ";" and depth0 == 0:
+                body = body[:i]
+                break
         lets: dict[str, str] = {}
         lm = re.match(r"\s*let\s*\{", body)
         if lm:
@@ -343,7 +486,10 @@ def _lower_mdl_body(source: str, sub_identifier: str | None,
                 body = body[im.end():]
         mm = re.search(r"\bmaterial\s*\(", body)
         if not mm:
-            return {}
+            # not a literal material(...) constructor: try a material
+            # instantiation of an imported module's material
+            return _lower_instance_call(
+                source, body, _BodyEval(params, lets), base_dir)
         mat_expr = body[mm.start():_balanced(body, body.index("(", mm.start()))]
         call = _parse_call(mat_expr)
         if not call:
@@ -539,7 +685,7 @@ def load_mdl_material(
     # recognizable, its values override the parameter-NAME heuristics
     # (reference: MdlMaterialCompiler instance-compiles the body,
     # MdlMaterialCompiler.cpp:193-266)
-    body = _lower_mdl_body(source, sub_identifier, merged)
+    body = _lower_mdl_body(source, sub_identifier, merged, base_dir=base_dir)
     backface_body = body.pop("__backface__", None)
     for k, v in body.items():
         inputs[k] = v

@@ -52,7 +52,11 @@ export material MyMat(
     uniform float emissive_intensity = 2.0,
     uniform texture_2d diffuse_texture = texture_2d("./albedo.png", ::tex::gamma_srgb)
 ) = ::OmniPBR::OmniPBR(
-    diffuse_color_constant: diffuse_color_constant
+    diffuse_color_constant: diffuse_color_constant,
+    reflection_roughness_constant: reflection_roughness_constant,
+    enable_emission: enable_emission,
+    emissive_color: emissive_color,
+    emissive_intensity: emissive_intensity
 );
 """
 
@@ -253,3 +257,104 @@ def test_mtlx_filename_os_path_sanitize():
     tex = [n for n in mat.nodes.values() if n.shader_id == "image"][0]
     assert "\\" not in tex.inputs["file"]
     assert tex.inputs["file"].endswith("assets/wood.png")
+
+
+def test_core_definitions_instantiation(tmp_path):
+    """VERDICT r3 item 8: a TurboSquid-style asset whose material BODY is an
+    instantiation of ::nvidia::core_definitions::flex_material must resolve
+    against the bundled compat module (reference ships NVIDIA's originals,
+    rendererPlugin.cpp:54-55) and lower through the callee's df graph."""
+    import numpy as np
+
+    from gatling_tpu.render.material import lower_material
+    from gatling_tpu.render.mdl import load_mdl_material
+
+    p = tmp_path / "asset.mdl"
+    p.write_text("""
+mdl 1.6;
+import ::nvidia::core_definitions::*;
+
+export material Fabric_Red(*)
+ = nvidia::core_definitions::flex_material(
+    base_color: color(0.8, 0.1, 0.1),
+    reflection_roughness: 0.36,
+    reflectivity: 0.4,
+    ior: 1.3
+);
+""")
+    m = lower_material(load_mdl_material(p, "Fabric_Red"))
+    np.testing.assert_allclose(m.params["base_color"], (0.8, 0.1, 0.1), atol=1e-6)
+    assert abs(m.params["roughness"] - 0.36) < 1e-5
+    assert abs(m.params["ior"] - 1.3) < 1e-6
+    assert m.params["metallic"] == 0.0
+    assert m.params["transmission"] == 0.0
+
+    # metal flavor: is_metal flips the metallic-workflow layer on
+    p2 = tmp_path / "metal.mdl"
+    p2.write_text("""
+mdl 1.6;
+import ::nvidia::core_definitions::*;
+export material Steel(*)
+ = nvidia::core_definitions::flex_material(
+    base_color: color(0.7, 0.7, 0.75),
+    is_metal: true,
+    reflection_roughness: 0.2
+);
+""")
+    m2 = lower_material(load_mdl_material(p2, "Steel"))
+    assert m2.params["metallic"] == 1.0
+    assert abs(m2.params["roughness"] - 0.2) < 1e-5
+
+    # fully-qualified call with the leading :: and a transparent material
+    p3 = tmp_path / "glass.mdl"
+    p3.write_text("""
+mdl 1.6;
+export material Window(*)
+ = ::nvidia::core_definitions::thin_glass(
+    glass_color: color(0.9, 0.95, 1.0),
+    ior: 1.52
+);
+""")
+    m3 = lower_material(load_mdl_material(p3, "Window"))
+    assert m3.params["transmission"] == 1.0
+    assert m3.params["thin_walled"] == 1
+    assert abs(m3.params["ior"] - 1.52) < 1e-6
+
+
+def test_core_definitions_wrapper_material(tmp_path):
+    """Wrapper materials (material-valued `base` argument): add_emission
+    keeps the base material's scattering and adds the emission."""
+    import numpy as np
+
+    from gatling_tpu.render.material import lower_material
+    from gatling_tpu.render.mdl import load_mdl_material
+
+    p = tmp_path / "lamp.mdl"
+    p.write_text("""
+mdl 1.6;
+import ::nvidia::core_definitions::*;
+export material LampShade(*)
+ = nvidia::core_definitions::add_emission(
+    base: nvidia::core_definitions::diffuse(
+        diffuse_color: color(0.2, 0.4, 0.6)),
+    tint: color(1.0, 0.9, 0.8),
+    intensity: 100.0
+);
+""")
+    m = lower_material(load_mdl_material(p, "LampShade"))
+    np.testing.assert_allclose(m.params["base_color"], (0.2, 0.4, 0.6), atol=1e-6)
+    assert m.traits.is_emissive
+    assert m.params["emissive"][0] > m.params["emissive"][2] > 0
+
+
+def test_omnihair_binds():
+    """OmniHair assets bind against the bundled interface stub."""
+    from gatling_tpu.render.material import lower_material
+    from gatling_tpu.render.mdl import load_mdl_material
+
+    h = lower_material(load_mdl_material(
+        "OmniHair.mdl", "OmniHair",
+        {"base_color": (0.4, 0.25, 0.1), "melanin_concentration": 0.8}))
+    # melanin-tinted diffuse: darker than the raw base color, red-shifted
+    assert 0 < h.params["base_color"][0] <= 0.4
+    assert h.params["base_color"][0] > h.params["base_color"][2]
