@@ -287,6 +287,19 @@ _ND_TYPE_TOKENS = {
 }
 
 
+# procedural generator nodes: uv-space functions baked through the texture
+# manager's composite path (_eval_bake) — exact at texel centers, one pool
+# slot at render time. 3D variants evaluate at position=(u,v,0): the
+# documented approximation for baking a position-domain generator into the
+# uv-indexed pool (the reference compiles these to per-hit MDL code,
+# MtlxMdlCodeGen.cpp:217-287).
+_PROC_GENERATORS = (
+    "checkerboard", "ramplr", "ramptb", "ramp4", "noise2d", "noise3d",
+    "fractal3d", "cellnoise2d", "cellnoise3d", "worleynoise2d",
+    "worleynoise3d",
+)
+
+
 def normalize_shader_id(sid: str) -> str:
     """USD-authored MaterialX nodes carry nodedef names (`ND_multiply_color3`,
     `ND_image_color3`, `ND_frame_float`); strip the prefix and type suffixes
@@ -487,6 +500,61 @@ class GraphLowering:
                     "channel; using the reader fallback (%s)", var, node.path)
             return GraphValue(constant=fallback)
         if sid == "texcoord":
-            return GraphValue(constant=_vec4(node.inputs.get("fallback", default)))
+            # bakeable uv leaf: math over texcoord bakes over the texel grid
+            # (the reference reads state::texture_coordinate in MDL code)
+            return GraphValue(constant=_vec4(node.inputs.get("fallback", default)),
+                              expr=Expr(op="texcoord"))
+        if sid in _PROC_GENERATORS:
+            return self._eval_proc_node(node, sid, ev, color_hint)
         get_logger().debug("shader graph: unhandled node %s (%s)", sid, node.path)
         return GraphValue(constant=_vec4(default))
+
+    def _eval_proc_node(self, node, sid: str, ev, color_hint: bool) -> GraphValue:
+        """Procedural generator -> Expr leaf for the texture baker.
+        Value-like inputs (colors, amplitude, pivot) stay Exprs so textured
+        parameters compose; shape scalars (tiling, octaves, jitter) fold
+        into the Expr's const quad."""
+        def c4(name, d):
+            return _vec4(ev(name, _vec4(d)).constant, _vec4(d))
+
+        if sid == "checkerboard":
+            a = ev("in1", (1.0, 1.0, 1.0, 1.0), color_hint)
+            b = ev("in2", (0.0, 0.0, 0.0, 1.0), color_hint)
+            tile = c4("uvtiling", (8.0, 8.0, 0.0, 0.0))
+            off = c4("uvoffset", (0.0, 0.0, 0.0, 0.0))
+            mean = tuple((x + y) / 2 for x, y in zip(a.constant, b.constant))
+            return GraphValue(constant=mean, expr=Expr(
+                op=sid, const=(tile[0], tile[1], off[0], off[1]),
+                args=(a.exact, b.exact)))
+        if sid in ("ramplr", "ramptb"):
+            a_name, b_name = (("valuel", "valuer") if sid == "ramplr"
+                              else ("valuet", "valueb"))
+            a = ev(a_name, (0.0, 0.0, 0.0, 1.0), color_hint)
+            b = ev(b_name, (1.0, 1.0, 1.0, 1.0), color_hint)
+            mean = tuple((x + y) / 2 for x, y in zip(a.constant, b.constant))
+            return GraphValue(constant=mean,
+                              expr=Expr(op=sid, args=(a.exact, b.exact)))
+        if sid == "ramp4":
+            vs = [ev(n, (0.0, 0.0, 0.0, 1.0), color_hint)
+                  for n in ("valuetl", "valuetr", "valuebl", "valuebr")]
+            mean = tuple(sum(v.constant[i] for v in vs) / 4 for i in range(4))
+            return GraphValue(constant=mean, expr=Expr(
+                op=sid, args=tuple(v.exact for v in vs)))
+        if sid in ("noise2d", "noise3d"):
+            amp = ev("amplitude", (1.0, 1.0, 1.0, 1.0))
+            piv = ev("pivot", (0.0, 0.0, 0.0, 0.0))
+            return GraphValue(constant=piv.constant, expr=Expr(
+                op=sid, args=(amp.exact, piv.exact)))
+        if sid == "fractal3d":
+            amp = ev("amplitude", (1.0, 1.0, 1.0, 1.0))
+            octaves = float(c4("octaves", (3.0,) * 4)[0])
+            lac = float(c4("lacunarity", (2.0,) * 4)[0])
+            dim = float(c4("diminish", (0.5,) * 4)[0])
+            return GraphValue(constant=(0.0, 0.0, 0.0, 0.0), expr=Expr(
+                op=sid, const=(octaves, lac, dim, 0.0), args=(amp.exact,)))
+        if sid in ("cellnoise2d", "cellnoise3d"):
+            return GraphValue(constant=(0.5, 0.5, 0.5, 0.5), expr=Expr(op=sid))
+        # worleynoise2d / worleynoise3d
+        jitter = float(c4("jitter", (1.0,) * 4)[0])
+        return GraphValue(constant=(0.5, 0.5, 0.5, 0.5), expr=Expr(
+            op=sid, const=(jitter, 0.0, 0.0, 0.0)))

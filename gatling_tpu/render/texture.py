@@ -34,6 +34,13 @@ WRAP_CLAMP = 1
 WRAP_REPEAT = 2
 WRAP_MIRROR = 3
 
+# procedural generator Expr ops baked over a uv grid (render/procedural.py)
+_PROC_OPS = frozenset((
+    "checkerboard", "ramplr", "ramptb", "ramp4", "noise2d", "noise3d",
+    "fractal3d", "cellnoise2d", "cellnoise3d", "worleynoise2d",
+    "worleynoise3d", "texcoord",
+))
+
 _WRAP_NAMES = {
     "black": WRAP_BLACK, "clamp": WRAP_CLAMP,
     "repeat": WRAP_REPEAT, "mirror": WRAP_MIRROR,
@@ -189,11 +196,24 @@ class TextureManager:
                 i = "rgba".index(ref.channel)
                 img = np.repeat(img[..., i:i + 1], 4, axis=-1)
             return img.astype(np.float32)
+        from gatling_tpu.render.procedural import (PROC_BAKE_RES,
+                                                   eval_generator)
+
         args = [self._eval_bake(a) for a in expr.args]
-        h = max(a.shape[0] for a in args)
-        w = max(a.shape[1] for a in args)
+        is_proc = expr.op in _PROC_OPS
+        h = max([a.shape[0] for a in args]
+                + ([PROC_BAKE_RES] if is_proc else []))
+        w = max([a.shape[1] for a in args]
+                + ([PROC_BAKE_RES] if is_proc else []))
         args = [self._resize(a, h, w) if a.shape[:2] != (1, 1) else a
                 for a in args]
+        if is_proc:
+            # texel-center uv grid; v=0 is the BOTTOM row (UsdUVTexture
+            # convention, sample_pool)
+            u = ((np.arange(w) + 0.5) / w)[None, :] * np.ones((h, 1))
+            v = (1.0 - (np.arange(h) + 0.5) / h)[:, None] * np.ones((1, w))
+            args = [np.broadcast_to(a, (h, w, 4)) for a in args]
+            return eval_generator(expr.op, expr.const, args, u, v)
         if expr.op == "multiply":
             return args[0] * args[1]
         if expr.op == "divide":
@@ -220,8 +240,12 @@ class TextureManager:
             return (img.shape[0], img.shape[1], 4)
         if expr.op == "const":
             return (1, 1, 4)
+        from gatling_tpu.render.procedural import PROC_BAKE_RES
+
+        base = [PROC_BAKE_RES] if expr.op in _PROC_OPS else [1]
         shapes = [self._bake_shape(a) for a in expr.args]
-        return (max(s[0] for s in shapes), max(s[1] for s in shapes), 4)
+        return (max([s[0] for s in shapes] + base),
+                max([s[1] for s in shapes] + base), 4)
 
     def _load_raw(self, ref: TextureRef) -> tuple[np.ndarray, bool]:
         cached = self._raw_cache.get(ref.file_path)

@@ -339,3 +339,169 @@ def test_lower_material_primvar_base_color():
     lowered = lower_material(_mat(nodes, "/s"))
     assert "base_color" in lowered.dynamic
     assert lowered.dynamic["base_color"].op == "primvar"
+
+
+# ---------------------------------------------------------------------------
+# procedural generator nodes (VERDICT r3 item 5)
+# ---------------------------------------------------------------------------
+
+def _lower_mtlx_textures(doc: str):
+    from gatling_tpu.render.material import lower_material
+    from gatling_tpu.render.mtlx import parse_mtlx
+
+    return lower_material(parse_mtlx(doc, name="proc"))
+
+
+def test_checkerboard_bakes_exact():
+    """checkerboard lowers to a baked Expr whose image matches the trivial
+    oracle at every texel center (reference compiles the graph through MDL,
+    MtlxMdlCodeGen.cpp:217-287)."""
+    import numpy as np
+
+    from gatling_tpu.render.texture import TextureManager
+
+    doc = """<?xml version="1.0"?>
+<materialx version="1.38">
+  <checkerboard name="ch" type="color3">
+    <input name="in1" type="color3" value="1.0, 0.0, 0.0" />
+    <input name="in2" type="color3" value="0.0, 0.0, 1.0" />
+    <input name="uvtiling" type="vector2" value="4, 4" />
+  </checkerboard>
+  <standard_surface name="SR" type="surfaceshader">
+    <input name="base_color" type="color3" nodename="ch" />
+  </standard_surface>
+</materialx>"""
+    m = _lower_mtlx_textures(doc)
+    ref = m.textures["base_color"]
+    assert ref.bake is not None and ref.bake.op == "checkerboard"
+
+    img, is_hdr = TextureManager()._load_raw(ref)
+    h, w = img.shape[:2]
+    # oracle: texel centers, v=0 at the bottom row
+    u = (np.arange(w) + 0.5) / w
+    v = 1.0 - (np.arange(h) + 0.5) / h
+    mask = ((np.floor(u[None, :] * 4) + np.floor(v[:, None] * 4)) % 2 == 0)
+    # color3 values carry alpha 0 through the graph (_vec4 pad convention)
+    expect = np.where(mask[..., None],
+                      np.asarray([1.0, 0, 0, 0]), np.asarray([0, 0, 1.0, 0]))
+    # LDR bakes store sRGB codes quantized to 8 bits; 0/1 are exact
+    np.testing.assert_allclose(img, expect.astype(np.float32), atol=1e-6)
+
+
+def test_noise_driven_roughness_matches_oracle():
+    """noise2d feeding a scalar parameter bakes exactly: the pool image at
+    texel centers equals the NumPy generator evaluated on the same grid
+    (negative noise values force the exact float path, no quantization)."""
+    import numpy as np
+
+    from gatling_tpu.render import procedural
+    from gatling_tpu.render.texture import TextureManager
+
+    doc = """<?xml version="1.0"?>
+<materialx version="1.38">
+  <noise2d name="nz" type="float">
+    <input name="amplitude" type="float" value="1.0" />
+    <input name="pivot" type="float" value="0.0" />
+  </noise2d>
+  <standard_surface name="SR" type="surfaceshader">
+    <input name="specular_roughness" type="float" nodename="nz" />
+  </standard_surface>
+</materialx>"""
+    m = _lower_mtlx_textures(doc)
+    ref = m.textures["roughness"]
+    assert ref.bake is not None and ref.bake.op == "noise2d"
+
+    img, is_hdr = TextureManager()._load_raw(ref)
+    assert is_hdr, "noise in [-1,1] must take the exact float path"
+    h, w = img.shape[:2]
+    u = ((np.arange(w) + 0.5) / w)[None, :] * np.ones((h, 1))
+    v = (1.0 - (np.arange(h) + 0.5) / h)[:, None] * np.ones((1, w))
+    oracle = procedural.perlin2(u, v)
+    np.testing.assert_allclose(img[..., 0], oracle, atol=1e-6)
+    # determinism: a second manager bakes the identical image
+    img2, _ = TextureManager()._load_raw(ref)
+    np.testing.assert_array_equal(img, img2)
+    # the noise is actually noise
+    assert img[..., 0].std() > 0.05
+
+
+def test_ramp_and_cellnoise_bake():
+    import numpy as np
+
+    from gatling_tpu.render.shadergraph import Expr
+    from gatling_tpu.render.texture import TextureManager, baked_ref
+
+    ramp = Expr(op="ramplr", args=(
+        Expr(op="const", const=(0.0, 0.0, 0.0, 1.0)),
+        Expr(op="const", const=(1.0, 1.0, 1.0, 1.0))))
+    img, _ = TextureManager()._load_raw(baked_ref(ramp))
+    w = img.shape[1]
+    # left edge ~0, right edge ~1, monotonic in u (sRGB-encoded is still
+    # monotonic)
+    row = img[0, :, 0]
+    assert row[0] < 0.05 and row[-1] > 0.95
+    assert np.all(np.diff(row) >= 0)
+
+    # cellnoise over [0,1) uv is one cell: exact-vs-oracle, and the
+    # generator itself varies across cells
+    import numpy as np
+    from gatling_tpu.render import procedural
+
+    cell = Expr(op="cellnoise2d")
+    cimg, c_hdr = TextureManager()._load_raw(baked_ref(cell))
+    h, w = cimg.shape[:2]
+    u = ((np.arange(w) + 0.5) / w)[None, :] * np.ones((h, 1))
+    v = (1.0 - (np.arange(h) + 0.5) / h)[:, None] * np.ones((1, w))
+    oracle = procedural.cellnoise2(u, v)
+    if not c_hdr:  # LDR path stores quantized sRGB codes
+        oracle = np.round(np.clip(np.where(
+            oracle <= 0.0031308, oracle * 12.92,
+            1.055 * np.maximum(oracle, 1e-12) ** (1 / 2.4) - 0.055),
+            0.0, 1.0) * 255.0) / 255.0
+    np.testing.assert_allclose(cimg[..., 0], oracle.astype(np.float32), atol=1e-6)
+    grid = np.mgrid[0:8, 0:8].astype(np.float64)
+    assert procedural.cellnoise2(grid[0], grid[1]).std() > 0.1
+    assert procedural.worley2(grid[0] / 2, grid[1] / 2).std() > 0.05
+
+
+def test_custom_nodedef_expansion():
+    """A document-defined nodedef + functional nodegraph expands inline at
+    its instantiation site (interfacename bindings)."""
+    import numpy as np
+
+    doc = """<?xml version="1.0"?>
+<materialx version="1.38">
+  <nodedef name="ND_double_color3" node="double">
+    <input name="in" type="color3" value="0.0, 0.0, 0.0" />
+    <output name="out" type="color3" />
+  </nodedef>
+  <nodegraph name="NG_double_color3" nodedef="ND_double_color3">
+    <multiply name="m1" type="color3">
+      <input name="in1" type="color3" interfacename="in" />
+      <input name="in2" type="color3" value="2.0, 2.0, 2.0" />
+    </multiply>
+    <output name="out" type="color3" nodename="m1" />
+  </nodegraph>
+  <double name="d1" type="color3">
+    <input name="in" type="color3" value="0.1, 0.2, 0.3" />
+  </double>
+  <standard_surface name="SR" type="surfaceshader">
+    <input name="base_color" type="color3" nodename="d1" />
+  </standard_surface>
+</materialx>"""
+    m = _lower_mtlx_textures(doc)
+    np.testing.assert_allclose(m.params["base_color"], (0.2, 0.4, 0.6), atol=1e-6)
+
+
+def test_open_pbr_nodedef_defaults():
+    """Unbound open_pbr_surface inputs take the bundled nodedef's spec
+    defaults (specular_roughness 0.3), not the uber fallback."""
+    doc = """<?xml version="1.0"?>
+<materialx version="1.38">
+  <open_pbr_surface name="SR" type="surfaceshader">
+    <input name="base_color" type="color3" value="0.5, 0.5, 0.5" />
+  </open_pbr_surface>
+</materialx>"""
+    m = _lower_mtlx_textures(doc)
+    assert abs(m.params["roughness"] - 0.3) < 1e-6
+    assert abs(m.params["ior"] - 1.6) < 1e-6
