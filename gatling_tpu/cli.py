@@ -32,7 +32,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="gatling",
         description="TPU-native USD path tracer (gatling_tpu)")
-    p.add_argument("scene", help="input USD scene (.usda)")
+    p.add_argument("scene", help="input USD scene (.usd / .usda / .usdc / .usdz)")
     p.add_argument("output", help="output image (.png/.exr/.hdr/...)")
     # app settings (Argparse.cpp:150-200)
     p.add_argument("--image-width", type=int, default=1200)

@@ -19,7 +19,7 @@ from typing import Any
 import numpy as np
 
 from gatling_tpu.scene import meshproc
-from gatling_tpu.scene.usda import Attr, Prim, Stage, load_usda
+from gatling_tpu.scene.usda import Attr, Prim, Stage, load_usd, load_usda
 from gatling_tpu.utils.log import get_logger
 
 # UsdGeomCamera/GfCamera unit scale: apertures and focal length are authored
@@ -633,4 +633,6 @@ def build_scene(stage: Stage) -> SceneDesc:
 
 
 def load_scene(path: str | os.PathLike) -> SceneDesc:
-    return build_scene(load_usda(path))
+    """UsdStage::Open analog: text usda, binary usdc, or usdz packages
+    (reference: src/gatling/main.cpp:132)."""
+    return build_scene(load_usd(path))

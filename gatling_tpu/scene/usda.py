@@ -238,7 +238,27 @@ class _Parser:
             prim.children[child.name] = child
             return
         if v == "variantSet":
-            raise ValueError("usda: variant sets not supported")
+            # variantSet "name" = { "sel" (meta) { statements } ... }
+            # each selection becomes a child prim named "{name=sel}" that
+            # _compose_variants merges per the authored selection
+            self.next()
+            set_name = self.next()[1]
+            self.expect("=")
+            self.expect("{")
+            while self.peek()[1] != "}":
+                sel = self.next()[1]
+                vpath = f"{prim.path}/{{{set_name}={sel}}}"
+                vprim = Prim(name=f"{{{set_name}={sel}}}", type_name="",
+                             path=vpath)
+                if self.peek()[1] == "(":
+                    vprim.meta = self.parse_metadata_block()
+                self.expect("{")
+                while self.peek()[1] != "}":
+                    self.parse_statement(vprim)
+                self.expect("}")
+                prim.children[vprim.name] = vprim
+            self.expect("}")
+            return
 
         qualifiers = []
         while self.peek()[1] in ("uniform", "custom", "varying", "add", "append", "prepend", "delete"):
@@ -313,6 +333,41 @@ class _Parser:
         return meta, prims
 
 
+def _compose_variants(prim: Prim) -> None:
+    """Resolve variantSets: merge the selected variant child ("{set=sel}"
+    prims, authored by the text parser's variantSet blocks or the crate
+    reader's variant-selection paths) into the prim, then drop all variant
+    children. Strength: local opinions > variant opinions (the L-over-V of
+    LIVRPS; references compose after, weaker still)."""
+    selections = prim.meta.get("variants") or {}
+    sets = prim.meta.get("variantSets") or []
+    if isinstance(sets, str):
+        sets = [sets]
+    variant_children = [n for n in prim.children if n.startswith("{")]
+    for set_name in sets:
+        sel = selections.get(set_name)
+        if sel is None:
+            # no authored selection: first authored variant wins (pxr would
+            # consult fallbacks; alphabetical-first is the deterministic
+            # approximation)
+            cands = sorted(n for n in variant_children
+                           if n.startswith("{" + set_name + "="))
+            if not cands:
+                continue
+            key = cands[0]
+        else:
+            key = f"{{{set_name}={sel}}}"
+        vprim = prim.children.get(key)
+        if vprim is None:
+            continue
+        _compose_variants(vprim)  # nested variants inside the variant
+        _merge_prim(prim, vprim)
+    for n in variant_children:
+        prim.children.pop(n, None)
+    for child in list(prim.children.values()):
+        _compose_variants(child)
+
+
 def _compose_references(prim: Prim, base_dir: str) -> None:
     """Resolve `references`/`payload` metadata by merging the referenced
     layer's default (or named) prim into this prim. Flat, best-effort USD
@@ -333,12 +388,27 @@ def _compose_references(prim: Prim, base_dir: str) -> None:
             full = os.path.join(base_dir, asset)
             if not os.path.exists(full):
                 continue
-            sub = load_usda(full)
+            sub = load_usd(full, compose=False)
+            if target_path is not None:
+                target_path = str(target_path).strip("<>")
             src = sub.find(str(target_path)) if target_path else None
             if src is None:
                 default = sub.meta.get("defaultPrim")
                 src = sub.find(f"/{default}") if default else next(iter(sub.root.children.values()), None)
             if src is not None:
+                # variant selections authored on the referencing prim are
+                # stronger than the referenced layer's and apply down
+                # namespace (USD: selections inherit to descendant sets)
+                ref_sel = prim.meta.get("variants") or {}
+                if ref_sel:
+                    for sp in src.walk():
+                        if sp.meta.get("variantSets") or any(
+                                n.startswith("{") for n in sp.children):
+                            cur = dict(sp.meta.get("variants") or {})
+                            cur.update(ref_sel)
+                            sp.meta["variants"] = cur
+                _compose_variants(src)
+                _compose_references(src, os.path.dirname(full))
                 _merge_prim(prim, src)
     for child in prim.children.values():
         _compose_references(child, base_dir)
@@ -369,7 +439,17 @@ def _reparent(prim: Prim, new_parent: str) -> Prim:
     return out
 
 
-def parse_usda(text: str, path: str = "") -> Stage:
+def compose_stage(stage: Stage) -> Stage:
+    """Apply the supported composition arcs in strength order
+    (local > variants > references/payload)."""
+    _compose_variants(stage.root)
+    if stage.path:
+        _compose_references(stage.root,
+                            os.path.dirname(os.path.abspath(stage.path)))
+    return stage
+
+
+def parse_usda(text: str, path: str = "", compose: bool = True) -> Stage:
     if not text.lstrip().startswith("#usda"):
         raise ValueError("not a usda text file")
     tokens = _tokenize(text)
@@ -378,11 +458,52 @@ def parse_usda(text: str, path: str = "") -> Stage:
     for p in prims:
         root.children[p.name] = p
     stage = Stage(root=root, meta=meta, path=path)
-    if path:
-        _compose_references(root, os.path.dirname(os.path.abspath(path)))
-    return stage
+    return compose_stage(stage) if compose else stage
 
 
-def load_usda(path: str | os.PathLike) -> Stage:
+def load_usda(path: str | os.PathLike, compose: bool = True) -> Stage:
     with open(path, "r", encoding="utf-8") as f:
-        return parse_usda(f.read(), str(path))
+        return parse_usda(f.read(), str(path), compose=compose)
+
+
+def _load_usdz(path: str, compose: bool) -> Stage:
+    """usdz = uncompressed zip; the FIRST .usd[ac] entry is the default
+    layer (usdz spec). Entries extract to a mtime-keyed temp tree so
+    relative texture/reference asset paths resolve as real files."""
+    import hashlib
+    import tempfile
+    import zipfile
+
+    st = os.stat(path)
+    key = hashlib.md5(f"{os.path.abspath(path)}:{st.st_mtime_ns}:"
+                      f"{st.st_size}".encode()).hexdigest()[:16]
+    out_dir = os.path.join(tempfile.gettempdir(), f"gatling_usdz_{key}")
+    with zipfile.ZipFile(path) as z:
+        names = z.namelist()
+        if not os.path.isdir(out_dir):
+            tmp = out_dir + ".tmp"
+            z.extractall(tmp)
+            os.replace(tmp, out_dir)
+    default = next((n for n in names
+                    if n.lower().endswith((".usd", ".usda", ".usdc"))), None)
+    if default is None:
+        raise ValueError(f"usdz {path}: no usd layer inside")
+    return load_usd(os.path.join(out_dir, default), compose=compose)
+
+
+def load_usd(path: str | os.PathLike, compose: bool = True) -> Stage:
+    """Format-dispatching loader: text usda, binary usdc (crate), or usdz
+    zip — detected by content, not extension (UsdStage::Open analog,
+    reference: src/gatling/main.cpp:132)."""
+    path = str(path)
+    with open(path, "rb") as f:
+        head = f.read(8)
+    if head[:4] == b"PK\x03\x04":
+        return _load_usdz(path, compose)
+    if head == b"PXR-USDC":
+        from gatling_tpu.scene.crate import read_usdc
+
+        with open(path, "rb") as f:
+            stage = read_usdc(f.read(), path=path)
+        return compose_stage(stage) if compose else stage
+    return load_usda(path, compose=compose)

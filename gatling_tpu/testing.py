@@ -21,7 +21,7 @@ import numpy as np
 from gatling_tpu import gi, imgio
 from gatling_tpu.interface import AOV_CHANNELS, AovId
 from gatling_tpu.scene.stage import build_scene
-from gatling_tpu.scene.usda import Stage, load_usda
+from gatling_tpu.scene.usda import Stage, load_usd, load_usda
 from gatling_tpu.utils.config import default_settings
 from gatling_tpu.utils.log import get_logger
 
@@ -155,7 +155,7 @@ def _encode_srgb_u8(aov: AovId, data: np.ndarray) -> np.ndarray:
 def render_products(scene_path: str | Path) -> tuple[dict[str, np.ndarray], RenderSpec]:
     """Render every (product, aov) of a test scene; returns byte images keyed
     by '<aov-name>' (flipped to image convention)."""
-    stage = load_usda(scene_path)
+    stage = load_usd(scene_path)
     spec = compute_render_spec(stage)
     desc = build_scene(stage)
 

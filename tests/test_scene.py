@@ -101,9 +101,12 @@ def Xform "A"
     np.testing.assert_allclose(p[:3], [3, 0, 0])
 
 
-def test_unsupported_variant_raises():
-    with pytest.raises(ValueError):
-        parse_usda('#usda 1.0\ndef Xform "A" { variantSet "x" = {} }')
+def test_empty_variant_set_parses():
+    # variant sets are supported now (test_usdc.py covers composition);
+    # an empty set simply contributes nothing
+    s = parse_usda('#usda 1.0\ndef Xform "A" { variantSet "x" = {} }')
+    assert s.find("/A") is not None
+    assert not s.find("/A").children
 
 
 def test_references_compose(tmp_path):

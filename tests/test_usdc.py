@@ -1,0 +1,176 @@
+"""Binary USD (crate) + usdz + variantSet composition tests
+(VERDICT r3 item 2; reference opens all of these via UsdStage::Open,
+src/gatling/main.cpp:132)."""
+
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+from gatling_tpu.scene.crate import read_usdc, save_usdc, write_usdc
+from gatling_tpu.scene.usda import load_usd, load_usda, parse_usda
+
+CORNELL = "/root/reference/cornell.usda"
+
+
+def test_crate_round_trip_structure():
+    s = load_usda(CORNELL)
+    s2 = read_usdc(write_usdc(s), path="mem")
+    orig = {p.path: (p.type_name, sorted(p.attrs), sorted(p.rels))
+            for p in s.walk()}
+    rt = {p.path: (p.type_name, sorted(p.attrs), sorted(p.rels))
+          for p in s2.walk()}
+    assert orig == rt
+    assert s2.meta["defaultPrim"] == "Root"
+    # values survive up to the f32 quantization inherent to crate vecs
+    for p in s.walk():
+        p2 = s2.find(p.path)
+        for an, a in p.attrs.items():
+            b = p2.attrs[an]
+            if isinstance(a.value, (int, float)):
+                assert abs(a.value - b.value) < 1e-5
+            assert str(a.connect or "") == str(b.connect or "")
+
+
+def test_usdc_renders_identical_to_usda(tmp_path):
+    """A .usdc export of cornell renders the same image as the .usda."""
+    from gatling_tpu.cli import render_scene_file
+    from gatling_tpu.utils.config import default_settings
+
+    p = tmp_path / "cornell.usdc"
+    save_usdc(load_usda(CORNELL), p)
+    s = default_settings()
+    s.update(spp=2, maxBounces=2)
+    img_a, _ = render_scene_file(CORNELL, 64, 64, s)
+    img_c, _ = render_scene_file(str(p), 64, 64, s)
+    # f32 vec quantization in the crate container is the only difference
+    np.testing.assert_allclose(img_c, img_a, rtol=1e-4, atol=1e-5)
+
+
+def test_usdz_package(tmp_path):
+    """A .usdz (zip) package loads through its first usd layer."""
+    from gatling_tpu.scene.stage import load_scene
+
+    inner = tmp_path / "cornell.usdc"
+    save_usdc(load_usda(CORNELL), inner)
+    z = tmp_path / "scene.usdz"
+    with zipfile.ZipFile(z, "w", zipfile.ZIP_STORED) as zf:
+        zf.write(inner, "cornell.usdc")
+    desc = load_scene(str(z))
+    assert len(desc.meshes) >= 5
+    assert desc.first_camera() is not None
+
+
+VARIANT_DOC = """#usda 1.0
+(
+    defaultPrim = "Root"
+)
+def Xform "Root"
+{
+    def Sphere "Ball" (
+        variants = {
+            string shading = "red"
+        }
+        prepend variantSets = "shading"
+    )
+    {
+        double radius = 1
+        variantSet "shading" = {
+            "red" {
+                color3f[] primvars:displayColor = [(1, 0, 0)]
+                double radius = 2
+            }
+            "blue" {
+                color3f[] primvars:displayColor = [(0, 0, 1)]
+            }
+        }
+    }
+}
+"""
+
+
+def test_variant_selection_text():
+    s = parse_usda(VARIANT_DOC)
+    ball = s.find("/Root/Ball")
+    assert ball is not None
+    dc = ball.attrs["primvars:displayColor"].value
+    np.testing.assert_allclose(np.asarray(dc, np.float64)[0], (1, 0, 0))
+    # local opinion (radius 1) beats the variant's (2): L over V
+    assert float(ball.attrs["radius"].value) == 1.0
+    # no leftover variant children
+    assert not [n for n in ball.children if n.startswith("{")]
+
+
+def test_variant_selection_switch():
+    doc = VARIANT_DOC.replace('string shading = "red"',
+                              'string shading = "blue"')
+    s = parse_usda(doc)
+    dc = s.find("/Root/Ball").attrs["primvars:displayColor"].value
+    np.testing.assert_allclose(np.asarray(dc, np.float64)[0], (0, 0, 1))
+
+
+def test_variant_round_trip_through_crate(tmp_path):
+    """Variants survive crate serialization: write the UNCOMPOSED stage,
+    read it back, compose, and the authored selection applies."""
+    raw = parse_usda(VARIANT_DOC, compose=False)
+    p = tmp_path / "var.usdc"
+    save_usdc(raw, p)
+    s = load_usd(str(p))
+    ball = s.find("/Root/Ball")
+    dc = ball.attrs["primvars:displayColor"].value
+    np.testing.assert_allclose(np.asarray(dc, np.float64)[0], (1, 0, 0))
+
+
+def test_reference_with_variant_override(tmp_path):
+    """A referencing prim's variant selection overrides the referenced
+    layer's authored default (V over R)."""
+    (tmp_path / "asset.usda").write_text(VARIANT_DOC)
+    (tmp_path / "main.usda").write_text("""#usda 1.0
+def Xform "World"
+{
+    def "Thing" (
+        references = @./asset.usda@
+        variants = {
+            string shading = "blue"
+        }
+    )
+    {
+    }
+}
+""")
+    s = load_usd(str(tmp_path / "main.usda"))
+    ball = s.find("/World/Thing/Ball")
+    assert ball is not None
+    dc = ball.attrs["primvars:displayColor"].value
+    np.testing.assert_allclose(np.asarray(dc, np.float64)[0], (0, 0, 1))
+
+
+def test_crate_rejects_garbage():
+    with pytest.raises(ValueError):
+        read_usdc(b"NOT-USDC" + b"\0" * 100)
+
+
+def test_crate_compressed_int_arrays():
+    """Compressed int/float array decode paths (the layout modern
+    exporters emit for faceVertexIndices)."""
+    import struct
+
+    from gatling_tpu.scene import crate as C
+
+    # build a file whose int array uses the compressed representation
+    w = C._CrateWriter()
+    vals = list(range(100))
+
+    # hand-roll a compressed int-array rep
+    enc = C._chunked_compress(C._encode_ints(np.asarray(vals, np.int64)))
+    payload = struct.pack("<Q", len(vals)) + struct.pack("<Q", len(enc)) + enc
+    off = w._append(payload)
+    rep = (C.T_INT << 48) | C._REP_ARRAY | C._REP_COMPRESSED | off
+    w.spec("/", C.SPEC_PSEUDO_ROOT, {})
+    w.spec("/P", C.SPEC_PRIM, {"typeName": w.rep("Mesh")})
+    w.spec("/P.faceVertexIndices", C.SPEC_ATTRIBUTE,
+           {"typeName": w.rep("int[]"), "default": rep})
+    s = read_usdc(w.tobytes())
+    got = s.find("/P").attrs["faceVertexIndices"].value
+    assert got == vals
