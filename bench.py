@@ -24,7 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main() -> None:
+def measure(scene_path: str, width=None, spp=None, max_bounces=None,
+            use_nee=False, use_textured=False, use_normalmap=False) -> dict:
+    """Measure one ladder config; returns the result dict."""
     from gatling_tpu.scene.stage import load_scene
     from gatling_tpu.ops.geometry import build_geometry
     from gatling_tpu.render.material import build_material_table, lower_material
@@ -34,22 +36,20 @@ def main() -> None:
     from gatling_tpu.render.camera import CameraUniforms
     from gatling_tpu.interface import AovId, aov_bit
 
-    scene_path = os.environ.get("GATLING_BENCH_SCENE", "/root/reference/cornell.usda")
-    # sphere_field (290k tris, clustered tracer) defaults to a smaller config:
+    # sphere_field (290k tris) and interior default to a smaller config:
     # a 1200sq/16spp frame is a single multi-second XLA execution, which the
     # shared TPU worker's watchdog can kill (PERF.md "Known issues")
     big_scene = scene_path in ("sphere_field", "interior")
-    width = height = int(os.environ.get("GATLING_BENCH_RES", "512" if big_scene else "1200"))
-    spp = int(os.environ.get("GATLING_BENCH_SPP", "4" if big_scene else "16"))
-    max_bounces = int(os.environ.get("GATLING_BENCH_BOUNCES", "6" if big_scene else "8"))
-    # the interior (Evermotion-class ladder config 5) benches with NEE on:
-    # an enclosed room is unrenderable without it at these spp
-    use_nee = os.environ.get(
-        "GATLING_BENCH_NEE", "1" if scene_path == "interior" else "0") == "1"
-    use_textured = os.environ.get("GATLING_BENCH_TEXTURED", "0") == "1"
-    use_normalmap = os.environ.get("GATLING_BENCH_NORMALMAP", "0") == "1"
+    width = width or int(os.environ.get("GATLING_BENCH_RES", "512" if big_scene else "1200"))
+    height = width
+    spp = spp or int(os.environ.get("GATLING_BENCH_SPP", "4" if big_scene else "16"))
+    max_bounces = max_bounces or int(os.environ.get(
+        "GATLING_BENCH_BOUNCES", "6" if big_scene else "8"))
 
     from gatling_tpu.gi import _build_accel, _choose_tracer
+
+    if scene_path == "interior":
+        use_nee = True
 
     if scene_path == "sphere_field":
         # Junk-Shop-class procedural stand-in (~290k triangles, BVH tracer)
@@ -184,9 +184,16 @@ def main() -> None:
     use_fused = (jax.default_backend() == "tpu" and supports_fused(config, False)
                  and os.environ.get("GATLING_FUSED", "1") != "0")
     if use_fused:
-        from gatling_tpu.ops.pallas_bounce import build_fused_scene
+        from gatling_tpu.ops.pallas_bounce import (build_fused_scene,
+                                                   build_fused_scene_instanced)
 
-        fs, fstatic = build_fused_scene(geom, table, lights)
+        res = None
+        if not use_textured and not use_normalmap:
+            res = build_fused_scene_instanced(desc.meshes, midx, table, lights)
+        if res is not None:
+            fs, fstatic = res
+        else:
+            fs, fstatic = build_fused_scene(geom, table, lights)
         if use_textured:
             import dataclasses as _dc
 
@@ -240,7 +247,10 @@ def main() -> None:
     mrays_per_sec = rays / dt / 1e6
 
     target = 100.0  # Mray/s/chip (BASELINE.json north star)
-    print(json.dumps({
+    tracer_name = "fused" if use_fused else tracer
+    if use_fused and fstatic.instanced:
+        tracer_name = "fused_instanced"
+    return {
         "metric": (("cornell_1200sq_trace_shade" if "cornell" in scene_path
                     else f"{os.path.basename(scene_path)}_trace_shade")
                    + ("_nee" if use_nee else "")
@@ -254,11 +264,63 @@ def main() -> None:
             "max_bounces": max_bounces,
             "mean_path_length": round(float(mean_path_len), 3),
             "frame_seconds": round(dt, 4),
-            "tracer": ("fused" if use_fused else tracer),
+            "tracer": tracer_name,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },
-    }))
+    }
+
+
+# BASELINE.md measurement ladder: every config measured on every bench run
+# (VERDICT r3 item 4 — a perf table with TBDs silently regresses). Each
+# entry: (label, measure kwargs).
+LADDER = [
+    ("cornell", dict(scene_path="/root/reference/cornell.usda")),
+    ("cornell_nee", dict(scene_path="/root/reference/cornell.usda",
+                         use_nee=True)),
+    ("cornell_textured", dict(scene_path="/root/reference/cornell.usda",
+                              use_textured=True)),
+    ("cornell_normalmapped", dict(scene_path="/root/reference/cornell.usda",
+                                  use_normalmap=True)),
+    ("sphere_field", dict(scene_path="sphere_field")),
+    ("interior_nee_textured", dict(scene_path="interior", use_nee=True)),
+]
+
+
+def main() -> None:
+    scene_env = os.environ.get("GATLING_BENCH_SCENE")
+    if scene_env or os.environ.get("GATLING_BENCH_SINGLE"):
+        # single-config mode (manual profiling / env-driven overrides)
+        result = measure(
+            scene_env or "/root/reference/cornell.usda",
+            use_nee=os.environ.get(
+                "GATLING_BENCH_NEE", "1" if scene_env == "interior" else "0") == "1",
+            use_textured=os.environ.get("GATLING_BENCH_TEXTURED", "0") == "1",
+            use_normalmap=os.environ.get("GATLING_BENCH_NORMALMAP", "0") == "1")
+        print(json.dumps(result))
+        return
+    extra = {}
+    head = None
+    for label, kw in LADDER:
+        try:
+            r = measure(**kw)
+        except Exception as e:  # noqa: BLE001 — one config must not kill the run
+            extra[label] = {"error": f"{e.__class__.__name__}: {e}"}
+            print(f"# {label} FAILED: {e}", file=sys.stderr)
+            continue
+        print(f"# {label}: {r['value']} Mray/s/chip "
+              f"({r['detail']['tracer']}, {r['detail']['frame_seconds']} s)",
+              file=sys.stderr)
+        if label == "cornell":
+            head = r
+        else:
+            extra[label] = {"value": r["value"], "unit": r["unit"],
+                            "vs_baseline": r["vs_baseline"],
+                            "detail": r["detail"]}
+    if head is None:
+        raise SystemExit("cornell ladder config failed")
+    head["detail"]["extra_configs"] = extra
+    print(json.dumps(head))
 
 
 def estimate_mean_path_length(config, uniforms, geom, table, lights, accel=None) -> float:

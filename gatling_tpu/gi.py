@@ -445,13 +445,28 @@ def render(params: GiRenderParams) -> None:
         else:
             scene._geom = scene._geom_base
         if scene._fused_scene is not None:
-            from gatling_tpu.ops.pallas_bounce import build_fused_scene_with_order
+            if scene._fused_scene[1].instanced:
+                # instance-table-only rebuild: the TLAS-refit analog —
+                # shared local clusters never re-transform
+                from gatling_tpu.ops.pallas_bounce import (
+                    build_fused_scene_instanced)
 
-            fs, fstatic, order = build_fused_scene_with_order(
-                scene._geom_base, _fused_mat_table(scene), scene._light_arrays,
-                reuse_order=scene._fused_order)
-            scene._fused_scene = (fs, fstatic)
-            scene._fused_order = order
+                res = build_fused_scene_instanced(
+                    scene.meshes, scene._material_index,
+                    _fused_mat_table(scene), scene._light_arrays)
+                if res is not None:
+                    scene._fused_scene = res
+                else:  # transforms changed eligibility: fall back flat
+                    scene._fused_scene = None
+                    scene._fused_order = None
+            else:
+                from gatling_tpu.ops.pallas_bounce import build_fused_scene_with_order
+
+                fs, fstatic, order = build_fused_scene_with_order(
+                    scene._geom_base, _fused_mat_table(scene), scene._light_arrays,
+                    reuse_order=scene._fused_order)
+                scene._fused_scene = (fs, fstatic)
+                scene._fused_order = order
         scene._pending_transforms = []
         log.info("refreshed %d instance transform(s) in %.1f ms (no geometry rebuild)",
                  len(pending), 1e3 * (time.monotonic() - t0))
@@ -571,20 +586,48 @@ def render(params: GiRenderParams) -> None:
             getattr(m.mesh, "colors", None) is not None
             for m in scene.meshes)
         has_dynamic = bool(config.dynamic_params)
+        # refractive transmission / clearcoat / anisotropy shade on the
+        # wavefront integrator until the fused shade grows those lobes
+        has_advanced_bsdf = any(
+            (r.params.get("transmission", 0.0) > 0.0
+             and not r.params.get("thin_walled", 0))
+            or r.params.get("clearcoat", 0.0) > 0.0
+            or r.params.get("anisotropy", 0.0) != 0.0
+            for r in scene._lowered_materials)
         use_fused = (_jax.default_backend() == "tpu"
                      and not has_vertex_colors and not has_dynamic
                      and not config.has_backface
                      and supports_fused(config, has_textures, has_normal_maps,
-                                        has_scattering, has_opacity_textures))
+                                        has_scattering, has_opacity_textures,
+                                        has_advanced_bsdf))
     if use_fused:
         from gatling_tpu.ops.pallas_bounce import build_fused_scene_with_order
         from gatling_tpu.render.fused import render_pixels_fused
         from gatling_tpu.render.integrator import SampleResult, FirstHitInfo, blend_aovs
 
         if getattr(scene, "_fused_scene", None) is None:
-            fs, fstatic, order = build_fused_scene_with_order(
-                scene._geom_base if scene._geom_base is not None else scene._geom,
-                _fused_mat_table(scene), scene._light_arrays)
+            fs = fstatic = order = None
+            if not has_textures and not has_normal_maps:
+                # two-level instanced scene (BLAS sharing): the right
+                # structure when unique meshes repeat many times — walks
+                # the shared local clusters instead of a flattened table
+                from gatling_tpu.ops.pallas_bounce import (
+                    build_fused_scene_instanced)
+
+                res = build_fused_scene_instanced(
+                    scene.meshes, scene._material_index,
+                    _fused_mat_table(scene), scene._light_arrays)
+                if res is not None:
+                    fs, fstatic = res
+                    get_logger().info(
+                        "instanced fused scene: %d instances x %d unique "
+                        "clusters (flattened would be %d tris)",
+                        fstatic.n_instances, fstatic.n_clusters,
+                        fstatic.n_tris)
+            if fs is None:
+                fs, fstatic, order = build_fused_scene_with_order(
+                    scene._geom_base if scene._geom_base is not None else scene._geom,
+                    _fused_mat_table(scene), scene._light_arrays)
             scene._fused_scene = (fs, fstatic)
             scene._fused_order = order
         fs, fstatic = scene._fused_scene

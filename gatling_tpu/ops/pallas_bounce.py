@@ -257,6 +257,10 @@ class FusedScene(NamedTuple):
     lights: jnp.ndarray  # [max(L,1), LIGHT_COLS]
     l1_aabbs: jnp.ndarray  # [8, n_l1] (rows 0-5: min xyz / max xyz); dummy in resident
     l2_aabbs: jnp.ndarray  # [8, n_l1 * L1_FAN]
+    # instanced mode (build_fused_scene_instanced; None elsewhere):
+    inst_smem: jnp.ndarray | None = None  # [n_l1, 16] f32 SMEM: A3 9, a_t 3, pass_prob
+    inst_map: jnp.ndarray | None = None   # [n_l1 * L1_FAN] i32 -> unique cluster
+    inst_attr: jnp.ndarray | None = None  # [lanes, 24] f32 VMEM pass-2 gather rows
 
 
 @dataclasses.dataclass(frozen=True)
@@ -298,10 +302,18 @@ class FusedStatic:
     # matrix walk + plan are shaped around 1024-ray blocks); the resident
     # path uses 16 — see the RAY_BLOCK comment for the measurement.
     block_rows: int = BLOCK_ROWS
+    # two-level instanced mode (build_fused_scene_instanced): L1 entries
+    # are instance placements whose transforms live in the inst tables;
+    # n_clusters counts UNIQUE local clusters (always clu_vmem)
+    n_instances: int = 0
 
     @property
     def clustered(self) -> bool:
         return self.n_clusters > 0
+
+    @property
+    def instanced(self) -> bool:
+        return self.n_instances > 0
 
 
 # ---------------------------------------------------------------------------
@@ -584,6 +596,215 @@ def build_fused_scene_with_order(
         l2_aabbs=jnp.asarray(l2),
     )
     return scene, static, order
+
+
+def build_fused_scene_instanced(
+    mesh_descs,
+    material_index: dict,
+    table: MaterialTable,
+    light_arrays: LightArrays | None = None,
+    min_gain: float = 4.0,
+    min_flat: int = 4096,
+) -> "tuple[FusedScene, FusedStatic] | None":
+    """Two-level INSTANCED fused scene — the BLAS-sharing analog of the
+    reference's TLAS (one BLAS per unique mesh, one TLAS instance per
+    placement, CgpuVk.cpp:2764-2854 / Gi.cpp:1188-1202).
+
+    Unique meshes keep their triangles in LOCAL space as VMEM-resident
+    128-tri clusters; each instance contributes an L1 walk entry carrying
+    its world AABB + world->local transform, with its mesh's local
+    clusters (world-boxed per instance) as the L2 fan. The kernel
+    transforms the ray block into instance space per visit and intersects
+    the SHARED local rows — a 290k-triangle field of 256 instanced
+    spheres walks ~1.1k unique resident triangles instead of a 2.3k-
+    cluster HBM table.
+
+    Returns None when the scene does not profit (low instancing gain,
+    unique set too large, non-invertible transforms) — callers fall back
+    to the flattened builder. Per-instance material/object ids ride the
+    instance table (the hitGroupIndex analog, Gi.cpp:1195), so instances
+    of one mesh may bind different materials; per-face (GeomSubset)
+    materials within one instanced mesh are not supported here (the
+    flattened path handles those scenes).
+    """
+    from types import SimpleNamespace
+
+    from gatling_tpu.scene.meshproc import materialize_mesh
+
+    if light_arrays is not None:
+        light_table, light_types = build_fused_lights(light_arrays)
+    else:
+        light_table = np.zeros((1, LIGHT_COLS), np.float32)
+        light_types = ()
+
+    pf = np.asarray(table.packed_f)
+    from gatling_tpu.render.material import MF_OPACITY, MF_OPACITY_THRESH
+
+    op = pf[:, MF_OPACITY]
+    th = pf[:, MF_OPACITY_THRESH]
+    mat_pass = np.where(th > 0.0, (op >= th).astype(np.float32), op)
+
+    # ---- unique meshes -> local clustered rows ----
+    uniq: dict[int, dict] = {}  # id(mesh) -> info
+    flat_tris = 0
+    insts: list[dict] = []
+    for md in mesh_descs:
+        tm = materialize_mesh(md.mesh)
+        key = id(md.mesh)
+        if key not in uniq:
+            nt = tm.num_triangles
+            p = tm.positions.reshape(-1, 3, 3)
+            g = SimpleNamespace(
+                v0=p[:, 0], e1=p[:, 1] - p[:, 0], e2=p[:, 2] - p[:, 0],
+                n0=tm.normals.reshape(-1, 3, 3)[:, 0],
+                n1=tm.normals.reshape(-1, 3, 3)[:, 1],
+                n2=tm.normals.reshape(-1, 3, 3)[:, 2],
+                uv0=tm.uvs.reshape(-1, 3, 2)[:, 0],
+                uv1=tm.uvs.reshape(-1, 3, 2)[:, 1],
+                uv2=tm.uvs.reshape(-1, 3, 2)[:, 2],
+                material_id=np.zeros(nt, np.int32),
+                flags=np.zeros(nt, np.int32),
+            )
+            order = _morton_order(g, nt) if nt > CLUSTER_SIZE else np.arange(nt)
+            uniq[key] = {"geom": g, "order": order, "n": nt,
+                         "n_clusters": -(-nt // CLUSTER_SIZE)}
+        info = uniq[key]
+        transforms = md.instance_transforms
+        if transforms is None:
+            transforms = np.asarray(md.transform)[None]
+        mat_row = material_index.get(md.material, 0)
+        for xf in np.asarray(transforms, np.float64):
+            m3 = xf[:3, :3]
+            det = np.linalg.det(m3)
+            if abs(det) < 1e-30:
+                return None  # non-invertible placement
+            a3 = np.linalg.inv(m3)
+            a_t = -xf[3, :3] @ a3
+            insts.append({"key": key, "m3": m3, "m_t": xf[3, :3],
+                          "a3": a3, "a_t": a_t,
+                          "mat": mat_row, "obj": md.object_id,
+                          "ds": 1.0 if md.double_sided else 0.0,
+                          "pass": float(mat_pass[min(mat_row,
+                                                     len(mat_pass) - 1)])})
+        flat_tris += tm.num_triangles * len(transforms)
+
+    unique_tris = sum(i["n"] for i in uniq.values())
+    if (flat_tris <= min_flat or unique_tris == 0
+            or flat_tris / max(unique_tris, 1) < min_gain):
+        return None
+
+    # local cluster tables (CLU layout, shared across instances)
+    n_rows = CLU_TRI_ROWS
+    blocks: list[np.ndarray] = []
+    c2min: list[np.ndarray] = []
+    c2max: list[np.ndarray] = []
+    for info in uniq.values():
+        g, order, nt = info["geom"], info["order"], info["n"]
+        go = SimpleNamespace(**{k: np.asarray(v)[order] if hasattr(
+            v, "__len__") and len(v) == nt else v
+            for k, v in vars(g).items()})
+        rows = _tri_rows(go, tangents=False)
+        c_pad = info["n_clusters"]
+        t_pad = c_pad * CLUSTER_SIZE
+        rows_p = np.zeros((t_pad, n_rows), np.float32)
+        src_rows = [src for src, _ in CLU_ROW_MAP]
+        dst_rows = [dst for _, dst in CLU_ROW_MAP]
+        rows_p[:nt, dst_rows] = rows[:, src_rows]
+        rows_p[:nt, CLU_OPAC] = 1.0
+        info["cluster_base"] = len(blocks)
+        blocks.extend(rows_p.reshape(c_pad, CLUSTER_SIZE, n_rows)
+                      .transpose(0, 2, 1))
+        v0 = np.asarray(go.v0, np.float64)
+        v1 = v0 + np.asarray(go.e1, np.float64)
+        v2 = v0 + np.asarray(go.e2, np.float64)
+        tmin_p = np.full((t_pad, 3), FLOAT_MAX, np.float64)
+        tmax_p = np.full((t_pad, 3), -FLOAT_MAX, np.float64)
+        tmin_p[:nt] = np.minimum(np.minimum(v0, v1), v2)
+        tmax_p[:nt] = np.maximum(np.maximum(v0, v1), v2)
+        lmin = tmin_p.reshape(c_pad, CLUSTER_SIZE, 3).min(axis=1)
+        lmax = tmax_p.reshape(c_pad, CLUSTER_SIZE, 3).max(axis=1)
+        info["c_lo"], info["c_hi"] = lmin, lmax
+        c2min.append(lmin)
+        c2max.append(lmax)
+
+    # dedicated all-degenerate cluster for pad fan slots: the occlusion
+    # walk has no ten2 pre-gate, so pads must intersect NOTHING (zero
+    # plane normals never pass the |n.d| test)
+    uc = len(blocks)
+    blocks.append(np.zeros((n_rows, CLUSTER_SIZE), np.float32))
+    tris = np.stack(blocks)  # [UC + 1, n_rows, 128]
+    if tris.nbytes > CLU_VMEM_MAX_BYTES:
+        return None
+
+    # ---- instance (sub-)entries: each covers <= L1_FAN local clusters ----
+    entries: list[tuple[dict, int, int]] = []  # (inst, c0, nc)
+    for inst in insts:
+        info = uniq[inst["key"]]
+        nc = info["n_clusters"]
+        for c0 in range(0, nc, L1_FAN):
+            entries.append((inst, c0, min(L1_FAN, nc - c0)))
+    n_l1 = len(entries)
+    i_pad = n_l1  # L1 count needs no padding (plan/specs take it as-is)
+    c_pad = n_l1 * L1_FAN
+    i_lanes = max(128, -(-n_l1 // 128) * 128)
+
+    l1 = np.zeros((8, n_l1), np.float32)
+    l2 = np.zeros((8, c_pad), np.float32)
+    l2[0:3] = FLOAT_MAX
+    l2[3:6] = -FLOAT_MAX
+    inst_map = np.full((c_pad,), uc, np.int32)  # pads -> degenerate cluster
+    inst_smem = np.zeros((n_l1, 16), np.float32)
+    inst_attr = np.zeros((i_lanes, 24), np.float32)
+
+    for e, (inst, c0, nc) in enumerate(entries):
+        info = uniq[inst["key"]]
+        base = info["cluster_base"]
+        lo = info["c_lo"][c0:c0 + nc]
+        hi = info["c_hi"][c0:c0 + nc]
+        # world cluster boxes: transform the 8 local corners
+        bits = np.array([[(b >> k) & 1 for k in range(3)]
+                         for b in range(8)], bool)  # [8, 3]
+        corners = np.where(bits[None], hi[:, None, :],
+                           lo[:, None, :])  # [nc, 8, 3]
+        wc = corners @ inst["m3"] + inst["m_t"]
+        wlo = wc.min(axis=1)
+        whi = wc.max(axis=1)
+        # degenerate (all-padding) local clusters keep empty world boxes
+        empty = lo[:, 0] > hi[:, 0]
+        wlo = np.where(empty[:, None], FLOAT_MAX, wlo)
+        whi = np.where(empty[:, None], -FLOAT_MAX, whi)
+        l2[0:3, e * L1_FAN:e * L1_FAN + nc] = wlo.T
+        l2[3:6, e * L1_FAN:e * L1_FAN + nc] = whi.T
+        l1[0:3, e] = wlo.min(axis=0)
+        l1[3:6, e] = whi.max(axis=0)
+        inst_map[e * L1_FAN:e * L1_FAN + nc] = base + c0 + np.arange(nc)
+        a3 = inst["a3"].astype(np.float32)
+        inst_smem[e, 0:9] = a3.reshape(-1)   # A3[j, i] at 3j+i
+        inst_smem[e, 9:12] = inst["a_t"]
+        inst_smem[e, 12] = inst["pass"]
+        inst_attr[e, 0:9] = a3.reshape(-1)
+        inst_attr[e, 9:12] = inst["a_t"]
+        inst_attr[e, 12] = float(inst["mat"])
+        inst_attr[e, 13] = float(inst["obj"])
+        inst_attr[e, 14] = float(e)
+        inst_attr[e, 15] = inst["ds"]
+
+    cutout = bool((inst_smem[:, 12] < 1.0).any())
+    static = FusedStatic(
+        n_tris=flat_tris, n_mats=int(pf.shape[0]), n_clusters=uc,
+        n_l1=n_l1, light_types=light_types, clu_vmem=True,
+        cutout=cutout, n_instances=len(insts))
+    scene = FusedScene(
+        tris=jnp.asarray(tris),
+        mats=jnp.asarray(pf),
+        lights=jnp.asarray(light_table),
+        l1_aabbs=jnp.asarray(l1),
+        l2_aabbs=jnp.asarray(l2),
+        inst_smem=jnp.asarray(inst_smem),
+        inst_map=jnp.asarray(inst_map),
+        inst_attr=jnp.asarray(inst_attr),
+    )
+    return scene, static
 
 
 # ---------------------------------------------------------------------------
@@ -884,6 +1105,29 @@ def _split_lhs24(lhs2):
     return jnp.concatenate([lhs_hi, lhs_hi, lhs_lo], axis=1)
 
 
+def _inst_local_lhs24(lhs_o, lhs_d, inst_ref, g):
+    """Transform the stacked world ray matrix (o,1,0.. | d,0,0..) into
+    instance g's LOCAL frame and hi/lo-split it for _bw_products.
+
+    local col_i = Σ_j lhs[:, j] * A3[j, i] + lhs[:, 3] * a_t[i]: the
+    origin rows carry 1 in column 3 so the translation lands only on
+    origins; direction rows carry 0 there. Exact f32 vector math — the
+    hit t parameter is invariant under the affine reparametrization
+    (x(t) = o + t d ⇒ x_l(t) = o_l + t d_l), so local intersections
+    compare directly against the world-space caps."""
+    lhs = jnp.concatenate([lhs_o, lhs_d], axis=0)  # [2048, 8]
+    cols = [
+        (lhs[:, 0:1] * inst_ref[g, 0 + i]
+         + lhs[:, 1:2] * inst_ref[g, 3 + i]
+         + lhs[:, 2:3] * inst_ref[g, 6 + i]
+         + lhs[:, 3:4] * inst_ref[g, 9 + i])
+        for i in range(3)
+    ]
+    lhs_l = jnp.concatenate(
+        cols + [lhs[:, 3:4], jnp.zeros_like(lhs[:, 0:4])], axis=1)
+    return _split_lhs24(lhs_l)
+
+
 def _cutout_xi(key_col, tri_base, lane_i):
     """Per-(ray, triangle) uniform in [0,1): murmur-style integer mix of
     the ray's PCG state column [1024, 1] with the global triangle id
@@ -936,7 +1180,8 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
                             ten2_ref, gbox_ref, lhs_ref, cache, best128,
                             clus128, attrs_acc, acc,
                             ox, oy, oz, dx, dy, dz, tmin, alive_f, *, n_l1,
-                            want_uv=False, tangents=False, cutout=False):
+                            want_uv=False, tangents=False, cutout=False,
+                            inst=None):
     """Matrix-form ordered closest-hit walk (round-3 clustered tracer).
 
     Measured on v5e (PERF.md): every DMA costs ~13 us FIXED regardless of
@@ -993,16 +1238,29 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
             lhs_ref[0, 2, :, 1:2], jnp.uint32)  # [1024, 1] PCG state
 
     # hi/lo bf16 split of the stacked (origins | directions) ray matrix,
-    # done once per block: a.hi + a.lo reproduces a to ~2^-24 relative
-    lhs24 = _split_lhs24(jnp.concatenate([lhs_o, lhs_d], axis=0))
+    # done once per block (instanced mode re-derives it per visited
+    # instance in that instance's local frame instead)
+    lhs24 = (None if inst is not None else
+             _split_lhs24(jnp.concatenate([lhs_o, lhs_d], axis=0)))
 
-    # group cache (non-resident mode): scratch persists across the
-    # sequential grid programs of one pallas_call, so Morton-adjacent ray
-    # blocks reuse each other's group fetches (every DMA is ~13 us fixed
-    # cost — the secondary-bounce bottleneck). Tags are invalidated once by
-    # the first program; the NEE occlusion walk reuses the warm cache.
-    fetch_group, cluster_rows = _cluster_reader(tri_ref, cache,
-                                                init_tags=True)
+    if inst is not None:
+        inst_smem_ref, inst_map_ref, inst_attr_ref = inst
+
+        def fetch_group(g):
+            return g
+
+        def cluster_rows(handle, b):
+            # entry -> shared unique local cluster
+            return tri_ref[inst_map_ref[handle * L1_FAN + b]]
+    else:
+        # group cache (non-resident mode): scratch persists across the
+        # sequential grid programs of one pallas_call, so Morton-adjacent
+        # ray blocks reuse each other's group fetches (every DMA is ~13 us
+        # fixed cost — the secondary-bounce bottleneck). Tags are
+        # invalidated once by the first program; the NEE occlusion walk
+        # reuses the warm cache.
+        fetch_group, cluster_rows = _cluster_reader(tri_ref, cache,
+                                                    init_tags=True)
 
     # ---- pass 1: per-(ray, lane) best t + cluster over ordered groups ----
     def l1_cond(carry):
@@ -1024,6 +1282,10 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
         @pl.when(any1)
         def _():
             handle = fetch_group(g)
+            # instanced: rays enter instance g's local frame (the
+            # rigid/affine BLAS transform of the reference's TLAS walk)
+            lhs24_g = (_inst_local_lhs24(lhs_o, lhs_d, inst_smem_ref, g)
+                       if inst is not None else lhs24)
 
             def l2_body(b, __):
                 c = g * L1_FAN + b
@@ -1044,7 +1306,7 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
                         # contribute nothing (selection only; the winner's
                         # t/u/v are recomputed exactly in pass 2).
                         tri = cluster_rows(handle, b)
-                        po, pd = _bw_products(lhs24, tri)
+                        po, pd = _bw_products(lhs24_g, tri)
                         nd = pd[:, 0:128]
                         okm = jnp.abs(nd) > 1e-12
                         inv = jnp.where(okm, 1.0 / jnp.where(okm, nd, 1.0), 0.0)
@@ -1058,7 +1320,13 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
                                 key_col,
                                 (c * CLUSTER_SIZE).astype(jnp.uint32),
                                 lane_i.astype(jnp.uint32))
-                            okm = okm & (xi < tri[CLU_OPAC:CLU_OPAC + 1, :])
+                            if inst is not None:
+                                # per-instance pass probability (the mesh
+                                # rows are shared; opacity is a material
+                                # property of the PLACEMENT)
+                                okm = okm & (xi < inst_smem_ref[g, 12])
+                            else:
+                                okm = okm & (xi < tri[CLU_OPAC:CLU_OPAC + 1, :])
                         cur = best128[...]
                         bet = okm & (tt < cur)
                         best128[...] = jnp.where(bet, tt, cur)
@@ -1146,34 +1414,108 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
     # attrs to ray layout: [1024, rows] -> [rows, 8, 128]
     rows40 = jnp.transpose(attrs_acc[...], (1, 0)).reshape(
         attrs_acc.shape[1], BLOCK_ROWS, 128)
-    attr_rows = (CLU_GN, CLU_GN + 1, CLU_GN + 2,
-                 CLU_N0, CLU_N0 + 1, CLU_N0 + 2,
-                 CLU_N1, CLU_N1 + 1, CLU_N1 + 2,
-                 CLU_N2, CLU_N2 + 1, CLU_N2 + 2,
-                 CLU_MAT, CLU_DS)
-    for i, row in enumerate(attr_rows):
-        acc[4 + i] = rows40[row]
 
-    # t, u, v recomputed EXACTLY (f32) from the winner's Baldwin-Weber
-    # rows: the bf16-split pass-1 products only pick the winner; all
-    # shading-state math downstream is full precision
-    ndw = (rows40[CLU_N] * dx + rows40[CLU_N + 1] * dy
-           + rows40[CLU_N + 2] * dz)
-    pow_ = (rows40[CLU_N] * ox + rows40[CLU_N + 1] * oy
-            + rows40[CLU_N + 2] * oz + rows40[CLU_N + 3])
-    nd_safe = jnp.where(jnp.abs(ndw) > 1e-20,
-                        ndw, jnp.where(ndw >= 0.0, 1e-20, -1e-20))
-    acc[0] = jnp.where(hit_any, -pow_ / nd_safe, acc[0])
+    if inst is not None:
+        # ---- instanced pass 2: per-ray instance transform ----
+        # gather the winning instance's rows per ray (exact hi/mid/lo
+        # one-hot products, same trick as the attr fetch)
+        i_lanes = inst_attr_ref.shape[0]
+        win_g_col = jnp.floor(
+            win_t * (1.0 / (CLUSTER_SIZE * L1_FAN)))[:, None]  # [1024, 1]
+        lane_il = jax.lax.broadcasted_iota(
+            jnp.int32, (RAY_BLOCK, i_lanes), 1).astype(jnp.float32)
+        oh_i = (win_g_col == lane_il).astype(jnp.bfloat16)
+        ia = inst_attr_ref[...]
+        ia_hi = ia.astype(jnp.bfloat16)
+        ra = ia - ia_hi.astype(jnp.float32)
+        ia_mid = ra.astype(jnp.bfloat16)
+        ia_lo = (ra - ia_mid.astype(jnp.float32)).astype(jnp.bfloat16)
 
-    px = ox + acc[0] * dx
-    py = oy + acc[0] * dy
-    pz = oz + acc[0] * dz
-    u = (rows40[CLU_R1] * px + rows40[CLU_R1 + 1] * py
-         + rows40[CLU_R1 + 2] * pz + rows40[CLU_R1 + 3])
-    v = (rows40[CLU_R2] * px + rows40[CLU_R2 + 1] * py
-         + rows40[CLU_R2 + 2] * pz + rows40[CLU_R2 + 3])
-    acc[1] = jnp.where(hit_any, u, 0.0)
-    acc[2] = jnp.where(hit_any, v, 0.0)
+        def idot(vals):
+            return jax.lax.dot_general(
+                oh_i, vals, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        irows = idot(ia_hi) + idot(ia_mid) + idot(ia_lo)  # [1024, 24]
+        ir = jnp.transpose(irows, (1, 0)).reshape(
+            irows.shape[1], BLOCK_ROWS, 128)
+        A = lambda j, i: ir[3 * j + i]  # noqa: E731 — A3[j, i]
+
+        # local rays (exact f32); t is the same parameter in both frames
+        olx = ox * A(0, 0) + oy * A(1, 0) + oz * A(2, 0) + ir[9]
+        oly = ox * A(0, 1) + oy * A(1, 1) + oz * A(2, 1) + ir[10]
+        olz = ox * A(0, 2) + oy * A(1, 2) + oz * A(2, 2) + ir[11]
+        dlx = dx * A(0, 0) + dy * A(1, 0) + dz * A(2, 0)
+        dly = dx * A(0, 1) + dy * A(1, 1) + dz * A(2, 1)
+        dlz = dx * A(0, 2) + dy * A(1, 2) + dz * A(2, 2)
+
+        ndw = (rows40[CLU_N] * dlx + rows40[CLU_N + 1] * dly
+               + rows40[CLU_N + 2] * dlz)
+        pow_ = (rows40[CLU_N] * olx + rows40[CLU_N + 1] * oly
+                + rows40[CLU_N + 2] * olz + rows40[CLU_N + 3])
+        nd_safe = jnp.where(jnp.abs(ndw) > 1e-20,
+                            ndw, jnp.where(ndw >= 0.0, 1e-20, -1e-20))
+        acc[0] = jnp.where(hit_any, -pow_ / nd_safe, acc[0])
+        pxl = olx + acc[0] * dlx
+        pyl = oly + acc[0] * dly
+        pzl = olz + acc[0] * dlz
+        u = (rows40[CLU_R1] * pxl + rows40[CLU_R1 + 1] * pyl
+             + rows40[CLU_R1 + 2] * pzl + rows40[CLU_R1 + 3])
+        v = (rows40[CLU_R2] * pxl + rows40[CLU_R2 + 1] * pyl
+             + rows40[CLU_R2 + 2] * pzl + rows40[CLU_R2 + 3])
+        acc[1] = jnp.where(hit_any, u, 0.0)
+        acc[2] = jnp.where(hit_any, v, 0.0)
+
+        # normals are covectors: n_w = n_l @ A3ᵀ (the inverse-transpose
+        # transform; the winding-flip sign cancels against det as in the
+        # flattened builder's FLIP_FACING handling)
+        def covec(r0):
+            nlx, nly, nlz = rows40[r0], rows40[r0 + 1], rows40[r0 + 2]
+            return (nlx * A(0, 0) + nly * A(0, 1) + nlz * A(0, 2),
+                    nlx * A(1, 0) + nly * A(1, 1) + nlz * A(1, 2),
+                    nlx * A(2, 0) + nly * A(2, 1) + nlz * A(2, 2))
+
+        gx, gy, gz = covec(CLU_GN)
+        glen = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-20))
+        acc[4], acc[5], acc[6] = gx * glen, gy * glen, gz * glen
+        for k, r0 in enumerate((CLU_N0, CLU_N1, CLU_N2)):
+            wx, wy, wz = covec(r0)
+            # unnormalized is fine: the transform is linear, so shade's
+            # interpolate-then-normalize equals transform(interp(n))
+            acc[7 + 3 * k] = wx
+            acc[8 + 3 * k] = wy
+            acc[9 + 3 * k] = wz
+        acc[16] = ir[12]  # per-instance material row
+        acc[17] = ir[15]  # per-instance double-sided flag
+    else:
+        attr_rows = (CLU_GN, CLU_GN + 1, CLU_GN + 2,
+                     CLU_N0, CLU_N0 + 1, CLU_N0 + 2,
+                     CLU_N1, CLU_N1 + 1, CLU_N1 + 2,
+                     CLU_N2, CLU_N2 + 1, CLU_N2 + 2,
+                     CLU_MAT, CLU_DS)
+        for i, row in enumerate(attr_rows):
+            acc[4 + i] = rows40[row]
+
+        # t, u, v recomputed EXACTLY (f32) from the winner's Baldwin-Weber
+        # rows: the bf16-split pass-1 products only pick the winner; all
+        # shading-state math downstream is full precision
+        ndw = (rows40[CLU_N] * dx + rows40[CLU_N + 1] * dy
+               + rows40[CLU_N + 2] * dz)
+        pow_ = (rows40[CLU_N] * ox + rows40[CLU_N + 1] * oy
+                + rows40[CLU_N + 2] * oz + rows40[CLU_N + 3])
+        nd_safe = jnp.where(jnp.abs(ndw) > 1e-20,
+                            ndw, jnp.where(ndw >= 0.0, 1e-20, -1e-20))
+        acc[0] = jnp.where(hit_any, -pow_ / nd_safe, acc[0])
+
+        px = ox + acc[0] * dx
+        py = oy + acc[0] * dy
+        pz = oz + acc[0] * dz
+        u = (rows40[CLU_R1] * px + rows40[CLU_R1 + 1] * py
+             + rows40[CLU_R1 + 2] * pz + rows40[CLU_R1 + 3])
+        v = (rows40[CLU_R2] * px + rows40[CLU_R2 + 1] * py
+             + rows40[CLU_R2 + 2] * pz + rows40[CLU_R2 + 3])
+        acc[1] = jnp.where(hit_any, u, 0.0)
+        acc[2] = jnp.where(hit_any, v, 0.0)
     if want_uv:
         w = 1.0 - acc[1] - acc[2]
         acc[18] = (w * rows40[CLU_UV] + acc[1] * rows40[CLU_UV + 2]
@@ -1195,7 +1537,7 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
 
 def _trace_clustered_occluded(tri_ref, l1_ref, l2_ref, cache, occ128, acc,
                               ox, oy, oz, dx, dy, dz, dist, active, rng,
-                              *, n_l1, cutout=False):
+                              *, n_l1, cutout=False, inst=None):
     """Occlusion walk (matrix form): acc[0] accumulates the occluded flag
     (f32 0/1).
 
@@ -1255,8 +1597,17 @@ def _trace_clustered_occluded(tri_ref, l1_ref, l2_ref, cache, occ128, acc,
         lane_i = jax.lax.broadcasted_iota(
             jnp.uint32, (RAY_BLOCK, 128), 1)
 
-    fetch_group, cluster_rows = _cluster_reader(tri_ref, cache,
-                                                init_tags=False)
+    if inst is not None:
+        inst_smem_ref, inst_map_ref, _inst_attr_ref = inst
+
+        def fetch_group(g):
+            return g
+
+        def cluster_rows(handle, b):
+            return tri_ref[inst_map_ref[handle * L1_FAN + b]]
+    else:
+        fetch_group, cluster_rows = _cluster_reader(tri_ref, cache,
+                                                    init_tags=False)
 
     def occl_cond(carry):
         g, n_open, _max_d = carry
@@ -1284,6 +1635,9 @@ def _trace_clustered_occluded(tri_ref, l1_ref, l2_ref, cache, occ128, acc,
             @pl.when(any1)
             def _():
                 handle = fetch_group(g)
+                lhs24_g = (_inst_local_lhs24(
+                    lhs2[0:RAY_BLOCK], lhs2[RAY_BLOCK:2 * RAY_BLOCK],
+                    inst_smem_ref, g) if inst is not None else lhs24)
 
                 def l2_body(b, __):
                     c = g * L1_FAN + b
@@ -1294,7 +1648,7 @@ def _trace_clustered_occluded(tri_ref, l1_ref, l2_ref, cache, occ128, acc,
                     @pl.when(any2)
                     def _():
                         tri = cluster_rows(handle, b)
-                        po, pd = _bw_products(lhs24, tri)
+                        po, pd = _bw_products(lhs24_g, tri)
                         nd = pd[:, 0:128]
                         okm = jnp.abs(nd) > 1e-12
                         inv = jnp.where(okm, 1.0 / jnp.where(okm, nd, 1.0), 0.0)
@@ -1308,7 +1662,10 @@ def _trace_clustered_occluded(tri_ref, l1_ref, l2_ref, cache, occ128, acc,
                                 key_col,
                                 (c * CLUSTER_SIZE).astype(jnp.uint32),
                                 lane_i)
-                            okm = okm & (xi < tri[CLU_OPAC:CLU_OPAC + 1, :])
+                            if inst is not None:
+                                okm = okm & (xi < inst_smem_ref[g, 12])
+                            else:
+                                okm = okm & (xi < tri[CLU_OPAC:CLU_OPAC + 1, :])
                         occ128[...] = jnp.maximum(occ128[...],
                                                   okm.astype(jnp.float32))
                     return 0
@@ -1334,6 +1691,10 @@ def _trace_clustered_occluded(tri_ref, l1_ref, l2_ref, cache, occ128, acc,
 
 def _bounce_kernel(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
                    *rest, static: FusedStatic, nee: bool):
+    inst = None
+    if static.instanced:
+        inst_smem_ref, inst_map_ref, inst_attr_ref, *rest = rest
+        inst = (inst_smem_ref, inst_map_ref, inst_attr_ref)
     if static.clustered:
         (order_ref, dist_ref, ten2_ref, gbox_ref, lhs_ref,
          state_ref, out_ref, *scratch) = rest
@@ -1352,7 +1713,8 @@ def _bounce_kernel(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
     @pl.when(any_alive)
     def _():
         _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
-                     plan, state_ref, out_ref, scratch, static=static, nee=nee)
+                     plan, state_ref, out_ref, scratch, static=static,
+                     nee=nee, inst=inst)
 
 
 def _resolve_material_rows(mat_ref, mat_f, n_mats: int, volumes: bool):
@@ -1382,7 +1744,7 @@ def _resolve_material_rows(mat_ref, mat_f, n_mats: int, volumes: bool):
 
 def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
                  plan, state_ref, out_ref, scratch, *, static: FusedStatic,
-                 nee: bool):
+                 nee: bool, inst=None):
     s = lambda c: state_ref[c]  # [8,128]  # noqa: E731
 
     ox, oy, oz = s(0), s(1), s(2)
@@ -1404,7 +1766,7 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
             tri_ref, l1_ref, l2_ref, order_ref, dist_ref, ten2_ref,
             gbox_ref, lhs_ref, cache, best128, clus128, attrs_acc, acc,
             ox, oy, oz, dx, dy, dz, tmin, alive_f, n_l1=static.n_l1,
-            cutout=static.cutout)
+            cutout=static.cutout, inst=inst)
         best_t, u, v = acc[0], acc[1], acc[2]
         (gnx, gny, gnz, n0x, n0y, n0z,
          n1x, n1y, n1z, n2x, n2y, n2z, mat_f, dsided) = tuple(
@@ -1458,7 +1820,7 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
 
     _shade_core(
         params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref, scratch,
-        static, nee,
+        static, nee, inst=inst,
         s15=s(15), ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
         tpx=tpx, tpy=tpy, tpz=tpz, radx=radx, rady=rady, radz=radz,
         rng=rng, alive=alive, alive_f=alive_f, hit=hit, miss=miss,
@@ -1473,7 +1835,7 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
 
 
 def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
-                scratch, static: FusedStatic, nee: bool, *,
+                scratch, static: FusedStatic, nee: bool, *, inst=None,
                 s15, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
                 radx, rady, radz, rng, alive, alive_f, hit, miss, miss_rec,
                 posx, posy, posz, gnx, gny, gnz, nx, ny, nz, front, dsided,
@@ -1713,7 +2075,7 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
                 _trace_clustered_occluded(
                     tri_ref, l1_ref, l2_ref, cache, occ128, acc,
                     ox, oy, oz, ldx, ldy, ldz, ldist, do_trace, rng,
-                    n_l1=static.n_l1, cutout=static.cutout)
+                    n_l1=static.n_l1, cutout=static.cutout, inst=inst)
                 occluded = acc[0] > 0.5
             else:
                 def tread2(row, t):
@@ -1975,6 +2337,17 @@ def _eff_block_rows(static: FusedStatic, nb: int) -> int:
     return br
 
 
+def _inst_specs_args(static: FusedStatic, scene: FusedScene):
+    """in_specs + args for the instance tables (instanced mode only)."""
+    if not static.instanced:
+        return [], ()
+    return [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # inst transforms [n_l1, 16]
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # entry -> unique cluster
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # pass-2 gather rows
+    ], (scene.inst_smem, scene.inst_map, scene.inst_attr)
+
+
 def _plan_specs(static: FusedStatic):
     """in_specs + per-block index maps for the XLA-computed walk plan."""
     c_pad = static.n_l1 * L1_FAN
@@ -2003,6 +2376,7 @@ def bounce_step(params, scene: FusedScene, state, *, static: FusedStatic, nee: b
     # per-triangle SCALARS broadcast against the whole ray block, and only
     # SMEM supports dynamic scalar indexing
     tri_spec, scratch_shapes = _tri_specs(static)
+    inst_specs, inst_args = _inst_specs_args(static, scene)
     if static.clustered:
         plan_args = _cluster_walk_plan(state, scene.l1_aabbs, scene.l2_aabbs)
         plan_specs = _plan_specs(static)
@@ -2016,12 +2390,13 @@ def bounce_step(params, scene: FusedScene, state, *, static: FusedStatic, nee: b
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lights
             pl.BlockSpec(memory_space=pltpu.SMEM),  # L1 AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # L2 AABBs
+            *inst_specs,
             *plan_specs,
             _block_spec(STATE_ROWS, br),
         ],
         out_specs=_block_spec(STATE_ROWS, br),
         out_shape=jax.ShapeDtypeStruct(state.shape, jnp.float32),
-        input_output_aliases={6 + len(plan_specs): 0},
+        input_output_aliases={6 + len(inst_specs) + len(plan_specs): 0},
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -2030,7 +2405,7 @@ def bounce_step(params, scene: FusedScene, state, *, static: FusedStatic, nee: b
             vmem_limit_bytes=_clu_vmem_limit(static),
         ),
     )(params, scene.tris, scene.mats, scene.lights,
-      scene.l1_aabbs, scene.l2_aabbs, *plan_args, state)
+      scene.l1_aabbs, scene.l2_aabbs, *inst_args, *plan_args, state)
 
 
 

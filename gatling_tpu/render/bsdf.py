@@ -60,6 +60,13 @@ class BsdfParams(NamedTuple):
     # the evaluator reuses the front EDF values — distinct backface expressions
     # would need per-material MDL compilation)
     backface_edf: jnp.ndarray  # [...] 0/1
+    # clearcoat lobe (OpenPBR coat_* / MDL fresnel-layered coat,
+    # Backend.cpp DF set); white dielectric GGX layer over the base
+    clearcoat: jnp.ndarray  # [...] weight
+    clearcoat_roughness: jnp.ndarray  # [...]
+    # GGX anisotropy (Disney aspect mapping) + tangent-frame rotation
+    anisotropy: jnp.ndarray  # [...] 0 = isotropic
+    anisotropy_rotation: jnp.ndarray  # [...] turns (MaterialX convention)
 
 
 MIN_ALPHA = 1e-3  # roughness^2 floor to keep GGX sampleable in fp32
@@ -90,14 +97,80 @@ def _smith_g1(alpha2: jnp.ndarray, nv: jnp.ndarray) -> jnp.ndarray:
     return 2.0 * nv / (nv + jnp.sqrt(alpha2 + (1.0 - alpha2) * nv * nv))
 
 
-def _lobe_weights(p: BsdfParams, f0: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One-sample-MIS lobe selection probabilities (diffuse, glossy, transmission)."""
+def _alpha_xy(p: BsdfParams) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Anisotropic GGX roughnesses (Disney aspect mapping; ax = ay when
+    anisotropy == 0, reproducing the isotropic forms exactly)."""
+    alpha = jnp.maximum(p.roughness * p.roughness, MIN_ALPHA)
+    aspect = jnp.sqrt(1.0 - 0.9 * jnp.clip(p.anisotropy, 0.0, 1.0))
+    ax = jnp.maximum(alpha / aspect, MIN_ALPHA)
+    ay = jnp.maximum(alpha * aspect, MIN_ALPHA)
+    return ax, ay
+
+
+def _rot_local(v_l: jnp.ndarray, cos_r, sin_r) -> jnp.ndarray:
+    """Rotate local xy by the anisotropy rotation (z unchanged)."""
+    x = v_l[..., 0] * cos_r + v_l[..., 1] * sin_r
+    y = -v_l[..., 0] * sin_r + v_l[..., 1] * cos_r
+    return jnp.stack([x, y, v_l[..., 2]], axis=-1)
+
+
+def _aniso_d(ax, ay, h_l: jnp.ndarray) -> jnp.ndarray:
+    """Anisotropic GGX NDF in the rotated local frame."""
+    q = ((h_l[..., 0] / ax) ** 2 + (h_l[..., 1] / ay) ** 2
+         + h_l[..., 2] ** 2)
+    return 1.0 / jnp.maximum(PI * ax * ay * q * q, 1e-12)
+
+
+def _aniso_g1(ax, ay, v_l: jnp.ndarray) -> jnp.ndarray:
+    """Smith G1 with the anisotropic Lambda."""
+    vz = jnp.maximum(jnp.abs(v_l[..., 2]), 1e-6)
+    lam = 0.5 * (-1.0 + jnp.sqrt(
+        1.0 + ((ax * v_l[..., 0]) ** 2 + (ay * v_l[..., 1]) ** 2) / (vz * vz)))
+    return 1.0 / (1.0 + lam)
+
+
+def _fresnel_dielectric(cos_i: jnp.ndarray, eta_rel: jnp.ndarray) -> jnp.ndarray:
+    """Exact unpolarized dielectric Fresnel. eta_rel = n_transmitted /
+    n_incident; cos_i >= 0 on the incident side. Returns 1.0 under TIR."""
+    cos_i = jnp.clip(cos_i, 0.0, 1.0)
+    sin2_t = (1.0 - cos_i * cos_i) / jnp.maximum(eta_rel * eta_rel, 1e-12)
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    rs = (cos_i - eta_rel * cos_t) / jnp.maximum(cos_i + eta_rel * cos_t, 1e-12)
+    rp = (eta_rel * cos_i - cos_t) / jnp.maximum(eta_rel * cos_i + cos_t, 1e-12)
+    f = 0.5 * (rs * rs + rp * rp)
+    return jnp.where(tir, 1.0, jnp.clip(f, 0.0, 1.0))
+
+
+_COAT_F0 = 0.04  # clearcoat ior 1.5 normal-incidence reflectance
+
+
+def _coat_atten(p: BsdfParams, cos_theta: jnp.ndarray) -> jnp.ndarray:
+    """Base-lobe attenuation under the clearcoat: 1 - weight * F_coat."""
+    f = _COAT_F0 + (1.0 - _COAT_F0) * jnp.clip(1.0 - cos_theta, 0.0, 1.0) ** 5
+    return 1.0 - p.clearcoat * f
+
+
+def _thick_transmission(p: BsdfParams) -> jnp.ndarray:
+    """Fraction of the surface handled by the SELF-CONTAINED thick-glass
+    interface lobe (Fresnel reflect + refract inside one pick): the base
+    glossy lobe must not model that reflection again."""
+    thin = p.thin_walled.astype(jnp.float32) if p.thin_walled.dtype == bool         else (p.thin_walled > 0.5).astype(jnp.float32)
+    return p.transmission * (1.0 - thin)
+
+
+def _lobe_weights(p: BsdfParams, f0: jnp.ndarray):
+    """One-sample-MIS lobe selection probabilities
+    (diffuse, glossy, transmission, clearcoat)."""
     w_d = luminance(p.base_color) * (1.0 - p.metallic) * (1.0 - p.transmission)
     w_g_raw = luminance(f0)
     w_g = jnp.where(w_g_raw > 0.0, jnp.maximum(w_g_raw, 0.04), 0.0)
+    w_g = w_g * (1.0 - _thick_transmission(p))
     w_t = p.transmission
-    total = w_d + w_g + w_t
-    return safe_div(w_d, total), safe_div(w_g, total), safe_div(w_t, total)
+    w_c = 0.25 * p.clearcoat
+    total = w_d + w_g + w_t + w_c
+    return (safe_div(w_d, total), safe_div(w_g, total),
+            safe_div(w_t, total), safe_div(w_c, total))
 
 
 def _to_local(v: jnp.ndarray, t: jnp.ndarray, b: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
@@ -111,38 +184,60 @@ def _from_local(v: jnp.ndarray, t: jnp.ndarray, b: jnp.ndarray, n: jnp.ndarray) 
 
 
 def _eval_lobes(p: BsdfParams, wo_l: jnp.ndarray, wi_l: jnp.ndarray):
-    """Evaluate diffuse+glossy reflection lobes in local (tangent) space.
+    """Evaluate diffuse + (anisotropic) glossy + clearcoat reflection lobes
+    in local (tangent) space.
 
-    Returns (f_diffuse*cos, f_glossy*cos, pdf) for the reflection hemisphere.
+    Returns (f_diffuse*cos, f_glossy*cos, pdf) for the reflection
+    hemisphere. Refractive transmission is sampled as a (near-)delta lobe
+    (the reference's OmniGlass lowers to df::specular_bsdf) and therefore
+    contributes nothing to NEE evaluation.
     """
     f0 = _f0(p)
-    alpha = jnp.maximum(p.roughness * p.roughness, MIN_ALPHA)
-    alpha2 = alpha * alpha
+    ax, ay = _alpha_xy(p)
+
+    theta = (2.0 * PI) * p.anisotropy_rotation
+    cos_r, sin_r = jnp.cos(theta), jnp.sin(theta)
+    wo_r = _rot_local(wo_l, cos_r, sin_r)
+    wi_r = _rot_local(wi_l, cos_r, sin_r)
 
     cos_o = wo_l[..., 2]
     cos_i = wi_l[..., 2]
     refl = (cos_o > 0.0) & (cos_i > 0.0)
     cos_i_c = jnp.maximum(cos_i, 0.0)
 
-    h = wo_l + wi_l
-    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
-    nh = jnp.abs(h[..., 2])
-    oh = jnp.maximum(jnp.sum(wo_l * h, axis=-1), 1e-6)
+    h_r = wo_r + wi_r
+    h_r = h_r / jnp.maximum(jnp.linalg.norm(h_r, axis=-1, keepdims=True), 1e-12)
+    nh = jnp.abs(h_r[..., 2])
+    oh = jnp.maximum(jnp.sum(wo_r * h_r, axis=-1), 1e-6)
 
-    d = _ggx_d(alpha2, nh)
-    g = _smith_g1(alpha2, cos_o) * _smith_g1(alpha2, cos_i_c)
+    d = _aniso_d(ax, ay, h_r)
+    g = _aniso_g1(ax, ay, wo_r) * _aniso_g1(ax, ay, wi_r)
     fr = _schlick(f0, oh[..., None])
 
-    spec = fr * (d * g / jnp.maximum(4.0 * cos_o * cos_i_c, 1e-9))[..., None]
+    # clearcoat: white isotropic dielectric layer; base lobes attenuate by
+    # the coat's Fresnel in BOTH directions (standard-surface convention)
+    ac = jnp.maximum(p.clearcoat_roughness * p.clearcoat_roughness, MIN_ALPHA)
+    ac2 = ac * ac
+    dc = _ggx_d(ac2, nh)
+    gc = _smith_g1(ac2, cos_o) * _smith_g1(ac2, cos_i_c)
+    fc = _COAT_F0 + (1.0 - _COAT_F0) * jnp.clip(1.0 - oh, 0.0, 1.0) ** 5
+    coat = p.clearcoat * fc * dc * gc / jnp.maximum(4.0 * cos_o * cos_i_c, 1e-9)
+    att = _coat_atten(p, cos_o) * _coat_atten(p, cos_i_c)
+
+    spec = fr * ((1.0 - _thick_transmission(p)) * att * d * g
+                 / jnp.maximum(4.0 * cos_o * cos_i_c, 1e-9))[..., None]
+    spec = spec + coat[..., None]
     f_glossy = jnp.where(refl[..., None], spec * cos_i_c[..., None], 0.0)
 
-    diff_albedo = p.base_color * ((1.0 - p.metallic) * (1.0 - p.transmission))[..., None]
+    diff_albedo = p.base_color * (
+        att * (1.0 - p.metallic) * (1.0 - p.transmission))[..., None]
     f_diffuse = jnp.where(refl[..., None], diff_albedo * (cos_i_c / PI)[..., None], 0.0)
 
     pdf_diff = cos_i_c / PI
     pdf_spec = d * nh / jnp.maximum(4.0 * oh, 1e-9)
-    p_d, p_g, _ = _lobe_weights(p, f0)
-    pdf = jnp.where(refl, p_d * pdf_diff + p_g * pdf_spec, 0.0)
+    pdf_coat = dc * nh / jnp.maximum(4.0 * oh, 1e-9)
+    p_d, p_g, _, p_c = _lobe_weights(p, f0)
+    pdf = jnp.where(refl, p_d * pdf_diff + p_g * pdf_spec + p_c * pdf_coat, 0.0)
     return f_diffuse, f_glossy, pdf
 
 
@@ -155,21 +250,34 @@ def evaluate(p: BsdfParams, wo: jnp.ndarray, wi: jnp.ndarray,
 
 
 def sample(p: BsdfParams, wo: jnp.ndarray, n: jnp.ndarray, t: jnp.ndarray,
-           b: jnp.ndarray, xi: jnp.ndarray):
+           b: jnp.ndarray, xi: jnp.ndarray, front: jnp.ndarray | None = None):
     """mdl_bsdf_scattering_sample analog.
 
     Returns (k2[...,3], bsdf_over_pdf[...,3], event_type[...] int32, pdf[...]).
+
+    `front` (True = entering) orients the refraction: thick (non-thin-
+    walled) transmissive surfaces refract through a microfacet dielectric
+    interface with the exact Fresnel deciding reflect-vs-refract per
+    sample (rp_main.chit:360-389 / OmniGlass's df::specular_bsdf
+    scatter_reflect_transmit); thin-walled surfaces keep the straight
+    pass-through. Transmission tint is white here — glass color rides the
+    volume absorption coefficients (Beer-Lambert), as the MDL front end
+    lowers it.
     """
+    if front is None:
+        front = jnp.ones(p.metallic.shape, bool)
     wo_l = _to_local(wo, t, b, n)
     f0 = _f0(p)
-    p_d, p_g, p_t = _lobe_weights(p, f0)
-    alpha = jnp.maximum(p.roughness * p.roughness, MIN_ALPHA)
-    alpha2 = alpha * alpha
+    p_d, p_g, p_t, p_c = _lobe_weights(p, f0)
+    ax, ay = _alpha_xy(p)
+    theta = (2.0 * PI) * p.anisotropy_rotation
+    cos_r, sin_r = jnp.cos(theta), jnp.sin(theta)
 
     sel = xi[..., 0]
     pick_d = sel < p_d
     pick_g = (~pick_d) & (sel < p_d + p_g)
-    pick_t = (~pick_d) & (~pick_g)
+    pick_t = (~pick_d) & (~pick_g) & (sel < p_d + p_g + p_t)
+    pick_c = (~pick_d) & (~pick_g) & (~pick_t)
 
     # diffuse: cosine hemisphere
     a = jnp.sqrt(jnp.clip(xi[..., 1], 0.0, 1.0))
@@ -178,35 +286,84 @@ def sample(p: BsdfParams, wo: jnp.ndarray, n: jnp.ndarray, t: jnp.ndarray,
         a * jnp.cos(phi_d), a * jnp.sin(phi_d),
         jnp.sqrt(jnp.maximum(0.0, 1.0 - xi[..., 1]))], axis=-1)
 
-    # glossy: GGX NDF half-vector sample, reflect
-    u = xi[..., 1]
-    cos2h = (1.0 - u) / jnp.maximum(1.0 + (alpha2 - 1.0) * u, 1e-12)
-    cos_h = jnp.sqrt(jnp.clip(cos2h, 0.0, 1.0))
-    sin_h = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos2h))
+    # glossy: anisotropic GGX NDF half-vector (slope-space parametrization;
+    # identical to the classic isotropic formula when ax == ay), reflect
+    u = jnp.clip(xi[..., 1], 0.0, 1.0 - 1e-7)
+    r_slope = jnp.sqrt(u / (1.0 - u))
     phi_g = 2.0 * PI * xi[..., 2]
-    h = jnp.stack([sin_h * jnp.cos(phi_g), sin_h * jnp.sin(phi_g), cos_h], axis=-1)
+    h_r = jnp.stack([ax * r_slope * jnp.cos(phi_g),
+                     ay * r_slope * jnp.sin(phi_g),
+                     jnp.ones_like(r_slope)], axis=-1)
+    h_r = h_r / jnp.maximum(jnp.linalg.norm(h_r, axis=-1, keepdims=True), 1e-12)
+    h = _rot_local(h_r, cos_r, -sin_r)  # back to the unrotated local frame
     wi_spec = 2.0 * jnp.sum(wo_l * h, axis=-1, keepdims=True) * h - wo_l
 
-    wi_l = jnp.where(pick_d[..., None], wi_diff, wi_spec)
-    # transmission: straight through (coverage/glass-thin model)
-    wi_l = jnp.where(pick_t[..., None], -wo_l, wi_l)
+    # clearcoat: isotropic GGX reflect with the coat roughness
+    ac = jnp.maximum(p.clearcoat_roughness * p.clearcoat_roughness, MIN_ALPHA)
+    ac2 = ac * ac
+    cos2hc = (1.0 - u) / jnp.maximum(1.0 + (ac2 - 1.0) * u, 1e-12)
+    cos_hc = jnp.sqrt(jnp.clip(cos2hc, 0.0, 1.0))
+    sin_hc = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos2hc))
+    hc = jnp.stack([sin_hc * jnp.cos(phi_g), sin_hc * jnp.sin(phi_g),
+                    cos_hc], axis=-1)
+    wi_coat = 2.0 * jnp.sum(wo_l * hc, axis=-1, keepdims=True) * hc - wo_l
+
+    # transmission through a thick dielectric: microfacet interface with
+    # exact Fresnel reflect/refract split (TIR falls out as F -> 1)
+    alpha_t = jnp.maximum(p.roughness * p.roughness, MIN_ALPHA)
+    alpha2_t = alpha_t * alpha_t
+    cos2ht = (1.0 - u) / jnp.maximum(1.0 + (alpha2_t - 1.0) * u, 1e-12)
+    cos_ht = jnp.sqrt(jnp.clip(cos2ht, 0.0, 1.0))
+    sin_ht = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos2ht))
+    ht = jnp.stack([sin_ht * jnp.cos(phi_g), sin_ht * jnp.sin(phi_g),
+                    cos_ht], axis=-1)
+    eta_rel = jnp.where(front, p.ior, safe_div(
+        jnp.ones_like(p.ior), p.ior))  # n_transmitted / n_incident
+    c_oh = jnp.maximum(jnp.sum(wo_l * ht, axis=-1), 0.0)
+    f_t = _fresnel_dielectric(c_oh, eta_rel)
+    eta_inv = safe_div(jnp.ones_like(eta_rel), eta_rel)  # n_i / n_t
+    k_t = 1.0 - eta_inv * eta_inv * (1.0 - c_oh * c_oh)
+    cos_t = jnp.sqrt(jnp.maximum(k_t, 0.0))
+    wi_refr = (-eta_inv[..., None] * wo_l
+               + (eta_inv * c_oh - cos_t)[..., None] * ht)
+    wi_trefl = 2.0 * c_oh[..., None] * ht - wo_l
+    refl_pick = xi[..., 3] < f_t  # Fresnel reflect-vs-refract
+    thin = p.thin_walled > 0.5
+    wi_trans = jnp.where(
+        thin[..., None], -wo_l,
+        jnp.where(refl_pick[..., None], wi_trefl, wi_refr))
+
+    wi_l = jnp.where(pick_d[..., None], wi_diff,
+                     jnp.where(pick_g[..., None], wi_spec,
+                               jnp.where(pick_c[..., None], wi_coat,
+                                         wi_trans)))
 
     f_diffuse, f_glossy, pdf = _eval_lobes(p, wo_l, wi_l)
     f_total = f_diffuse + f_glossy
     bsdf_over_pdf = safe_div(f_total, pdf[..., None])
 
-    # transmission lobe is a delta: straight pass-through weighted by the
-    # transmitted Fresnel fraction (energy conservation with the glossy lobe)
+    # transmission lobe weights (delta-treated for MIS; the G2/G1 Smith
+    # factor carries the rough-interface shadowing for both branches)
     cos_o_c = jnp.maximum(wo_l[..., 2], 0.0)
-    trans_weight = p.transmission[..., None] * (1.0 - _schlick(f0, cos_o_c[..., None]))
+    g1_wi = _smith_g1(alpha2_t, jnp.abs(wi_l[..., 2]))
+    thin_weight = p.transmission[..., None] * (
+        1.0 - _schlick(f0, cos_o_c[..., None]))
+    thick_weight = (p.transmission * g1_wi)[..., None] * jnp.ones_like(f0)
+    trans_weight = jnp.where(thin[..., None], thin_weight, thick_weight)
     bsdf_over_pdf = jnp.where(
         pick_t[..., None], safe_div(trans_weight, p_t[..., None]), bsdf_over_pdf
     )
 
-    valid = jnp.where(pick_t, p_t > 0.0, (pdf > 1e-12) & (wi_l[..., 2] > 0.0) & (wo_l[..., 2] > 0.0))
+    refracted = pick_t & ~thin & ~refl_pick
+    valid = jnp.where(
+        pick_t, (p_t > 0.0) & (thin | refl_pick | (k_t > 0.0)),
+        (pdf > 1e-12) & (wi_l[..., 2] > 0.0) & (wo_l[..., 2] > 0.0))
     event = jnp.where(
         pick_d, BSDF_EVENT_DIFFUSE_REFLECTION,
-        jnp.where(pick_g, BSDF_EVENT_GLOSSY_REFLECTION, BSDF_EVENT_SPECULAR_TRANSMISSION))
+        jnp.where(pick_g | pick_c, BSDF_EVENT_GLOSSY_REFLECTION,
+                  jnp.where(thin | ~refl_pick, BSDF_EVENT_SPECULAR_TRANSMISSION,
+                            BSDF_EVENT_GLOSSY_REFLECTION)))
+    del refracted
     event = jnp.where(valid, event, BSDF_EVENT_ABSORB).astype(jnp.int32)
     bsdf_over_pdf = jnp.where(valid[..., None], bsdf_over_pdf, 0.0)
 
@@ -219,8 +376,12 @@ def auxiliary(p: BsdfParams, wo: jnp.ndarray, n: jnp.ndarray):
     (used by the Albedo AOV, rp_main.chit:268-290)."""
     f0 = _f0(p)
     cos_o = jnp.maximum(jnp.sum(wo * n, axis=-1), 0.0)
-    albedo_diffuse = p.base_color * ((1.0 - p.metallic) * (1.0 - p.transmission))[..., None]
-    albedo_glossy = _schlick(f0, cos_o[..., None])
+    att = _coat_atten(p, cos_o)[..., None]
+    albedo_diffuse = p.base_color * (
+        att[..., 0] * (1.0 - p.metallic) * (1.0 - p.transmission))[..., None]
+    fc = _COAT_F0 + (1.0 - _COAT_F0) * jnp.clip(1.0 - cos_o, 0.0, 1.0) ** 5
+    albedo_glossy = (_schlick(f0, cos_o[..., None]) * att
+                     + (p.clearcoat * fc)[..., None])
     return albedo_diffuse + albedo_glossy
 
 

@@ -587,7 +587,8 @@ def trace_sample(
         rng_after, xi4 = smp.rng_next4f(rng)
         rng = jnp.where(is_hit, rng_after, rng)
         k2, bsdf_over_pdf, event, _pdf = bsdf_mod.sample(
-            params, -s["direction"], st["normal"], st["tangent"], st["bitangent"], xi4)
+            params, -s["direction"], st["normal"], st["tangent"],
+            st["bitangent"], xi4, front=st["front"])
         new_throughput = throughput * bsdf_over_pdf
         throughput = jnp.where(is_hit[:, None], new_throughput, throughput)
         new_dir = jnp.where(is_hit[:, None], k2, s["direction"])

@@ -46,6 +46,10 @@ class MaterialTable(NamedTuple):
     volume_bias: jnp.ndarray  # [M]
     backface_edf: jnp.ndarray  # [M] f32 0/1 (traits.has_backface_edf)
     vcolor_mul: jnp.ndarray  # [M] f32 0/1: multiply interpolated vcolor rows
+    clearcoat: jnp.ndarray  # [M] coat weight (OpenPBR coat_weight)
+    clearcoat_roughness: jnp.ndarray  # [M]
+    anisotropy: jnp.ndarray  # [M]
+    anisotropy_rotation: jnp.ndarray  # [M] turns
     # texture slot per parameter, -1 = constant (wired by render/texture.py)
     base_color_tex: jnp.ndarray  # [M] i32
     emissive_tex: jnp.ndarray  # [M] i32
@@ -64,7 +68,7 @@ class MaterialTable(NamedTuple):
     backface_id: jnp.ndarray  # [M] i32
     # packed row-gather mirrors (one gather per hit instead of ~14;
     # see ops/geometry.py packed_f rationale)
-    packed_f: jnp.ndarray  # [M, 26] f32
+    packed_f: jnp.ndarray  # [M, 30] f32
     packed_i: jnp.ndarray  # [M, 10] i32
 
     @property
@@ -78,6 +82,8 @@ MF_EMISSIVE, MF_USW, MF_SPEC, MF_TRANS, MF_THIN = 7, 10, 11, 14, 15
 MF_VOL_A, MF_VOL_S, MF_VOL_BIAS, MF_OPACITY_THRESH = 16, 19, 22, 23
 MF_BACKFACE_EDF = 24
 MF_VCOLOR_MUL = 25
+MF_COAT, MF_COAT_ROUGH, MF_ANISO, MF_ANISO_ROT = 26, 27, 28, 29
+PF_COLS = 30
 # packed_i column of the backface-row index (build_material_table)
 MI_BACKFACE_ID = 9
 
@@ -90,7 +96,9 @@ def _pack_material_table(t: MaterialTable) -> MaterialTable:
         t.transmission[:, None], t.thin_walled[:, None].astype(jnp.float32),
         t.volume_absorption, t.volume_scattering, t.volume_bias[:, None],
         t.opacity_threshold[:, None], t.backface_edf[:, None],
-        t.vcolor_mul[:, None],
+        t.vcolor_mul[:, None], t.clearcoat[:, None],
+        t.clearcoat_roughness[:, None], t.anisotropy[:, None],
+        t.anisotropy_rotation[:, None],
     ], axis=1)
     packed_i = jnp.stack([
         t.base_color_tex, t.emissive_tex, t.metallic_tex, t.roughness_tex,
@@ -155,6 +163,10 @@ _DEFAULTS = {
     # interpolated per-corner vcolor rows into base_color (bound materials
     # read primvars explicitly via geompropvalue instead)
     "vcolor_mul": 0.0,
+    "clearcoat": 0.0,
+    "clearcoat_roughness": 0.1,
+    "anisotropy": 0.0,
+    "anisotropy_rotation": 0.0,
 }
 
 
@@ -264,10 +276,16 @@ def lower_material(desc: MaterialDesc | None, frame: float = 0.0) -> LoweredMate
         grab("emissiveColor", "emissive", _vec3, color=True)
         grab("useSpecularWorkflow", "use_specular_workflow")
         grab("specularColor", "specular_color", _vec3)
+        grab("clearcoat", "clearcoat")
+        grab("clearcoatRoughness", "clearcoat_roughness")
     elif sid in ("ND_standard_surface_surfaceshader", "standard_surface"):
         grab("base_color", "base_color", _vec3, color=True)
         grab("metalness", "metallic")
         grab("specular_roughness", "roughness")
+        grab("coat", "clearcoat")
+        grab("coat_roughness", "clearcoat_roughness")
+        grab("specular_anisotropy", "anisotropy")
+        grab("specular_rotation", "anisotropy_rotation")
         grab("specular_IOR", "ior")
         grab("transmission", "transmission")
         grab("opacity", "opacity", lambda v: float(np.mean(_vec3(v))))
@@ -281,6 +299,9 @@ def lower_material(desc: MaterialDesc | None, frame: float = 0.0) -> LoweredMate
         grab("specular_roughness", "roughness")
         grab("specular_ior", "ior")
         grab("transmission_weight", "transmission")
+        grab("coat_weight", "clearcoat")
+        grab("coat_roughness", "clearcoat_roughness")
+        grab("specular_roughness_anisotropy", "anisotropy")
         grab("geometry_opacity", "opacity")
         val, _, _, _ = _resolve_input(desc, node, "emission_color", (1.0, 1.0, 1.0), frame=frame)
         lum, _, _, _ = _resolve_input(desc, node, "emission_luminance", 0.0, frame=frame)
@@ -429,7 +450,11 @@ def build_material_table(
         roughness_tex_ch=ch_col("roughness"),
         opacity_tex_ch=ch_col("opacity"),
         backface_id=jnp.asarray(np.array(backface_ids, np.int32)),
-        packed_f=jnp.zeros((len(lowered), 26), jnp.float32),
+        clearcoat=col("clearcoat"),
+        clearcoat_roughness=col("clearcoat_roughness"),
+        anisotropy=col("anisotropy"),
+        anisotropy_rotation=col("anisotropy_rotation"),
+        packed_f=jnp.zeros((len(lowered), PF_COLS), jnp.float32),
         packed_i=jnp.zeros((len(lowered), 10), jnp.int32),
     )
     return _pack_material_table(table)
@@ -471,6 +496,10 @@ def gather_params(table: MaterialTable, material_ids: jnp.ndarray) -> BsdfParams
         volume_scattering=pf[:, MF_VOL_S:MF_VOL_S + 3],
         volume_bias=pf[:, MF_VOL_BIAS],
         backface_edf=pf[:, MF_BACKFACE_EDF],
+        clearcoat=pf[:, MF_COAT],
+        clearcoat_roughness=pf[:, MF_COAT_ROUGH],
+        anisotropy=pf[:, MF_ANISO],
+        anisotropy_rotation=pf[:, MF_ANISO_ROT],
     )
 
 

@@ -66,6 +66,11 @@ _PARAM_MAP = {
     "transmission_weight": ("transmission", "f"),
     "enable_specular_transmission": ("enable_transmission", "b"),
     "coat_weight": ("clearcoat", "f"),
+    "coat_roughness": ("clearcoat_roughness", "f"),
+    "clearcoat_weight": ("clearcoat", "f"),
+    "clearcoat_roughness": ("clearcoat_roughness", "f"),
+    "anisotropy": ("anisotropy", "f"),
+    "anisotropy_rotation": ("anisotropy_rotation", "f"),
 }
 
 _VALUE_RE = re.compile(
@@ -240,6 +245,11 @@ def _lower_bsdf(expr: str, ev: _BodyEval, out: dict, depth: int = 0) -> None:
             # MDL microfacet roughness_u is the squared slope (alpha^2-like);
             # the uber-BSDF squares its roughness once -> sqrt here
             out["roughness"] = float(r) ** 0.5
+        for mdl_name, uber in (("anisotropy", "anisotropy"),
+                               ("anisotropy_rotation", "anisotropy_rotation")):
+            av = ev.value(named.get(mdl_name))
+            if isinstance(av, (int, float)) and av:
+                out[uber] = float(av)
         tint = ev.value(named.get("tint"))
         mode = named.get("mode", "")
         if "transmit" in mode:

@@ -660,3 +660,150 @@ def test_fused_absorption_volumes_match_general():
     assert f[2] > 2.0 * f[0]
     # ...and matches the general integrator per channel
     np.testing.assert_allclose(f, g, rtol=0.15, atol=0.01)
+
+
+def _instanced_scene(n_side=2, res=8, cutout_opacity=None):
+    """Small instanced sphere field (non-uniform scales, rotation, two
+    materials) for instanced-vs-flattened parity."""
+    from gatling_tpu.render.material import (LoweredMaterial, MaterialTraits,
+                                             _DEFAULTS, build_material_table)
+    from gatling_tpu.scene.examples import _uv_sphere
+    from gatling_tpu.scene.meshproc import build_triangulated_mesh
+    from gatling_tpu.scene.stage import MeshDesc
+
+    pts, counts, idx = _uv_sphere(res, res)
+    sphere = build_triangulated_mesh(pts, counts, idx)
+    gp = np.array([[-6, -6, 0], [6, -6, 0], [6, 6, 0], [-6, 6, 0]], np.float32)
+    ground = build_triangulated_mesh(gp, np.array([4]), np.array([0, 1, 2, 3]))
+
+    rng = np.random.default_rng(3)
+    xfs = []
+    for i in range(n_side):
+        for j in range(n_side):
+            s = rng.uniform(0.5, 1.2)
+            th = rng.uniform(0, 2 * np.pi)
+            rot = np.array([[np.cos(th), np.sin(th), 0],
+                            [-np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+            xf = np.eye(4)
+            xf[:3, :3] = rot * s
+            xf[3, :3] = [i * 2.5 - 1.2, j * 2.5 - 1.2, s]
+            xfs.append(xf)
+    half = len(xfs) // 2
+    meshes = [
+        MeshDesc(path="/s0", mesh=sphere, transform=np.eye(4), material="m0",
+                 double_sided=False, object_id=0,
+                 instance_transforms=np.stack(xfs[:half])),
+        MeshDesc(path="/s1", mesh=sphere, transform=np.eye(4), material="m1",
+                 double_sided=False, object_id=1,
+                 instance_transforms=np.stack(xfs[half:])),
+        MeshDesc(path="/ground", mesh=ground, transform=np.eye(4),
+                 material="mg", double_sided=True, object_id=2),
+    ]
+    midx = {"m0": 0, "m1": 1, "mg": 2, None: 3}
+    m0 = LoweredMaterial(params=dict(_DEFAULTS), traits=MaterialTraits(), textures={})
+    m0.params.update(base_color=(0.8, 0.2, 0.2), roughness=0.4)
+    m1 = LoweredMaterial(params=dict(_DEFAULTS), traits=MaterialTraits(), textures={})
+    m1.params.update(base_color=(0.2, 0.4, 0.8), metallic=1.0, roughness=0.2)
+    if cutout_opacity is not None:
+        m1.traits.has_cutout = True
+        m1.params.update(opacity=cutout_opacity)
+    mg = LoweredMaterial(params=dict(_DEFAULTS), traits=MaterialTraits(), textures={})
+    mg.params.update(base_color=(0.7, 0.7, 0.7), roughness=0.9)
+    from gatling_tpu.render.material import lower_material
+
+    table = build_material_table([m0, m1, mg, lower_material(None)])
+    return meshes, midx, table
+
+
+def _instanced_uniforms():
+    from gatling_tpu.render.camera import CameraUniforms
+    from gatling_tpu.render.integrator import Uniforms
+
+    fwd = np.array([0.2, 0.4, -0.6])
+    fwd = fwd / np.linalg.norm(fwd)
+    up = np.array([0, 0, 1.0])
+    up = up - fwd * (up @ fwd)
+    up /= np.linalg.norm(up)
+    return Uniforms(
+        camera=CameraUniforms(
+            jnp.asarray([-1.5, -4.0, 4.0], jnp.float32), jnp.asarray(fwd, jnp.float32),
+            jnp.asarray(up, jnp.float32),
+            jnp.float32(0.9), jnp.float32(0), jnp.float32(0), jnp.float32(0),
+            jnp.float32(0.01), jnp.float32(1e5)),
+        sample_offset=jnp.int32(0), inv_total_sample_count=jnp.float32(1.0),
+        max_sample_value=jnp.float32(100), rr_inv_min_term_prob=jnp.float32(0.95),
+        light_intensity_multiplier=jnp.float32(1), meters_per_scene_unit=jnp.float32(1),
+        max_volume_walk_length=jnp.int32(7),
+        dome_rotation=jnp.asarray([0, 0, 0, 1.0], jnp.float32),
+        dome_emission_multiplier=jnp.ones(3, jnp.float32),
+        dome_diffuse_specular=jnp.ones(2, jnp.float32))
+
+
+def test_fused_instanced_matches_flattened():
+    """The two-level INSTANCED walk (BLAS sharing: shared local clusters +
+    per-instance ray transforms, the reference TLAS analog Gi.cpp:1188-1202)
+    must reproduce the flattened clustered walk almost exactly — same math,
+    different frames."""
+    from gatling_tpu.ops.geometry import build_geometry
+    from gatling_tpu.ops.pallas_bounce import build_fused_scene_instanced
+
+    meshes, midx, table = _instanced_scene()
+    uni = _instanced_uniforms()
+    lights = build_light_arrays([_rect_light()])
+
+    res = build_fused_scene_instanced(meshes, midx, table, lights,
+                                      min_gain=1.5, min_flat=0)
+    assert res is not None
+    iscene, istatic = res
+    assert istatic.instanced and istatic.clu_vmem
+    assert istatic.n_instances == 5
+
+    geom = build_geometry(meshes, midx)
+    fscene, fstatic = build_fused_scene(geom, table, lights, resident_max=0)
+
+    cfg = RenderConfig(width=8, height=8, spp=1, max_bounces=2, nee=True,
+                       has_dome=False, rr_bounce_offset=100)
+    pix = jnp.arange(64, dtype=jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(render_pixels_fused(
+            cfg, uni, iscene, default_dome(), pix, 1, jnp.int32(0),
+            static=istatic))
+        b = np.asarray(render_pixels_fused(
+            cfg, uni, fscene, default_dome(), pix, 1, jnp.int32(0),
+            static=fstatic))
+    assert np.isfinite(a).all()
+    assert a.max() > 0.0
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_instanced_cutout_statistics():
+    """Instanced stochastic cutout draws against the PLACEMENT's material
+    opacity; converged transparency must match the flattened walk."""
+    from gatling_tpu.ops.geometry import build_geometry
+    from gatling_tpu.ops.pallas_bounce import build_fused_scene_instanced
+
+    meshes, midx, table = _instanced_scene(cutout_opacity=0.35)
+    uni = _instanced_uniforms()
+
+    res = build_fused_scene_instanced(meshes, midx, table, None,
+                                      min_gain=1.5, min_flat=0)
+    assert res is not None
+    iscene, istatic = res
+    assert istatic.cutout
+
+    geom = build_geometry(meshes, midx)
+    fscene, fstatic = build_fused_scene(geom, table, None, resident_max=0)
+    assert fstatic.cutout
+
+    cfg = RenderConfig(width=8, height=8, spp=8, max_bounces=2,
+                       has_cutout=True, has_dome=False, rr_bounce_offset=100)
+    pix = jnp.arange(64, dtype=jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(render_pixels_fused(
+            cfg, uni, iscene, default_dome(), pix, 8, jnp.int32(0),
+            static=istatic))
+        b = np.asarray(render_pixels_fused(
+            cfg, uni, fscene, default_dome(), pix, 8, jnp.int32(0),
+            static=fstatic))
+    # independent Bernoulli streams -> statistical agreement only
+    assert abs(a.mean() - b.mean()) / max(b.mean(), 1e-6) < 0.15
