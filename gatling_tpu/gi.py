@@ -639,7 +639,8 @@ def render(params: GiRenderParams) -> None:
 
             fstatic = dataclasses.replace(
                 fstatic, textured=True,
-                textured_params=textured_params(scene._lowered_materials))
+                textured_params=textured_params(scene._lowered_materials),
+                cutout_textured=has_opacity_textures)
         pix = jnp.arange(n, dtype=jnp.int32)
         want_first = aov_mask != aov_bit(AovId.COLOR)
         need_mats = has_textures or want_first

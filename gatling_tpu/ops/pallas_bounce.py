@@ -289,6 +289,10 @@ class FusedStatic:
     # hit-buffer rows, for normal mapping in the textured split-bounce
     # stage (set when any material binds a normal texture)
     tangents: bool = False
+    # textured-opacity cutout: the split-bounce XLA stage re-traces
+    # rejected hits (render/fused.py _textured_cutout_retrace); the walks
+    # treat opacity-textured materials as opaque
+    cutout_textured: bool = False
     # stochastic cutout transparency resolved INSIDE the walks: every
     # candidate intersection draws an independent hash-based Bernoulli
     # against the per-triangle pass probability (CLU_OPAC row / the mats
@@ -408,6 +412,9 @@ def _cutout_pass_prob(geom: SceneGeometry, table: MaterialTable) -> np.ndarray:
     op = pf[:, MF_OPACITY]
     th = pf[:, MF_OPACITY_THRESH]
     per_mat = np.where(th > 0.0, (op >= th).astype(np.float32), op)
+    # opacity-TEXTURED materials resolve in the split-bounce re-trace stage
+    # (fused.py _textured_cutout_retrace): the walk must treat them opaque
+    per_mat = np.where(np.asarray(table.opacity_tex) >= 0, 1.0, per_mat)
     mid = np.clip(np.asarray(geom.material_id), 0, pf.shape[0] - 1)
     return per_mat[mid].astype(np.float32)
 

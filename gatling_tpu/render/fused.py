@@ -136,7 +136,10 @@ def supports_fused(config: RenderConfig, has_textures: bool,
                   or (config.medium_stack_size == 0 and not has_scattering_volumes))
     return (
         volumes_ok
-        and not (config.has_cutout and has_opacity_textures)
+        # textured-opacity cutout runs the split-bounce re-trace stage for
+        # CAMERA paths; the in-kernel NEE occlusion walk cannot tap
+        # textures, so the NEE combination still shades on the wavefront
+        and not (config.has_cutout and has_opacity_textures and config.nee)
         and not has_advanced_bsdf
         and not config.clipping_planes
         and (config.aov_mask & ~FUSED_AOV_MASK) == 0
@@ -283,6 +286,69 @@ def _material_rows(materials, textures, hitbuf, active=None,
     return tuple(result) if len(result) > 1 else rowsbuf
 
 
+_TEX_CUTOUT_ROUNDS = 4  # re-trace rounds before force-accepting a hit
+
+
+def _textured_cutout_retrace(params, scene, state, hitbuf, *, static,
+                             materials, textures):
+    """Stochastic TEXTURED-opacity cutout for the split-bounce path
+    (rp_main.ahit:35-61 analog). The in-kernel walk cannot tap textures,
+    so opacity-textured materials trace as opaque; this XLA stage then
+    draws an accept per hit against the texture-sampled pass probability
+    and RE-TRACES rejected rays from just past the surface — up to
+    _TEX_CUTOUT_ROUNDS surfaces per bounce (the reference's anyhit loop is
+    unbounded; 4 rounds cover leaf/fence-class content, after which the
+    hit is force-accepted). Returns (hitbuf, state): rejected rays' state
+    origins advance so volume segments and later rounds stay consistent.
+
+    Untextured cutout stays resolved INSIDE the walk (static.cutout); only
+    materials with an opacity texture slot re-draw here, so the two
+    mechanisms compose without double jeopardy (_cutout_pass_prob forces
+    their in-walk pass probability to 1)."""
+    from gatling_tpu.ops.pallas_bounce import (H_GN, H_HIT, H_MAT, H_POS,
+                                               H_UVX, H_UVY)
+    from gatling_tpu.render import bsdf as bsdf_mod
+    from gatling_tpu.render.material import apply_textures, gather_params
+
+    rows, nb, lanes = hitbuf.shape
+    n = nb * lanes
+
+    def pass_prob_of(hb):
+        flat = hb.reshape(rows, n)
+        mat = jnp.clip(jnp.round(flat[H_MAT]).astype(jnp.int32), 0, None)
+        uv = jnp.stack([flat[H_UVX], flat[H_UVY]], axis=-1)
+        p = gather_params(materials, mat)
+        p = apply_textures(materials, textures, p, mat, uv, ("opacity",))
+        has_otex = materials.opacity_tex[mat] >= 0
+        return bsdf_mod.cutout_opacity(p), has_otex, flat
+
+    rng_salt = jax.lax.bitcast_convert_type(
+        state[12], jnp.uint32).reshape(n)
+    for rd in range(_TEX_CUTOUT_ROUNDS - 1):
+        pass_prob, has_otex, flat = pass_prob_of(hitbuf)
+        alive = state[13].reshape(n) > 0.5
+        hit = flat[H_HIT] > 0.5
+        # independent per-(ray, round) draw decorrelated from the path RNG
+        h = rng_salt ^ jnp.uint32(0x9E3779B9 + 0x85EB * rd)
+        h = (h ^ (h >> jnp.uint32(16))) * jnp.uint32(0x21F0AAAD)
+        h = (h ^ (h >> jnp.uint32(15))) * jnp.uint32(0x735A2D97)
+        xi = ((h ^ (h >> jnp.uint32(15))) >> jnp.uint32(8)).astype(
+            jnp.float32) * jnp.float32(1.0 / (1 << 24))
+        reject = alive & hit & has_otex & (xi >= pass_prob)
+
+        pos = flat[H_POS:H_POS + 3].T
+        gn = flat[H_GN:H_GN + 3].T
+        new_o = smp.offset_ray_origin(pos, -gn)  # continue past the surface
+        o_rows = jnp.where(reject, new_o.T, state[0:3].reshape(3, n))
+        state = state.at[0:3].set(o_rows.reshape(3, nb, lanes))
+        # trace ONLY the rejected rays (dead blocks early-out in kernel)
+        masked = state.at[13].set(
+            jnp.where(reject.reshape(nb, lanes), state[13], 0.0))
+        hb2 = trace_step(params, scene, masked, static=static)
+        hitbuf = jnp.where(reject.reshape(1, nb, lanes), hb2, hitbuf)
+    return hitbuf, state
+
+
 @partial(jax.jit, static_argnames=("config", "static", "spp", "with_stats", "want_first_hit"))
 def render_pixels_fused(
     config: RenderConfig,
@@ -355,6 +421,10 @@ def render_pixels_fused(
 
             params0 = make_params(config, uniforms, jnp.int32(0))
             hitbuf = trace_step(params0, scene, state, static=static)
+            if static.cutout_textured:
+                hitbuf, state = _textured_cutout_retrace(
+                    params0, scene, state, hitbuf, static=static,
+                    materials=materials, textures=textures)
             if static.tangents:
                 parbuf, hitbuf, p = _material_rows(
                     materials, textures, hitbuf,
@@ -432,6 +502,10 @@ def render_pixels_fused(
                 if static.textured:
                     def split(h):
                         hitbuf = trace_step(params, scene, h, static=static)
+                        if static.cutout_textured:
+                            hitbuf, h = _textured_cutout_retrace(
+                                params, scene, h, hitbuf, static=static,
+                                materials=materials, textures=textures)
                         stage = _material_rows(materials, textures, hitbuf,
                                                static.textured_params)
                         if static.tangents:
@@ -441,7 +515,7 @@ def render_pixels_fused(
                         return shade_step(params, scene, h, hb, parbuf,
                                           static=static, nee=nee)
 
-                    if config.tex_lod_bounces > 0:
+                    if config.tex_lod_bounces > 0 and not static.cutout_textured:
                         # texture LOD: bounces >= k take the plain one-kernel
                         # bounce — scene.mats holds the texture MEANS in the
                         # textured columns (substitute_texture_means), so

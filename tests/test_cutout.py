@@ -232,3 +232,94 @@ def test_blend_opacity_lowering_semantics():
     mean = _render_mean(geom, table)
     # 50% of rays pass (see the 1.0 emissive wall), 50% shade black screen
     assert abs(mean - 0.5) < 0.08
+
+
+def test_textured_cutout_fused_retrace():
+    """VERDICT r3 item 6: textured-opacity cutout on the FUSED split-bounce
+    path. A checkerboard opacity texture (half 0, half 1) on a screen in
+    front of an emissive wall: the converged mean must match the wavefront
+    integrator's distribution (~50% pass)."""
+    import dataclasses
+
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gatling_tpu import imgio
+    from gatling_tpu.ops.pallas_bounce import build_fused_scene
+    from gatling_tpu.render.fused import render_pixels_fused, supports_fused
+    from gatling_tpu.render.material import build_materials, textured_params
+    from gatling_tpu.render.texture import TextureRef
+
+    # checkerboard alpha texture: 0 / 255 squares
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[..., :3] = 255
+    c = ((np.arange(8)[:, None] // 2 + np.arange(8)[None, :] // 2) % 2)
+    img[..., 3] = np.where(c, 255, 0)
+    path = "/tmp/gatling_cutout_checker.png"
+    imgio.write_image_file(path, img)
+
+    # screen quad WITH uvs so the opacity texture actually varies
+    size = 5.0
+    pts = np.array([[-size, -size, 1.0], [size, -size, 1.0],
+                    [-size, size, 1.0], [size, size, 1.0]], np.float32)
+    uvs = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.float32)
+    from gatling_tpu.scene.meshproc import Interpolation
+    screen_mesh = build_triangulated_mesh(
+        pts, np.array([4]), np.array([0, 1, 3, 2]),
+        uvs=uvs, uvs_interp=Interpolation.VERTEX)
+    meshes = [
+        MeshDesc(path="/screen", mesh=screen_mesh, transform=np.eye(4),
+                 material="screen", double_sided=True, object_id=0),
+        MeshDesc(path="/wall", mesh=_quad(-3.0), transform=np.eye(4),
+                 material="wall", double_sided=True, object_id=1),
+    ]
+    midx = {"screen": 0, "wall": 1, None: 2}
+    geom = build_geometry(meshes, midx)
+    screen = LoweredMaterial(params=dict(_DEFAULTS),
+                             traits=MaterialTraits(has_cutout=True),
+                             textures={"opacity": TextureRef(
+                                 file_path=path, is_srgb=False, channel="a")})
+    screen.params.update(base_color=(0.0, 0.0, 0.0), opacity_threshold=0.5)
+    wall = LoweredMaterial(params=dict(_DEFAULTS), traits=MaterialTraits(), textures={})
+    wall.params.update(emissive=(1.0, 1.0, 1.0), base_color=(0.0, 0.0, 0.0))
+    from gatling_tpu.render.material import lower_material
+
+    table, pool = build_materials([screen, wall, lower_material(None)])
+
+    config = RenderConfig(width=16, height=16, spp=4, max_bounces=3,
+                          jittered=False, fis=False, has_cutout=True,
+                          has_dome=False, rr_bounce_offset=100)
+    # fused supports this combo without NEE; with NEE it must refuse
+    assert supports_fused(config, True, has_opacity_textures=True)
+    assert not supports_fused(dataclasses.replace(config, nee=True), True,
+                              has_opacity_textures=True)
+
+    scene, static = build_fused_scene(geom, table, None)
+    static = dataclasses.replace(
+        static, textured=True, cutout_textured=True,
+        textured_params=textured_params([screen, wall]))
+    n = 16 * 16
+    pix = jnp.arange(n, dtype=jnp.int32)
+    from tests.test_volumes import _uniforms as vol_uniforms
+
+    with pltpu.force_tpu_interpret_mode():
+        fused = np.asarray(render_pixels_fused(
+            config, vol_uniforms(), scene, default_dome(), pix, 4,
+            jnp.int32(0), static=static, materials=table, textures=pool))
+
+    # wavefront reference distribution
+    from gatling_tpu.render.integrator import render_pixels
+
+    import functools
+
+    fn = jax.jit(functools.partial(render_pixels, config),
+                 static_argnames=("spp",))
+    wave = np.asarray(fn(vol_uniforms(), geom, table, empty_light_arrays(),
+                         default_dome(), pix, spp=4,
+                         sample_offset=jnp.int32(0), textures=pool).color)
+    f = fused.reshape(16, 16, 3)[3:-3, 3:-3].mean()
+    w = wave.reshape(16, 16, 3)[3:-3, 3:-3].mean()
+    # binary checker at threshold 0.5: both paths converge to the same
+    # pass fraction (independent draws -> statistical tolerance)
+    assert abs(f - w) < 0.12, (f, w)
+    assert 0.2 < f < 0.8
