@@ -118,10 +118,20 @@ def test_supports_fused_gate():
     # untextured cutout resolves inside the fused walks
     assert supports_fused(RenderConfig(8, 8, has_cutout=True, has_dome=False),
                           False, has_scattering_volumes=False)
-    # textured opacity still routes to the wavefront integrator
-    assert not supports_fused(
+    # textured-opacity cutout now runs the split-bounce re-trace stage for
+    # camera paths; only the NEE combination still routes to the wavefront
+    # (the in-kernel occlusion walk cannot tap textures)
+    assert supports_fused(
         RenderConfig(8, 8, has_cutout=True, has_dome=False), False,
         has_scattering_volumes=False, has_opacity_textures=True)
+    assert not supports_fused(
+        RenderConfig(8, 8, has_cutout=True, nee=True, has_dome=False), False,
+        has_scattering_volumes=False, has_opacity_textures=True)
+    # advanced BSDF lobes (refraction/clearcoat/anisotropy) shade on the
+    # wavefront until the fused shade grows them
+    assert not supports_fused(
+        RenderConfig(8, 8, has_dome=False), False,
+        has_scattering_volumes=False, has_advanced_bsdf=True)
 
 
 def test_fused_matches_general_statistics():
