@@ -73,6 +73,9 @@ def get_library() -> ctypes.CDLL | None:
         lib.gatling_decompress.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, u8p, ctypes.c_int64]
         lib.gatling_decompress.restype = ctypes.c_int64
+        lib.gatling_lz4_decompress.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+        lib.gatling_lz4_decompress.restype = ctypes.c_int64
         _lib = lib
         get_logger().debug("loaded native library %s", _LIB_PATH)
         return _lib
@@ -143,6 +146,21 @@ def native_compress(raw: bytes | np.ndarray, elem_size: int) -> bytes | None:
     if csize <= 0:
         return None
     return dst[:csize].tobytes()
+
+
+def native_lz4_decompress(blob: bytes, max_out: int) -> bytes | None:
+    """LZ4 block decode for the crate (.usdc) reader; None when the native
+    library is unavailable or the block is malformed (callers fall back to
+    the pure-python decoder, scene/crate.py lz4_decompress_block)."""
+    lib = get_library()
+    if lib is None or not blob:
+        return None
+    src = np.frombuffer(blob, np.uint8)
+    dst = np.empty(max_out, np.uint8)
+    got = lib.gatling_lz4_decompress(_u8p(src), src.size, _u8p(dst), max_out)
+    if got < 0:
+        return None
+    return dst[:got].tobytes()
 
 
 def native_decompress(blob: bytes, n: int, elem_size: int) -> np.ndarray | None:

@@ -100,7 +100,14 @@ _POD = {
 # ---------------------------------------------------------------------------
 
 def lz4_decompress_block(src: bytes, max_out: int) -> bytes:
-    """Decode one raw LZ4 block (lz4 block format spec)."""
+    """Decode one raw LZ4 block (lz4 block format spec). Prefers the
+    native decoder (native/gatling_native.cpp gatling_lz4_decompress) —
+    real exporter files push multi-MB sections through this path."""
+    from gatling_tpu.native import native_lz4_decompress
+
+    nat = native_lz4_decompress(src, max_out)
+    if nat is not None:
+        return nat
     out = bytearray()
     i, n = 0, len(src)
     while i < n:

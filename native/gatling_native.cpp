@@ -229,4 +229,52 @@ int64_t gatling_decompress(const uint8_t* src, int64_t csize,
   return n;
 }
 
+// LZ4 block decode (lz4 block format spec) for the binary-USD (crate)
+// reader: pxr compresses every token/field/path/spec table and most value
+// arrays with LZ4 (crateFile.cpp TfFastCompression); multi-MB sections
+// through the pure-python decoder would dominate stage-open time.
+// Returns bytes written, or -1 on malformed input / overrun.
+int64_t gatling_lz4_decompress(const uint8_t* src, int64_t n,
+                               uint8_t* dst, int64_t cap) {
+  int64_t i = 0, o = 0;
+  while (i < n) {
+    const uint8_t token = src[i++];
+    int64_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t b;
+      do {
+        if (i >= n) return -1;
+        b = src[i++];
+        lit += b;
+      } while (b == 255);
+    }
+    if (i + lit > n || o + lit > cap) return -1;
+    std::memcpy(dst + o, src + i, (size_t)lit);
+    i += lit;
+    o += lit;
+    if (i >= n) break;  // last sequence: literals only
+    if (i + 2 > n) return -1;
+    const int64_t off = (int64_t)src[i] | ((int64_t)src[i + 1] << 8);
+    i += 2;
+    int64_t mlen = (token & 0xF) + 4;
+    if ((token & 0xF) == 15) {
+      uint8_t b;
+      do {
+        if (i >= n) return -1;
+        b = src[i++];
+        mlen += b;
+      } while (b == 255);
+    }
+    int64_t start = o - off;
+    if (start < 0 || o + mlen > cap) return -1;
+    if (off >= mlen) {
+      std::memcpy(dst + o, dst + start, (size_t)mlen);
+    } else {  // overlapping match: byte-serial semantics
+      for (int64_t k = 0; k < mlen; ++k) dst[o + k] = dst[start + k];
+    }
+    o += mlen;
+  }
+  return o;
+}
+
 }  // extern "C"

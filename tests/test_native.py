@@ -119,3 +119,45 @@ def test_mesh_compression_python_fallback(monkeypatch):
             assert a[0] == b[0], name  # identical compressed streams
     out = decompress_mesh(cm_native)  # python path decodes native stream
     np.testing.assert_array_equal(out.positions, tm.positions)
+
+
+def test_native_lz4_matches_python():
+    """Native LZ4 block decode == the pure-python decoder on random and
+    compressible payloads (the crate reader prefers the native path)."""
+    import numpy as np
+
+    from gatling_tpu.native import native_lz4_decompress
+    from gatling_tpu.scene import crate as C
+
+    rng = np.random.default_rng(5)
+    payloads = [
+        b"",
+        b"abc",
+        bytes(rng.integers(0, 256, 5000, dtype=np.uint8)),
+        bytes(np.tile(np.arange(16, dtype=np.uint8), 2000)),  # match-heavy... via our literals-only encoder they stay literal
+    ]
+    for raw in payloads:
+        enc = C.lz4_compress_block(raw) if raw else b""
+        if not raw:
+            continue
+        nat = native_lz4_decompress(enc, len(raw))
+        assert nat == raw
+    # hand-rolled block WITH matches (incl. overlapping RLE match):
+    # literals "abcd", match offset 1 len 8 (RLE of 'd'), then literal "Z"
+    blk = bytes([0x44, ord('a'), ord('b'), ord('c'), ord('d'), 1, 0,
+                 0x10, ord('Z')])
+    expect = b"abcd" + b"d" * 8 + b"Z"
+    assert native_lz4_decompress(blk, 64) == expect
+    # python fallback decodes the same stream identically
+    out = bytearray()
+    # (call the pure-python body by disabling the native fast path)
+    import gatling_tpu.native as nat_mod
+
+    real = nat_mod.native_lz4_decompress
+    try:
+        nat_mod.native_lz4_decompress = lambda *_a, **_k: None
+        import importlib
+
+        assert C.lz4_decompress_block(blk, 64) == expect
+    finally:
+        nat_mod.native_lz4_decompress = real
