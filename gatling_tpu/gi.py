@@ -109,6 +109,7 @@ class GiScene:
     def __init__(self) -> None:
         self.meshes: list[MeshDesc] = []
         self._mesh_store = LinearDataStore()
+        self._compress_cache: dict[int, object] = {}
         self._mesh_handles: dict[int, int] = {}  # id(mesh) -> handle
         self.materials: dict[str, MaterialDesc] = {}
         self.lights: list[LightDesc] = []
@@ -151,7 +152,15 @@ class GiScene:
         # build; GATLING_COMPRESS_MESHES=0 disables
         if os.environ.get("GATLING_COMPRESS_MESHES", "1") != "0" \
                 and not isinstance(mesh.mesh, meshproc.CompressedMesh):
-            mesh.mesh = meshproc.compress_mesh(mesh.mesh)
+            # memoized by source identity: descs SHARING a mesh (sphere
+            # fields, instanced prototypes) must keep sharing one object,
+            # or the instanced fused builder's unique-mesh dedup
+            # (build_fused_scene_instanced) splinters
+            cached = self._compress_cache.get(id(mesh.mesh))
+            if cached is None:
+                cached = meshproc.compress_mesh(mesh.mesh)
+                self._compress_cache[id(mesh.mesh)] = cached
+            mesh.mesh = cached
         self.meshes.append(mesh)
         self.dirty |= DirtyFlags.GEOMETRY | DirtyFlags.FRAMEBUFFER
         return mesh

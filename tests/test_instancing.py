@@ -285,3 +285,53 @@ def PointInstancer "Inst"
         node = scene.materials[m.material].nodes[scene.materials[m.material].surface_node]
         colors.add(tuple(node.inputs["diffuseColor"]))
     assert colors == {(1.0, 0.0, 0.0), (0.0, 1.0, 0.0)}
+
+
+def test_pointinstancer_reaches_instanced_fused(tmp_path):
+    """A USD PointInstancer scene must qualify for the two-level instanced
+    fused builder (shared prototype mesh -> unique-mesh dedup), including
+    through gi's memoized mesh compression."""
+    import numpy as np
+
+    from gatling_tpu import gi as gi_mod
+    from gatling_tpu.ops.pallas_bounce import build_fused_scene_instanced
+    from gatling_tpu.render.material import build_material_table, lower_material
+    from gatling_tpu.scene.stage import load_scene
+
+    n = 6
+    pos = ", ".join(f"({i * 2.0}, 0, 0)" for i in range(n))
+    idx = ", ".join("0" for _ in range(n))
+    (tmp_path / "inst.usda").write_text(f"""#usda 1.0
+def Xform "Root"
+{{
+    def PointInstancer "PI"
+    {{
+        point3f[] positions = [{pos}]
+        int[] protoIndices = [{idx}]
+        rel prototypes = [</Root/PI/Proto>]
+        def Xform "Proto"
+        {{
+            def Mesh "Quad"
+            {{
+                int[] faceVertexCounts = [4]
+                int[] faceVertexIndices = [0, 1, 3, 2]
+                point3f[] points = [(-1, -1, 0), (1, -1, 0), (-1, 1, 0), (1, 1, 0)]
+            }}
+        }}
+    }}
+}}
+""")
+    desc = load_scene(tmp_path / "inst.usda")
+    # register through gi so compression memoization is exercised
+    scene = gi_mod.create_scene()
+    for m in desc.meshes:
+        scene.add_mesh(m)
+    midx = {None: 0}
+    table = build_material_table([lower_material(None)])
+    res = build_fused_scene_instanced(scene.meshes, midx, table, None,
+                                      min_gain=2.0, min_flat=0)
+    assert res is not None
+    iscene, istatic = res
+    assert istatic.n_instances == n
+    # ONE unique mesh: 1 real cluster + the degenerate pad cluster
+    assert istatic.n_clusters == 1
