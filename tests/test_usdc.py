@@ -174,3 +174,34 @@ def test_crate_compressed_int_arrays():
     s = read_usdc(w.tobytes())
     got = s.find("/P").attrs["faceVertexIndices"].value
     assert got == vals
+
+
+def test_reference_across_binary_layer(tmp_path):
+    """Composition arcs cross container formats: a text layer referencing a
+    BINARY (.usdc) layer composes identically to text-over-text."""
+    lib = """#usda 1.0
+(
+    defaultPrim = "Cube"
+)
+def Mesh "Cube"
+{
+    point3f[] points = [(0,0,0), (1,0,0), (0,1,0)]
+    int[] faceVertexCounts = [3]
+    int[] faceVertexIndices = [0, 1, 2]
+}
+"""
+    (tmp_path / "lib.usda").write_text(lib)
+    save_usdc(parse_usda(lib, compose=False), tmp_path / "lib.usdc")
+    main = """#usda 1.0
+def "Instance" (
+    references = @./lib.usdc@
+)
+{
+}
+"""
+    (tmp_path / "main.usda").write_text(main)
+    from gatling_tpu.scene.stage import load_scene
+
+    sc = load_scene(tmp_path / "main.usda")
+    assert len(sc.meshes) == 1
+    assert sc.meshes[0].mesh.num_triangles == 1
