@@ -679,6 +679,9 @@ def build_fused_scene_instanced(
 
     from gatling_tpu.scene.meshproc import materialize_mesh
 
+    if _os.environ.get("GATLING_INSTANCED", "1") == "0":
+        return None
+
     if light_arrays is not None:
         light_table, light_types = build_fused_lights(light_arrays)
     else:
@@ -740,6 +743,20 @@ def build_fused_scene_instanced(
     if (flat_tris <= min_flat or unique_tris == 0
             or flat_tris / max(unique_tris, 1) < min_gain):
         return None
+    # measured envelope (PERF.md round 4): at 258 instance entries the
+    # per-block L1 scan makes incoherent secondary bounces ~2x slower than
+    # the flattened clu_vmem walk (0.85 vs 1.74 Mray/s on sphere_field),
+    # so instancing engages only where it MUST win: when the flattened
+    # table cannot stay VMEM-resident (DMA-bound regime), or when the
+    # entry count keeps the scan cheap. min_flat <= 0 (tests/benchmarks)
+    # bypasses the envelope.
+    if min_flat > 0:
+        flat_bytes = (-(-flat_tris // CLUSTER_SIZE)
+                      * CLUSTER_SIZE * CLU_TRI_ROWS * 4)
+        n_entries_est = sum(
+            -(-uniq[i["key"]]["n_clusters"] // L1_FAN) for i in insts)
+        if flat_bytes <= CLU_VMEM_MAX_BYTES and n_entries_est > 48:
+            return None
 
     # local cluster tables (CLU layout, shared across instances)
     n_rows = CLU_TRI_ROWS
