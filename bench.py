@@ -25,7 +25,8 @@ import numpy as np
 
 
 def measure(scene_path: str, width=None, spp=None, max_bounces=None,
-            use_nee=False, use_textured=False, use_normalmap=False) -> dict:
+            use_nee=False, use_textured=False, use_normalmap=False,
+            lod_bounces=0) -> dict:
     """Measure one ladder config; returns the result dict."""
     from gatling_tpu.scene.stage import load_scene
     from gatling_tpu.ops.geometry import build_geometry
@@ -151,7 +152,8 @@ def measure(scene_path: str, width=None, spp=None, max_bounces=None,
         width=width, height=height, spp=spp, max_bounces=max_bounces,
         rr_bounce_offset=3, aov_mask=aov_bit(AovId.COLOR),
         tracer=tracer, nee=use_nee,
-        has_dome=any(l.light_type == "dome" for l in desc.lights))
+        has_dome=any(l.light_type == "dome" for l in desc.lights),
+        tex_lod_bounces=lod_bounces)
     uniforms = Uniforms(
         camera=CameraUniforms(
             position=jnp.asarray(cam.position, jnp.float32),
@@ -193,7 +195,14 @@ def measure(scene_path: str, width=None, spp=None, max_bounces=None,
         if res is not None:
             fs, fstatic = res
         else:
-            fs, fstatic = build_fused_scene(geom, table, lights)
+            kernel_table = table
+            if lod_bounces > 0 and use_textured:
+                # texture-LOD bounces shade from the SMEM table: it must
+                # hold the texture MEANS (gi._fused_mat_table arrangement)
+                from gatling_tpu.render.material import substitute_texture_means
+
+                kernel_table = substitute_texture_means(table, pool)
+            fs, fstatic = build_fused_scene(geom, kernel_table, lights)
         if use_textured:
             import dataclasses as _dc
 
@@ -255,7 +264,8 @@ def measure(scene_path: str, width=None, spp=None, max_bounces=None,
                     else f"{os.path.basename(scene_path)}_trace_shade")
                    + ("_nee" if use_nee else "")
                    + ("_normalmapped" if use_normalmap else
-                      "_textured" if use_textured else "")),
+                      "_textured" if use_textured else "")
+                   + (f"_lod{lod_bounces}" if lod_bounces else "")),
         "value": round(mrays_per_sec, 2),
         "unit": "Mray/s/chip",
         "vs_baseline": round(mrays_per_sec / target, 3),
@@ -280,6 +290,10 @@ LADDER = [
                          use_nee=True)),
     ("cornell_textured", dict(scene_path="/root/reference/cornell.usda",
                               use_textured=True)),
+    # measured recommended texture-LOD setting (tools/lod_prof.py, PERF.md):
+    # bounces >= 2 shade from exact texture means, FLIP 0.00018 vs exact
+    ("cornell_textured_lod2", dict(scene_path="/root/reference/cornell.usda",
+                                   use_textured=True, lod_bounces=2)),
     ("cornell_normalmapped", dict(scene_path="/root/reference/cornell.usda",
                                   use_normalmap=True)),
     ("sphere_field", dict(scene_path="sphere_field")),

@@ -46,7 +46,9 @@ SETTING_DESCRIPTORS: list[SettingDescriptor] = [
     SettingDescriptor("parallelDevices", int, 1, "shard the frame across N devices (1 = single device)"),
     SettingDescriptor("textureLodBounces", int, 0,
                       "texture LOD: bounces >= N shade with texture means "
-                      "(top mip; 0 = exact taps every bounce)"),
+                      "(top mip; 0 = exact taps every bounce; measured "
+                      "recommendation 2: 2.1x textured throughput at mean "
+                      "FLIP 0.00018 vs exact — see PERF.md)"),
 ]
 
 
