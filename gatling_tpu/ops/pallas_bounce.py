@@ -258,9 +258,15 @@ class FusedScene(NamedTuple):
     l1_aabbs: jnp.ndarray  # [8, n_l1] (rows 0-5: min xyz / max xyz); dummy in resident
     l2_aabbs: jnp.ndarray  # [8, n_l1 * L1_FAN]
     # instanced mode (build_fused_scene_instanced; None elsewhere):
-    inst_smem: jnp.ndarray | None = None  # [n_l1, 16] f32 SMEM: A3 9, a_t 3, pass_prob
+    inst_smem: jnp.ndarray | None = None  # [n_l1, 16] f32 SMEM: A3 9, a_t 3, pass_prob, fan
     inst_map: jnp.ndarray | None = None   # [n_l1 * L1_FAN] i32 -> unique cluster
     inst_attr: jnp.ndarray | None = None  # [lanes, 24] f32 VMEM pass-2 gather rows
+    # per-entry world->local transform as a bf16 hi/lo-split [24, 8] right
+    # operand ([M_hi; M_lo; M_hi] rows at entry*24): the walks transform the
+    # block's hi/lo-split ray matrix into instance space with ONE MXU pass
+    # (lhs24 @ m24 = hi@hi + hi@lo + lo@hi, ~2^-16 relative) instead of ~21
+    # lane-skinny VPU madds per visited instance
+    inst_m24: jnp.ndarray | None = None   # [n_l1 * 24, 8] bf16 VMEM
 
 
 @dataclasses.dataclass(frozen=True)
@@ -743,20 +749,13 @@ def build_fused_scene_instanced(
     if (flat_tris <= min_flat or unique_tris == 0
             or flat_tris / max(unique_tris, 1) < min_gain):
         return None
-    # measured envelope (PERF.md round 4): at 258 instance entries the
-    # per-block L1 scan makes incoherent secondary bounces ~2x slower than
-    # the flattened clu_vmem walk (0.85 vs 1.74 Mray/s on sphere_field),
-    # so instancing engages only where it MUST win: when the flattened
-    # table cannot stay VMEM-resident (DMA-bound regime), or when the
-    # entry count keeps the scan cheap. min_flat <= 0 (tests/benchmarks)
-    # bypasses the envelope.
-    if min_flat > 0:
-        flat_bytes = (-(-flat_tris // CLUSTER_SIZE)
-                      * CLUSTER_SIZE * CLU_TRI_ROWS * 4)
-        n_entries_est = sum(
-            -(-uniq[i["key"]]["n_clusters"] // L1_FAN) for i in insts)
-        if flat_bytes <= CLU_VMEM_MAX_BYTES and n_entries_est > 48:
-            return None
+    # round-4 rework (exact per-ray-union plan + candidate-list pass 2 +
+    # MXU instance transforms + real fan bounds) brought the instanced
+    # walk to parity with the flattened clu_vmem walk on sphere_field
+    # (94/176 vs 97/182 us/block, tools/walk_prof4 protocol), so
+    # instancing now engages whenever the BLAS-sharing gain exists — it
+    # wins the memory axis outright (0.25 MB resident vs a 47 MB
+    # flattened table) and keeps transform edits table-only refits.
 
     # local cluster tables (CLU layout, shared across instances)
     n_rows = CLU_TRI_ROWS
@@ -867,6 +866,7 @@ def build_fused_scene_instanced(
         inst_smem[e, 0:9] = a3.reshape(-1)   # A3[j, i] at 3j+i
         inst_smem[e, 9:12] = inst["a_t"]
         inst_smem[e, 12] = inst["pass"]
+        inst_smem[e, 13] = float(nc)  # real fan count (walk loop bound)
         inst_attr[e, 0:9] = a3.reshape(-1)
         inst_attr[e, 9:12] = inst["a_t"]
         inst_attr[e, 12] = float(inst["mat"])
@@ -875,6 +875,22 @@ def build_fused_scene_instanced(
         inst_attr[e, 15] = inst["ds"]
 
     cutout = bool((inst_smem[:, 12] < 1.0).any())
+
+    # per-entry world->local [8, 8] right operand M (row vector v @ M):
+    # M[0:3, 0:3] = A3, M[3, 0:3] = a_t (origins carry w=1, directions
+    # w=0, so the translation lands only on origins), M[3, 3] = 1 keeps w.
+    # Stored pre-split as the bf16 [M_hi; M_lo; M_hi] stack the kernels'
+    # hi/lo lhs expects (see FusedScene.inst_m24).
+    m8 = np.zeros((n_l1, 8, 8), np.float32)
+    for e, (inst, c0, nc) in enumerate(entries):
+        m8[e, 0:3, 0:3] = inst["a3"]
+        m8[e, 3, 0:3] = inst["a_t"]
+        m8[e, 3, 3] = 1.0
+    import ml_dtypes
+    m8_hi = m8.astype(ml_dtypes.bfloat16)
+    m8_lo = (m8 - m8_hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    m24 = np.concatenate([m8_hi, m8_lo, m8_hi], axis=1).reshape(-1, 8)
+
     static = FusedStatic(
         n_tris=flat_tris, n_mats=int(pf.shape[0]), n_clusters=uc,
         n_l1=n_l1, light_types=light_types, clu_vmem=True,
@@ -888,6 +904,7 @@ def build_fused_scene_instanced(
         inst_smem=jnp.asarray(inst_smem),
         inst_map=jnp.asarray(inst_map),
         inst_attr=jnp.asarray(inst_attr),
+        inst_m24=jnp.asarray(m24, dtype=jnp.bfloat16),
     )
     return scene, static
 
@@ -1016,19 +1033,28 @@ def _safe_inv(d):
     return 1.0 / jnp.where(tiny, jnp.where(d >= 0.0, 1e-20, -1e-20), d)
 
 
-def _cluster_walk_plan(state, l1_aabbs, l2_aabbs):
-    """XLA prelude for the clustered walk: per ray block, the L1 groups
-    sorted by conservative distance (block origin box -> group box), the
-    sorted distances, and the global scene box.
+def _cluster_walk_plan(state, l1_aabbs, l2_aabbs, exact: bool = True):
+    """XLA prelude for the clustered walk: per ray block, the L1 entries
+    (flat: cluster groups; instanced: placements) sorted by a conservative
+    per-block lower bound on any hit t inside the entry, the sorted bounds,
+    and the global scene box.
 
-    The kernel walks groups in this order while `dist[k] <= max over alive
-    rays of best_t`: every triangle in group g is at least dist[k] away from
-    every ray origin in the block (unit directions => hit t >= Euclidean
-    distance), so once the nearest remaining group is beyond every ray's
-    current cap, ALL remaining groups are too — the walk stops. This is the
-    TPU-block analog of ordered BVH traversal with early termination
-    (hardware traversal, CgpuVk.cpp:2695-2854); correctness never depends on
-    the order, only pruning efficiency does.
+    The kernel walks entries in this order while `dist[k] <= max over alive
+    rays of best_t`: every hit in entry g is at least dist[k] along its ray,
+    so once the nearest remaining entry is beyond every ray's current cap,
+    ALL remaining entries are too — the walk stops. This is the TPU-block
+    analog of ordered BVH traversal with early termination (hardware
+    traversal, CgpuVk.cpp:2695-2854); correctness never depends on the
+    order, only pruning efficiency does.
+
+    exact=True computes dist as the EXACT per-ray slab union: an entry's
+    dist is min over alive rays of the ray's slab entry-t (3e37 when no ray
+    crosses it at all). Measured motivation (tools/perray_sim.py,
+    sphere_field): the block-frustum interval heuristic leaves the kernel
+    scanning 88-148 L1 entries/block while the exact per-ray union is 4.2
+    (primaries) / 31 (sorted secondaries) entries — the scan, not the
+    triangle tests, dominated the walk. The [B, 1024, n_l1] slab product is
+    reduced over rays inside one fused XLA op (never materialized in HBM).
     """
     n_blocks = state.shape[1] // BLOCK_ROWS
     o = state[0:3].reshape(3, n_blocks, BLOCK_ROWS * 128)
@@ -1093,11 +1119,6 @@ def _cluster_walk_plan(state, l1_aabbs, l2_aabbs):
         tex = jnp.min(ext, axis=0)
         return ten, (ten <= tex) & (tex >= 0.0)
 
-    ten, crossed = _interval_slab(g_lo, g_hi)
-    dist = jnp.where(crossed, dist, 3e37)
-    order = jnp.argsort(dist, axis=1).astype(jnp.int32)
-    dist_sorted = jnp.take_along_axis(dist, order, axis=1)
-
     # per-CLUSTER conservative entry bound, 3e37 when never crossed: the
     # kernel gates each cluster on ONE SMEM scalar compare against the
     # walk's tightening cap instead of a per-ray [8,128] slab test + reduce
@@ -1120,6 +1141,40 @@ def _cluster_walk_plan(state, l1_aabbs, l2_aabbs):
                      (gbox[3:6][:, None, None] - o_flat) / inv)
     cap = jnp.maximum(jnp.min(ex, axis=0), 0.0) * 1.0001 + 1e-3
     cap = jnp.where(a_flat, cap, -1.0)
+
+    if exact:
+        # exact per-ray slab union: dist[b, g] = min over block b's alive
+        # rays of the ray/box entry t (3e37 when no ray crosses box g).
+        # Chunked over entries via lax.map so the [B, 1024, K] slab
+        # temporaries stay bounded whether or not XLA fuses the reduce.
+        inv_r = 1.0 / inv  # [3, B, R]; safe (inv is clamped away from 0)
+        n_l1 = g_lo.shape[1]
+        K = min(128, n_l1)
+        n_pad = -(-n_l1 // K) * K
+        lo_p = jnp.pad(g_lo, ((0, 0), (0, n_pad - n_l1)),
+                       constant_values=FLOAT_MAX)
+        hi_p = jnp.pad(g_hi, ((0, 0), (0, n_pad - n_l1)),
+                       constant_values=-FLOAT_MAX)
+        lo_c = lo_p.reshape(3, n_pad // K, K).transpose(1, 0, 2)
+        hi_c = hi_p.reshape(3, n_pad // K, K).transpose(1, 0, 2)
+
+        def _chunk(boxes):
+            blo, bhi = boxes  # [3, K] each
+            t0 = (blo[:, None, None, :] - o_flat[..., None]) * inv_r[..., None]
+            t1 = (bhi[:, None, None, :] - o_flat[..., None]) * inv_r[..., None]
+            ten_ = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=0), 0.0)
+            tex_ = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=0),
+                               cap[..., None])  # [B, R, K]
+            return jnp.min(jnp.where(ten_ <= tex_, ten_, 3e37), axis=1)
+
+        dist = jax.lax.map(_chunk, (lo_c, hi_c))  # [n_chunks, B, K]
+        dist = dist.transpose(1, 0, 2).reshape(n_blocks, n_pad)[:, :n_l1]
+        dist = jnp.minimum(dist, 3e37)
+    else:
+        ten, crossed = _interval_slab(g_lo, g_hi)
+        dist = jnp.where(crossed, dist, 3e37)
+    order = jnp.argsort(dist, axis=1).astype(jnp.int32)
+    dist_sorted = jnp.take_along_axis(dist, order, axis=1)
     ones = jnp.ones_like(cap)
     zeros = jnp.zeros_like(cap)
     # the per-ray PCG state rides the cap row's column 1 (as raw bits) —
@@ -1134,10 +1189,15 @@ def _cluster_walk_plan(state, l1_aabbs, l2_aabbs):
                    zeros, zeros, zeros, zeros], axis=-1),
     ], axis=1)  # [B, 3, 1024, 8]
 
-    # [B, 1, n_l1]: Mosaic SMEM blocks need the last two dims full-size,
-    # so the per-block axis leads
-    return (order[:, None, :], dist_sorted[:, None, :],
-            ten2[:, None, :], gbox, lhs)
+    # ONE merged per-block SMEM row [B, 1, 2*n_l1 + c_pad]: order (as f32 —
+    # exact for ids < 2^24), sorted dists, per-cluster entry bounds. Every
+    # per-block SMEM input costs a fixed ~13 us DMA per grid program
+    # (PERF.md); merging the three plan inputs into one spec recovers
+    # ~26 us/block of pure overhead. The per-block axis leads because
+    # Mosaic SMEM blocks need the last two dims full-size.
+    plan_row = jnp.concatenate(
+        [order.astype(jnp.float32), dist_sorted, ten2], axis=1)
+    return (plan_row[:, None, :], gbox, lhs)
 
 
 def _cluster_reader(tri_ref, cache, *, init_tags):
@@ -1190,26 +1250,23 @@ def _split_lhs24(lhs2):
     return jnp.concatenate([lhs_hi, lhs_hi, lhs_lo], axis=1)
 
 
-def _inst_local_lhs24(lhs_o, lhs_d, inst_ref, g):
-    """Transform the stacked world ray matrix (o,1,0.. | d,0,0..) into
-    instance g's LOCAL frame and hi/lo-split it for _bw_products.
+def _inst_local_lhs24(lhs24_w, m24_ref, g):
+    """Transform the hi/lo-split world ray matrix [2048, 24] into instance
+    g's LOCAL frame with ONE MXU pass and re-split it for _bw_products.
 
-    local col_i = Σ_j lhs[:, j] * A3[j, i] + lhs[:, 3] * a_t[i]: the
-    origin rows carry 1 in column 3 so the translation lands only on
-    origins; direction rows carry 0 there. Exact f32 vector math — the
-    hit t parameter is invariant under the affine reparametrization
-    (x(t) = o + t d ⇒ x_l(t) = o_l + t d_l), so local intersections
-    compare directly against the world-space caps."""
-    lhs = jnp.concatenate([lhs_o, lhs_d], axis=0)  # [2048, 8]
-    cols = [
-        (lhs[:, 0:1] * inst_ref[g, 0 + i]
-         + lhs[:, 1:2] * inst_ref[g, 3 + i]
-         + lhs[:, 2:3] * inst_ref[g, 6 + i]
-         + lhs[:, 3:4] * inst_ref[g, 9 + i])
-        for i in range(3)
-    ]
-    lhs_l = jnp.concatenate(
-        cols + [lhs[:, 3:4], jnp.zeros_like(lhs[:, 0:4])], axis=1)
+    lhs24_w is [hi | hi | lo] columns and m24 is the entry's [M_hi; M_lo;
+    M_hi] row stack, so the contraction computes hi@hi + hi@lo + lo@hi —
+    the same bf16x3 emulation as the triangle products (~2^-16 relative).
+    Pass-1 precision only decides WHICH triangle wins; pass 2 recomputes
+    the winner's t/u/v from exact f32 transforms. The hit t parameter is
+    invariant under the affine reparametrization (x(t) = o + t d ⇒
+    x_l(t) = o_l + t d_l), so local intersections compare directly
+    against the world-space caps. Replaces a ~21-op lane-skinny VPU
+    version that measured ~5 us per visited instance."""
+    m24 = m24_ref[pl.ds(g * 24, 24)]  # [24, 8] bf16
+    lhs_l = jax.lax.dot_general(
+        lhs24_w, m24, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [2048, 8] f32
     return _split_lhs24(lhs_l)
 
 
@@ -1261,8 +1318,8 @@ def _bw_products(lhs24, tri):
     return p[0:RAY_BLOCK], p[RAY_BLOCK:2 * RAY_BLOCK]
 
 
-def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
-                            ten2_ref, gbox_ref, lhs_ref, cache, best128,
+def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, plan_ref,
+                            gbox_ref, lhs_ref, cache, best128,
                             clus128, attrs_acc, acc,
                             ox, oy, oz, dx, dy, dz, tmin, alive_f, *, n_l1,
                             want_uv=False, tangents=False, cutout=False,
@@ -1323,13 +1380,12 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
             lhs_ref[0, 2, :, 1:2], jnp.uint32)  # [1024, 1] PCG state
 
     # hi/lo bf16 split of the stacked (origins | directions) ray matrix,
-    # done once per block (instanced mode re-derives it per visited
-    # instance in that instance's local frame instead)
-    lhs24 = (None if inst is not None else
-             _split_lhs24(jnp.concatenate([lhs_o, lhs_d], axis=0)))
+    # done once per block (instanced mode re-projects it per visited
+    # instance into that instance's local frame with one MXU pass)
+    lhs24 = _split_lhs24(jnp.concatenate([lhs_o, lhs_d], axis=0))
 
     if inst is not None:
-        inst_smem_ref, inst_map_ref, inst_attr_ref = inst
+        inst_smem_ref, inst_map_ref, inst_attr_ref, inst_m24_ref = inst
 
         def fetch_group(g):
             return g
@@ -1350,11 +1406,12 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
     # ---- pass 1: per-(ray, lane) best t + cluster over ordered groups ----
     def l1_cond(carry):
         k, max_best = carry
-        return (k < n_l1) & (dist_ref[0, 0, jnp.minimum(k, n_l1 - 1)] <= max_best)
+        return (k < n_l1) & (plan_ref[0, 0, n_l1 + jnp.minimum(k, n_l1 - 1)]
+                             <= max_best)
 
     def l1_body(carry):
         k, max_best = carry
-        g = order_ref[0, 0, k]
+        g = plan_ref[0, 0, k].astype(jnp.int32)
         # per-ray slab tests remain load-bearing for INCOHERENT blocks
         # (removing them doubled the secondary-bounce cost: the plan's
         # block-interval bounds go slack when a block's direction interval
@@ -1368,14 +1425,20 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
         def _():
             handle = fetch_group(g)
             # instanced: rays enter instance g's local frame (the
-            # rigid/affine BLAS transform of the reference's TLAS walk)
-            lhs24_g = (_inst_local_lhs24(lhs_o, lhs_d, inst_smem_ref, g)
-                       if inst is not None else lhs24)
+            # rigid/affine BLAS transform of the reference's TLAS walk);
+            # the entry's REAL fan count bounds the cluster loop (pad
+            # slots carry empty boxes but still cost a gate iteration)
+            if inst is not None:
+                lhs24_g = _inst_local_lhs24(lhs24, inst_m24_ref, g)
+                fan_g = inst_smem_ref[g, 13].astype(jnp.int32)
+            else:
+                lhs24_g = lhs24
+                fan_g = L1_FAN
 
             def l2_body(b, __):
                 c = g * L1_FAN + b
 
-                @pl.when(ten2_ref[0, 0, c] <= max_best)
+                @pl.when(plan_ref[0, 0, 2 * n_l1 + c] <= max_best)
                 def _():
                     hit2 = _slab_test(l2_ref, c, ox, oy, oz, ivx, ivy, ivz,
                                       tmin_r, acc[0])
@@ -1419,7 +1482,7 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
                                                  clus128[...])
                 return 0
 
-            jax.lax.fori_loop(0, L1_FAN, l2_body, 0)
+            jax.lax.fori_loop(0, fan_g, l2_body, 0)
 
             # per-ray cap tighten (prunes later clusters + drives the exit)
             bt = jnp.min(best128[...], axis=1)  # [1024]
@@ -1442,22 +1505,41 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
     acc[3] = win_t.reshape(BLOCK_ROWS, 128)
 
     # ---- pass 2: one-hot matmul attribute fetch from winning clusters ----
+    # walks the PLAN's candidate list (same distance exit as pass 1), not
+    # the [g_min, g_max] id span: winners of an incoherent block span the
+    # whole entry range, and the span loop's per-entry gates measured 314
+    # (primaries) to 512 (sorted secondaries) us/block on the instanced
+    # sphere_field — 80-90% of the whole walk. A winner's hit t is >= its
+    # entry's dist (per-ray slab entry bound), so every winning entry
+    # satisfies dist <= max over hit rays of best_t — the same prefix pass
+    # 1 visited.
     win8 = acc[3]
     hit_any = win8 >= 0.0
     win_cluster = jnp.floor(win8 * (1.0 / CLUSTER_SIZE))
     win_group = jnp.floor(win_cluster * (1.0 / L1_FAN))
-    g_min = jnp.min(jnp.where(hit_any, win_group, jnp.float32(n_l1))).astype(jnp.int32)
-    g_max = jnp.max(jnp.where(hit_any, win_group, -1.0)).astype(jnp.int32)
+    max_best_hit = jnp.max(jnp.where(hit_any, acc[0], 0.0))
     attrs_acc[...] = jnp.zeros(attrs_acc.shape, jnp.float32)
     win_col = win_t[:, None]  # [1024, 1]
 
-    def a1_body(g, _):
-        in_g = hit_any & (win_group == g)
+    def a1_cond(k):
+        return (k < n_l1) & (plan_ref[0, 0, n_l1 + jnp.minimum(k, n_l1 - 1)]
+                             <= max_best_hit)
+
+    def a1_body(k):
+        g = plan_ref[0, 0, k].astype(jnp.int32)
+        in_g = hit_any & (win_group == g.astype(jnp.float32))
         any1 = jnp.max(in_g.astype(jnp.float32)) > 0.5
 
         @pl.when(any1)
         def _():
             handle = fetch_group(g)
+            # only the fan slots that actually hold winners (gated by any1,
+            # so in_g is nonempty): typically 1-2 of L1_FAN
+            base_c = g.astype(jnp.float32) * L1_FAN
+            b_min = (jnp.min(jnp.where(in_g, win_cluster, 3e37))
+                     - base_c).astype(jnp.int32)
+            b_max = (jnp.max(jnp.where(in_g, win_cluster, -1.0))
+                     - base_c).astype(jnp.int32)
 
             def a2_body(b, __):
                 c = g * L1_FAN + b
@@ -1490,11 +1572,11 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, order_ref, dist_ref,
                                       + adot(tri_mid) + adot(tri_lo))
                 return 0
 
-            jax.lax.fori_loop(0, L1_FAN, a2_body, 0)
-        return 0
+            jax.lax.fori_loop(b_min, b_max + 1, a2_body, 0)
+        return k + 1
 
     if not _PROF_NOP2:
-        jax.lax.fori_loop(g_min, g_max + 1, a1_body, 0)
+        jax.lax.while_loop(a1_cond, a1_body, jnp.int32(0))
 
     # attrs to ray layout: [1024, rows] -> [rows, 8, 128]
     rows40 = jnp.transpose(attrs_acc[...], (1, 0)).reshape(
@@ -1683,7 +1765,7 @@ def _trace_clustered_occluded(tri_ref, l1_ref, l2_ref, cache, occ128, acc,
             jnp.uint32, (RAY_BLOCK, 128), 1)
 
     if inst is not None:
-        inst_smem_ref, inst_map_ref, _inst_attr_ref = inst
+        inst_smem_ref, inst_map_ref, _inst_attr_ref, inst_m24_ref = inst
 
         def fetch_group(g):
             return g
@@ -1720,9 +1802,12 @@ def _trace_clustered_occluded(tri_ref, l1_ref, l2_ref, cache, occ128, acc,
             @pl.when(any1)
             def _():
                 handle = fetch_group(g)
-                lhs24_g = (_inst_local_lhs24(
-                    lhs2[0:RAY_BLOCK], lhs2[RAY_BLOCK:2 * RAY_BLOCK],
-                    inst_smem_ref, g) if inst is not None else lhs24)
+                if inst is not None:
+                    lhs24_g = _inst_local_lhs24(lhs24, inst_m24_ref, g)
+                    fan_g = inst_smem_ref[g, 13].astype(jnp.int32)
+                else:
+                    lhs24_g = lhs24
+                    fan_g = L1_FAN
 
                 def l2_body(b, __):
                     c = g * L1_FAN + b
@@ -1755,7 +1840,7 @@ def _trace_clustered_occluded(tri_ref, l1_ref, l2_ref, cache, occ128, acc,
                                                   okm.astype(jnp.float32))
                     return 0
 
-                jax.lax.fori_loop(0, L1_FAN, l2_body, 0)
+                jax.lax.fori_loop(0, fan_g, l2_body, 0)
                 # fold lanes into the per-ray flag once per group (drives
                 # the slab pruning + early exit)
                 occ_r = jnp.max(occ128[...], axis=1)  # [1024]
@@ -1778,12 +1863,12 @@ def _bounce_kernel(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
                    *rest, static: FusedStatic, nee: bool):
     inst = None
     if static.instanced:
-        inst_smem_ref, inst_map_ref, inst_attr_ref, *rest = rest
-        inst = (inst_smem_ref, inst_map_ref, inst_attr_ref)
+        inst_smem_ref, inst_map_ref, inst_attr_ref, inst_m24_ref, *rest = rest
+        inst = (inst_smem_ref, inst_map_ref, inst_attr_ref, inst_m24_ref)
     if static.clustered:
-        (order_ref, dist_ref, ten2_ref, gbox_ref, lhs_ref,
+        (plan_ref, gbox_ref, lhs_ref,
          state_ref, out_ref, *scratch) = rest
-        plan = (order_ref, dist_ref, ten2_ref, gbox_ref, lhs_ref)
+        plan = (plan_ref, gbox_ref, lhs_ref)
     else:
         state_ref, out_ref, *scratch = rest
         plan = None
@@ -1844,11 +1929,11 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
 
     # ---- closest-hit search ----
     if static.clustered:
-        order_ref, dist_ref, ten2_ref, gbox_ref, lhs_ref = plan
+        plan_ref, gbox_ref, lhs_ref = plan
         acc, cache, best128, clus128, attrs_acc = _clu_scratch_views(
             scratch, static)
         _trace_clustered_matrix(
-            tri_ref, l1_ref, l2_ref, order_ref, dist_ref, ten2_ref,
+            tri_ref, l1_ref, l2_ref, plan_ref,
             gbox_ref, lhs_ref, cache, best128, clus128, attrs_acc, acc,
             ox, oy, oz, dx, dy, dz, tmin, alive_f, n_l1=static.n_l1,
             cutout=static.cutout, inst=inst)
@@ -2430,19 +2515,16 @@ def _inst_specs_args(static: FusedStatic, scene: FusedScene):
         pl.BlockSpec(memory_space=pltpu.SMEM),  # inst transforms [n_l1, 16]
         pl.BlockSpec(memory_space=pltpu.SMEM),  # entry -> unique cluster
         pl.BlockSpec(memory_space=pltpu.VMEM),  # pass-2 gather rows
-    ], (scene.inst_smem, scene.inst_map, scene.inst_attr)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # m24 hi/lo transforms
+    ], (scene.inst_smem, scene.inst_map, scene.inst_attr, scene.inst_m24)
 
 
 def _plan_specs(static: FusedStatic):
     """in_specs + per-block index maps for the XLA-computed walk plan."""
     c_pad = static.n_l1 * L1_FAN
     return [
-        pl.BlockSpec((1, 1, static.n_l1), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM),  # L1 walk order
-        pl.BlockSpec((1, 1, static.n_l1), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM),  # sorted L1 distances
-        pl.BlockSpec((1, 1, c_pad), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM),  # per-cluster entry bounds
+        pl.BlockSpec((1, 1, 2 * static.n_l1 + c_pad), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),  # order | dists | ten2
         pl.BlockSpec(memory_space=pltpu.SMEM),  # global scene box [8]
         pl.BlockSpec((1, 3, RAY_BLOCK, 8), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),  # transposed ray matrix
@@ -2502,7 +2584,7 @@ def bounce_step(params, scene: FusedScene, state, *, static: FusedStatic, nee: b
 def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, *rest,
                   static: FusedStatic):
     if static.clustered:
-        (order_ref, dist_ref, ten2_ref, gbox_ref, lhs_ref,
+        (plan_ref, gbox_ref, lhs_ref,
          state_ref, hit_ref, *scratch) = rest
     else:
         state_ref, hit_ref, *scratch = rest
@@ -2525,7 +2607,7 @@ def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, *rest,
             acc, cache, best128, clus128, attrs_acc = _clu_scratch_views(
                 scratch, static)
             _trace_clustered_matrix(
-                tri_ref, l1_ref, l2_ref, order_ref, dist_ref, ten2_ref,
+                tri_ref, l1_ref, l2_ref, plan_ref,
                 gbox_ref, lhs_ref, cache, best128, clus128, attrs_acc, acc,
                 ox, oy, oz, dx, dy, dz, tmin, alive_f, n_l1=static.n_l1,
                 want_uv=True, tangents=static.tangents,

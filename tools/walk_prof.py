@@ -14,7 +14,13 @@ from gatling_tpu.render.integrator import RenderConfig, Uniforms
 desc = sphere_field()
 geom = build_geometry(desc.meshes, {None: 0})
 table = build_material_table([lower_material(None)])
-scene, static = build_fused_scene(geom, table, None)
+if os.environ.get("GATLING_PROF_INST", "") == "1":
+    from gatling_tpu.ops.pallas_bounce import build_fused_scene_instanced
+    scene, static = build_fused_scene_instanced(
+        desc.meshes, {None: 0}, table, None, min_flat=0)
+    print(f"instanced: {static.n_l1} entries, {static.n_clusters} uniq clusters")
+else:
+    scene, static = build_fused_scene(geom, table, None)
 cam = desc.first_camera()
 W = H = 512
 cu = CameraUniforms(
