@@ -77,7 +77,7 @@ def render_scene_file(
     """Load a USD scene and render one frame; returns (np image [H,W,C], scene)."""
     log = get_logger()
     t0 = time.monotonic()
-    desc = load_scene(scene_path)
+    desc = load_scene(scene_path, frame=settings.get("frame"))
     log.info("loaded %s: %d meshes, %d materials, %d lights (%.1f ms)",
              scene_path, len(desc.meshes), len(desc.materials), len(desc.lights),
              1e3 * (time.monotonic() - t0))

@@ -17,9 +17,9 @@ Reader coverage: crate versions 0.4.0 - 0.10.x (modern exporters write
 types cover the scene-description set gatling consumes: scalars, vectors,
 matrices, arrays (raw + compressed int/float), tokens, strings, asset
 paths, list ops (token/string/path/reference/payload), specifier,
-variant selection maps, dictionaries. TimeSamples decode to their
-time-zero-less `default` absence (None) — the renderer is frame-driven
-through the `frame` render setting, not value clips.
+variant selection maps, dictionaries, and TimeSamples ({time: value},
+resolved to the nearest sample at the `frame` render setting by
+scene/usda.py resolve_frame — value clips remain out of scope).
 
 The writer emits version 0.8.0 files (literals-only lz4 blocks, always-
 explicit widths) — enough to round-trip the reader's subset for fixtures
@@ -511,9 +511,26 @@ class CrateReader:
             self._seek(payload)
             return self.value(self._read("Q"))
         if ty == T_TIME_SAMPLES:
-            self._warn_once("TimeSamples (frame-driven rendering reads "
-                            "defaults)")
-            return None
+            # RecursiveRead layout (crateFile.cpp): at payload, an int64
+            # offset relative to its own start locates the times ValueRep
+            # (8 bytes); immediately after THAT rep, a second relative
+            # int64 locates [uint64 count][count x ValueRep] for the
+            # per-sample values. Returns {time: value}.
+            self._seek(payload)
+            off1 = self._read("q")
+            self._seek(payload + off1)
+            times_rep = self._read("Q")
+            pos = self._pos  # right after the times rep
+            times = self.value(times_rep)
+            self._seek(pos)
+            off2 = self._read("q")
+            self._seek(pos + off2)
+            n = self._read("Q")
+            reps = [self._read("Q") for _ in range(n)]
+            vals = [self.value(rp) for rp in reps]
+            if not isinstance(times, (list, tuple)):
+                times = []
+            return {float(t): v for t, v in zip(times, vals)}
         self._warn_once(f"value type {ty}")
         return None
 
@@ -693,6 +710,11 @@ def read_usdc(data: bytes, path: str = "") -> Stage:
                 attr.type_name = tn
             if "default" in fields:
                 attr.value = fields["default"]
+            ts = fields.get("timeSamples")
+            if isinstance(ts, dict) and ts:
+                attr.time_samples = {float(k): v for k, v in ts.items()}
+                if attr.value is None:
+                    attr.value = attr.time_samples[min(attr.time_samples)]
             conns = fields.get("connectionPaths")
             if conns:
                 attr.connect = conns[0]
@@ -991,6 +1013,19 @@ def write_usdc(stage: Stage) -> bytes:
                 afields["typeName"] = w.rep(attr.type_name)
             if attr.value is not None:
                 afields["default"] = w.rep(attr.value, attr.type_name)
+            if attr.time_samples:
+                # RecursiveRead layout mirrored by the reader's
+                # T_TIME_SAMPLES branch: [i64 +8][times rep][i64 +8]
+                # [u64 count][count x rep]. Pack child reps FIRST — they
+                # append out-of-line data to the body.
+                times = sorted(attr.time_samples)
+                times_rep = w.rep([float(t) for t in times], "double[]")
+                val_reps = [w.rep(attr.time_samples[t], attr.type_name)
+                            for t in times]
+                payload = struct.pack("<qQqQ", 8, times_rep, 8, len(times))
+                payload += struct.pack("<" + "Q" * len(val_reps), *val_reps)
+                off = w._append(payload)
+                afields["timeSamples"] = (T_TIME_SAMPLES << 48) | off
             for mk, mv in attr.meta.items():
                 try:
                     afields[mk] = w.rep(mv)

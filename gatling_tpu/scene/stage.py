@@ -632,7 +632,16 @@ def build_scene(stage: Stage) -> SceneDesc:
     return scene
 
 
-def load_scene(path: str | os.PathLike) -> SceneDesc:
+def load_scene(path: str | os.PathLike,
+               frame: float | None = None) -> SceneDesc:
     """UsdStage::Open analog: text usda, binary usdc, or usdz packages
-    (reference: src/gatling/main.cpp:132)."""
-    return build_scene(load_usd(path))
+    (reference: src/gatling/main.cpp:132). Attributes authored as
+    timeSamples resolve at `frame` (explicit arg > gtl:frame scene
+    setting > layer startTimeCode > 0 — the renderPass.cpp:131-168
+    frame plumbing analog)."""
+    from gatling_tpu.scene.usda import resolve_frame, stage_frame_default
+
+    stage = load_usd(path)
+    resolve_frame(stage, frame if frame is not None
+                  else stage_frame_default(stage))
+    return build_scene(stage)

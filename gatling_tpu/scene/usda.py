@@ -28,6 +28,10 @@ class Attr:
     meta: dict[str, Any] = dataclasses.field(default_factory=dict)
     connect: str | None = None  # target path for name.connect
     uniform: bool = False
+    # authored timeSamples {time: value}; resolve_frame() picks the sample
+    # nearest the render frame into .value (the reference reads values at
+    # the frame through UsdStage — renderPass.cpp:131-168)
+    time_samples: dict[float, Any] | None = None
 
 
 @dataclasses.dataclass
@@ -77,7 +81,7 @@ _TOKEN_RE = re.compile(
     | (?P<asset>@[^@]*@)
     | (?P<path><[^>]*>)
     | (?P<number>-?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][-+]?\d+)?)
-    | (?P<punct>[()\[\]{}=,;])
+    | (?P<punct>[()\[\]{}=,;:])
     | (?P<word>[A-Za-z_][A-Za-z_0-9:.\[\]]*)
     """,
     re.VERBOSE,
@@ -159,11 +163,18 @@ class _Parser:
                     self.next()
             self.next()
             return items
-        if v == "{":  # dict
+        if v == "{":  # metadata dict, or a timeSamples map ({time: value})
             self.next()
             d: dict[str, Any] = {}
             while self.peek()[1] != "}":
-                d.update([self.parse_dict_entry()])
+                if self.peek(1)[1] == ":":  # `<time>: value` entry
+                    key = self.next()[1]
+                    self.expect(":")
+                    d[float(key)] = self.parse_value()
+                    if self.peek()[1] == ",":
+                        self.next()
+                else:
+                    d.update([self.parse_dict_entry()])
             self.next()
             return d
         self.next()
@@ -295,14 +306,17 @@ class _Parser:
             base = attr_name.rsplit(".", 1)[0]
             self.expect("=")
             samples = self.parse_value()  # dict {time: value}
-            if isinstance(samples, dict) and samples:
-                first = samples[sorted(samples.keys(), key=float)[0]]
-            else:
-                first = None
+            ts = ({float(k): v for k, v in samples.items()}
+                  if isinstance(samples, dict) and samples else None)
+            first = ts[min(ts)] if ts else None
             existing = prim.attrs.get(base)
-            if existing is None or existing.value is None:
-                prim.attrs[base] = Attr(type_name=type_name, value=first,
-                                        uniform="uniform" in qualifiers)
+            if existing is None:
+                existing = Attr(type_name=type_name, value=first,
+                                uniform="uniform" in qualifiers)
+                prim.attrs[base] = existing
+            elif existing.value is None:
+                existing.value = first
+            existing.time_samples = ts
             if self.peek()[1] == "(":
                 self.parse_metadata_block()
             return
@@ -449,6 +463,39 @@ def compose_stage(stage: Stage) -> Stage:
     return stage
 
 
+def resolve_frame(stage: Stage, frame: float) -> Stage:
+    """Resolve every attribute with authored timeSamples to its value at
+    `frame` (nearest-sample / held interpolation). Within a layer,
+    timeSamples are stronger than the default when queried at a time —
+    the reference reads frame values through UsdStage
+    (src/gatling/main.cpp:132; frame plumbed at
+    src/hdGatling/renderPass.cpp:131-168)."""
+    frame = float(frame)
+    for prim in stage.walk():
+        for attr in prim.attrs.values():
+            ts = attr.time_samples
+            if ts:
+                key = min(ts, key=lambda t: (abs(t - frame), t))
+                attr.value = ts[key]
+    return stage
+
+
+def stage_frame_default(stage: Stage) -> float:
+    """The frame a stage resolves at when none is requested: a gtl:frame
+    scene setting if authored, else the layer's startTimeCode, else 0."""
+    for prim in stage.walk():
+        a = prim.attrs.get("gtl:frame")
+        if a is not None and a.value is not None:
+            try:
+                return float(a.value)
+            except (TypeError, ValueError):
+                pass
+    try:
+        return float(stage.meta.get("startTimeCode", 0.0) or 0.0)
+    except (TypeError, ValueError):
+        return 0.0
+
+
 def parse_usda(text: str, path: str = "", compose: bool = True) -> Stage:
     if not text.lstrip().startswith("#usda"):
         raise ValueError("not a usda text file")
@@ -491,19 +538,26 @@ def _load_usdz(path: str, compose: bool) -> Stage:
     return load_usd(os.path.join(out_dir, default), compose=compose)
 
 
-def load_usd(path: str | os.PathLike, compose: bool = True) -> Stage:
+def load_usd(path: str | os.PathLike, compose: bool = True,
+             frame: float | None = None) -> Stage:
     """Format-dispatching loader: text usda, binary usdc (crate), or usdz
     zip — detected by content, not extension (UsdStage::Open analog,
-    reference: src/gatling/main.cpp:132)."""
+    reference: src/gatling/main.cpp:132). When `frame` is given, attributes
+    with authored timeSamples resolve to their nearest sample at that
+    timecode (resolve_frame)."""
     path = str(path)
     with open(path, "rb") as f:
         head = f.read(8)
     if head[:4] == b"PK\x03\x04":
-        return _load_usdz(path, compose)
-    if head == b"PXR-USDC":
+        stage = _load_usdz(path, compose)
+    elif head == b"PXR-USDC":
         from gatling_tpu.scene.crate import read_usdc
 
         with open(path, "rb") as f:
             stage = read_usdc(f.read(), path=path)
-        return compose_stage(stage) if compose else stage
-    return load_usda(path, compose=compose)
+        stage = compose_stage(stage) if compose else stage
+    else:
+        stage = load_usda(path, compose=compose)
+    if frame is not None:
+        resolve_frame(stage, frame)
+    return stage

@@ -44,6 +44,10 @@ SETTING_DESCRIPTORS: list[SettingDescriptor] = [
     # TPU-native addition (SURVEY.md §2.10, no reference counterpart): shard
     # the frame across N jax devices (the "tiles" axis of the device mesh)
     SettingDescriptor("parallelDevices", int, 1, "shard the frame across N devices (1 = single device)"),
+    SettingDescriptor("frame", float, 0.0,
+                      "USD timecode to render: resolves authored "
+                      "timeSamples (nearest sample) and animated "
+                      "frame/time material nodes"),
     SettingDescriptor("textureLodBounces", int, 0,
                       "texture LOD: bounces >= N shade with texture means "
                       "(top mip; 0 = exact taps every bounce; measured "

@@ -205,3 +205,95 @@ def "Instance" (
     sc = load_scene(tmp_path / "main.usda")
     assert len(sc.meshes) == 1
     assert sc.meshes[0].mesh.num_triangles == 1
+
+
+# ---------------------------------------------------------------------------
+# TimeSamples at the render frame (VERDICT r4 item 3; the reference reads
+# values at the frame through UsdStage — src/gatling/main.cpp:132, frame
+# plumbed at src/hdGatling/renderPass.cpp:131-168)
+# ---------------------------------------------------------------------------
+
+ANIMATED = """#usda 1.0
+(
+    defaultPrim = "Root"
+    startTimeCode = 1
+)
+
+def Xform "Root"
+{
+    def Mesh "Tri"
+    {
+        matrix4d xformOp:transform.timeSamples = {
+            1: ( (1,0,0,0), (0,1,0,0), (0,0,1,0), (0,0,0,1) ),
+            10: ( (1,0,0,0), (0,1,0,0), (0,0,1,0), (5,0,0,1) ),
+        }
+        uniform token[] xformOpOrder = ["xformOp:transform"]
+        point3f[] points.timeSamples = {
+            1: [(0,0,0), (1,0,0), (0,1,0)],
+            10: [(0,0,0), (2,0,0), (0,2,0)],
+        }
+        int[] faceVertexCounts = [3]
+        int[] faceVertexIndices = [0, 1, 2]
+    }
+}
+"""
+
+
+def _tri_world(desc):
+    m = desc.meshes[0]
+    pts = np.asarray(m.mesh.positions, np.float32).reshape(-1, 3)
+    xf = np.asarray(m.transform, np.float32)
+    return pts @ xf[:3, :3] + xf[3, :3]
+
+
+def test_timesamples_frame_resolution(tmp_path):
+    """Transform + points authored ONLY as timeSamples: .usda and .usdc
+    resolve identically at frame 1, and frame 10 moves/scales the mesh."""
+    from gatling_tpu.scene.stage import load_scene
+
+    pa = tmp_path / "anim.usda"
+    pa.write_text(ANIMATED)
+    pc = tmp_path / "anim.usdc"
+    save_usdc(parse_usda(ANIMATED, compose=False), pc)
+
+    for f, expect in ((1.0, np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]])),
+                      (10.0, np.array([[5, 0, 0], [7, 0, 0], [5, 2, 0]]))):
+        wa = _tri_world(load_scene(pa, frame=f))
+        wc = _tri_world(load_scene(pc, frame=f))
+        np.testing.assert_allclose(wa, expect, atol=1e-5)
+        np.testing.assert_allclose(wc, expect, atol=1e-5)
+    # no frame requested -> startTimeCode (= 1) drives resolution
+    np.testing.assert_allclose(
+        _tri_world(load_scene(pa)),
+        np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]]), atol=1e-5)
+
+
+def test_timesamples_nearest_sample():
+    """Held (nearest) interpolation between authored samples."""
+    from gatling_tpu.scene.usda import resolve_frame
+
+    s = parse_usda(ANIMATED)
+    a = s.find("/Root/Tri").attrs["points"]
+    resolve_frame(s, 4.0)   # nearer 1 than 10
+    assert tuple(a.value[1]) == (1, 0, 0)
+    resolve_frame(s, 8.0)   # nearer 10
+    assert tuple(a.value[1]) == (2, 0, 0)
+
+
+def test_timesamples_beat_default_at_frame():
+    """USD value resolution: within a layer, timeSamples are stronger
+    than the default at a queried time."""
+    from gatling_tpu.scene.usda import resolve_frame
+
+    txt = """#usda 1.0
+def Mesh "M"
+{
+    float r = 0.5
+    float r.timeSamples = { 1: 0.1, 2: 0.9 }
+}
+"""
+    s = parse_usda(txt)
+    a = s.find("/M").attrs["r"]
+    assert a.value == 0.5  # unresolved: the authored default
+    resolve_frame(s, 2.0)
+    assert a.value == 0.9

@@ -1,4 +1,3 @@
-import sys, os; sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 """Per-RAY traversal ceiling simulation for sphere_field (numpy, CPU).
 
 Answers, for primary rays and (if /tmp/state1.npy exists, from
