@@ -595,20 +595,17 @@ def render(params: GiRenderParams) -> None:
             getattr(m.mesh, "colors", None) is not None
             for m in scene.meshes)
         has_dynamic = bool(config.dynamic_params)
-        # refractive transmission / clearcoat / anisotropy shade on the
-        # wavefront integrator until the fused shade grows those lobes
-        has_advanced_bsdf = any(
-            (r.params.get("transmission", 0.0) > 0.0
-             and not r.params.get("thin_walled", 0))
-            or r.params.get("clearcoat", 0.0) > 0.0
-            or r.params.get("anisotropy", 0.0) != 0.0
+        # anisotropy is mesh-tangent anchored: those scenes take the
+        # split-bounce kernels (tangent hit rows) like normal maps do;
+        # refraction/clearcoat shade in the advanced fused lobe set
+        has_aniso = any(
+            r.params.get("anisotropy", 0.0) != 0.0
             for r in scene._lowered_materials)
         use_fused = (_jax.default_backend() == "tpu"
                      and not has_vertex_colors and not has_dynamic
                      and not config.has_backface
                      and supports_fused(config, has_textures, has_normal_maps,
-                                        has_scattering, has_opacity_textures,
-                                        has_advanced_bsdf))
+                                        has_scattering, has_opacity_textures))
     if use_fused:
         from gatling_tpu.ops.pallas_bounce import build_fused_scene_with_order
         from gatling_tpu.render.fused import render_pixels_fused
@@ -616,7 +613,7 @@ def render(params: GiRenderParams) -> None:
 
         if getattr(scene, "_fused_scene", None) is None:
             fs = fstatic = order = None
-            if not has_textures and not has_normal_maps:
+            if not has_textures and not has_normal_maps and not has_aniso:
                 # two-level instanced scene (BLAS sharing): the right
                 # structure when unique meshes repeat many times — walks
                 # the shared local clusters instead of a flattened table
@@ -642,8 +639,9 @@ def render(params: GiRenderParams) -> None:
         fs, fstatic = scene._fused_scene
         if config.has_volumes:
             fstatic = dataclasses.replace(fstatic, volumes=True)
-        if has_textures:
-            # split-bounce textured mode (trace -> XLA texture stage -> shade)
+        if has_textures or has_aniso:
+            # split-bounce mode (trace -> XLA stage -> shade): textures, and
+            # anisotropy's mesh-tangent hit rows
             from gatling_tpu.render.material import textured_params
 
             fstatic = dataclasses.replace(
@@ -652,7 +650,7 @@ def render(params: GiRenderParams) -> None:
                 cutout_textured=has_opacity_textures)
         pix = jnp.arange(n, dtype=jnp.int32)
         want_first = aov_mask != aov_bit(AovId.COLOR)
-        need_mats = has_textures or want_first
+        need_mats = has_textures or has_aniso or want_first
         from gatling_tpu.render.texture import empty_pool as _empty_pool
 
         n_par = _parallel_devices(s, n)
@@ -668,9 +666,10 @@ def render(params: GiRenderParams) -> None:
             color, _segs = render_fused_sharded(
                 config, uniforms, fs, fstatic,
                 scene._dome_data or default_dome(), mesh,
-                materials=scene._material_table if has_textures else None,
+                materials=scene._material_table
+                if (has_textures or has_aniso) else None,
                 textures=(scene._texture_pool or _empty_pool())
-                if has_textures else None)
+                if (has_textures or has_aniso) else None)
             out = color
         else:
             if n_par > 1:

@@ -316,6 +316,14 @@ class FusedStatic:
     # are instance placements whose transforms live in the inst tables;
     # n_clusters counts UNIQUE local clusters (always clu_vmem)
     n_instances: int = 0
+    # full uber-BSDF lobe set in the fused shade: clearcoat + anisotropic
+    # GGX + thick refractive microfacet transmission (exact dielectric
+    # Fresnel / TIR, Beer-Lambert via the volumes medium flag) — the
+    # render/bsdf.py semantics inside the kernel (reference shades all of
+    # this in one dispatch, rp_main.chit:360-389,446-480). Set when any
+    # scene material carries those params; plain scenes keep the cheaper
+    # 3-lobe codegen.
+    advanced: bool = False
 
     @property
     def clustered(self) -> bool:
@@ -406,6 +414,20 @@ def build_fused_lights(arrays: LightArrays) -> tuple[np.ndarray, tuple[int, ...]
 
     table = np.stack(rows) if rows else np.zeros((1, LIGHT_COLS), np.float32)
     return table.astype(np.float32), tuple(types)
+
+
+def _advanced_from_table(table: MaterialTable) -> bool:
+    """True when any material needs the full lobe set (thick refractive
+    transmission, clearcoat, anisotropy) — selects the advanced shade
+    codegen (packed_f cols per render/material.py MF_*)."""
+    pf = np.asarray(table.packed_f)
+    thick = (pf[:, 14] > 0.0) & (pf[:, 15] < 0.5)
+    return bool(thick.any() or (pf[:, 26] > 0.0).any()
+                or (pf[:, 28] != 0.0).any())
+
+
+def _aniso_from_table(table: MaterialTable) -> bool:
+    return bool((np.asarray(table.packed_f)[:, 28] != 0.0).any())
 
 
 def _cutout_pass_prob(geom: SceneGeometry, table: MaterialTable) -> np.ndarray:
@@ -573,7 +595,11 @@ def build_fused_scene_with_order(
         light_table = np.zeros((1, LIGHT_COLS), np.float32)
         light_types = ()
 
-    tangents = bool((np.asarray(table.normal_tex) >= 0).any())
+    advanced = _advanced_from_table(table)
+    # anisotropy is mesh-tangent anchored: carry tangent rows so the shade
+    # frame matches the wavefront integrator's shading state
+    tangents = bool((np.asarray(table.normal_tex) >= 0).any()
+                    or _aniso_from_table(table))
     pass_prob = _cutout_pass_prob(geom, table)
     cutout = bool((pass_prob < 1.0).any())
     if n_real <= resident_max:
@@ -582,6 +608,7 @@ def build_fused_scene_with_order(
         static = FusedStatic(n_tris=n_real, n_mats=int(table.packed_f.shape[0]),
                              n_clusters=0, n_l1=1, light_types=light_types,
                              tangents=tangents, cutout=cutout,
+                             advanced=advanced,
                              block_rows=int(_os.environ.get(
                                  "GATLING_BLOCK_ROWS", "16")))
         scene = FusedScene(
@@ -641,7 +668,8 @@ def build_fused_scene_with_order(
     static = FusedStatic(n_tris=n_real, n_mats=int(table.packed_f.shape[0]),
                          n_clusters=n_clusters, n_l1=n_l1,
                          light_types=light_types, clu_vmem=clu_vmem,
-                         tangents=tangents, cutout=cutout)
+                         tangents=tangents, cutout=cutout,
+                         advanced=advanced)
     scene = FusedScene(
         tris=jnp.asarray(tris),
         mats=jnp.asarray(table.packed_f),
@@ -894,7 +922,8 @@ def build_fused_scene_instanced(
     static = FusedStatic(
         n_tris=flat_tris, n_mats=int(pf.shape[0]), n_clusters=uc,
         n_l1=n_l1, light_types=light_types, clu_vmem=True,
-        cutout=cutout, n_instances=len(insts))
+        cutout=cutout, n_instances=len(insts),
+        advanced=_advanced_from_table(table))
     scene = FusedScene(
         tris=jnp.asarray(tris),
         mats=jnp.asarray(pf),
@@ -1887,14 +1916,17 @@ def _bounce_kernel(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
                      nee=nee, inst=inst)
 
 
-def _resolve_material_rows(mat_ref, mat_f, n_mats: int, volumes: bool):
+def _resolve_material_rows(mat_ref, mat_f, n_mats: int, volumes: bool,
+                           advanced: bool = False):
     """Select-loop resolve of per-ray material params from the SMEM table
     (shared by the one-kernel bounce and the split-bounce shade kernel).
 
     Columns of MaterialTable.packed_f used: 0-2 base_color, 3 metallic,
     4 roughness, 5 ior, 7-9 emissive, 14 transmission, 15 thin_walled,
-    24 backface_edf, 16-18 sigma_a. Returns the 12 shading params plus
-    (va_r, va_g, va_b) or Nones.
+    24 backface_edf, 16-18 sigma_a, and (advanced) 26-29 clearcoat /
+    clearcoat_roughness / anisotropy / anisotropy_rotation. Returns the
+    12 shading params plus (va_r, va_g, va_b) plus the 4 advanced params,
+    Nones where not resolved.
 
     m_id by round, not truncate: clustered attrs arrive via the hi/lo
     matmul fetch (~2^-16 relative), so ids sit next to integers."""
@@ -1902,14 +1934,19 @@ def _resolve_material_rows(mat_ref, mat_f, n_mats: int, volumes: bool):
     cols = (0, 1, 2, 3, 4, 5, 7, 8, 9, 14, 15, 24)
     if volumes:
         cols = cols + (16, 17, 18)
+    n_base = len(cols)
+    if advanced:
+        cols = cols + (26, 27, 28, 29)
     mp = [jnp.zeros_like(mat_f) for _ in range(len(cols))]
     for mm in range(n_mats):
         is_m = m_id == mm
         for k, col in enumerate(cols):
             mp[k] = jnp.where(is_m, mat_ref[mm, col], mp[k])
+    adv = mp[n_base:] if advanced else [None] * 4
+    mp = mp[:n_base]
     if not volumes:
         mp = mp + [None, None, None]
-    return tuple(mp)
+    return tuple(mp) + tuple(adv)
 
 
 def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
@@ -1985,8 +2022,9 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
     # ---- material row resolve ----
     (base_r, base_g, base_b, metallic, roughness, ior,
      em_r, em_g, em_b, transm, thinw, bf_edf,
-     va_r, va_g, va_b) = _resolve_material_rows(
-        mat_ref, mat_f, static.n_mats, static.volumes)
+     va_r, va_g, va_b, coat, coat_rough, aniso, aniso_rot) = \
+        _resolve_material_rows(
+            mat_ref, mat_f, static.n_mats, static.volumes, static.advanced)
 
     _shade_core(
         params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref, scratch,
@@ -2000,7 +2038,8 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
         base_r=base_r, base_g=base_g, base_b=base_b, metallic=metallic,
         roughness=roughness, ior=ior, em_r=em_r, em_g=em_g, em_b=em_b,
         transm=transm, thinw=thinw, bf_edf=bf_edf,
-        va_r=va_r, va_g=va_g, va_b=va_b)
+        va_r=va_r, va_g=va_g, va_b=va_b,
+        coat=coat, coat_rough=coat_rough, aniso=aniso, aniso_rot=aniso_rot)
 
 
 
@@ -2011,11 +2050,20 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
                 posx, posy, posz, gnx, gny, gnz, nx, ny, nz, front, dsided,
                 base_r, base_g, base_b, metallic, roughness, ior,
                 em_r, em_g, em_b, transm, thinw, bf_edf,
-                va_r=None, va_g=None, va_b=None):
+                va_r=None, va_g=None, va_b=None,
+                coat=None, coat_rough=None, aniso=None, aniso_rot=None,
+                tanx=None, tany=None, tanz=None, tbs=None):
     """Emission + BSDF sampling + NEE shadow walk + RR + state writeback:
     shared by the single-kernel bounce and the textured split-bounce shade
-    kernel (material params arrive as per-ray values in the latter)."""
+    kernel (material params arrive as per-ray values in the latter).
+
+    static.advanced adds the full render/bsdf.py lobe set in-kernel:
+    clearcoat, anisotropic GGX (mesh-tangent frame when tan*/tbs rows are
+    provided), and thick refractive microfacet transmission with the exact
+    dielectric Fresnel + TIR (reference: one megakernel shades everything,
+    rp_main.chit:360-389,446-480)."""
     bounce = params_ref[P_BOUNCE]
+    adv = static.advanced
 
     if static.volumes:
         # absorption-only volumes (mediumStackSize == 0, integrator:427-431):
@@ -2046,16 +2094,32 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
     rng4, xi3 = _pcg_next(rng3)
     rng = jnp.where(hit, rng4, rng)
 
-    # ---- Duff ONB around the shading normal ----
-    nsign = jnp.where(nz >= 0.0, 1.0, -1.0)
-    a_onb = -1.0 / (nsign + nz)
-    b_onb = nx * ny * a_onb
-    t1x = 1.0 + nsign * nx * nx * a_onb
-    t1y = nsign * b_onb
-    t1z = -nsign * nx
-    t2x = b_onb
-    t2y = nsign + ny * ny * a_onb
-    t2z = -ny
+    if tanx is not None:
+        # mesh tangent frame (split-bounce hit rows): re-orthonormalize
+        # against the (possibly normal-mapped) shading normal, bitangent
+        # as cross(n, t) * sign — the integrator's shading-state frame,
+        # which makes anisotropy rotation mesh-anchored
+        tdn = tanx * nx + tany * ny + tanz * nz
+        t1x = tanx - nx * tdn
+        t1y = tany - ny * tdn
+        t1z = tanz - nz * tdn
+        tl = jax.lax.rsqrt(jnp.maximum(
+            t1x * t1x + t1y * t1y + t1z * t1z, 1e-20))
+        t1x, t1y, t1z = t1x * tl, t1y * tl, t1z * tl
+        t2x = (ny * t1z - nz * t1y) * tbs
+        t2y = (nz * t1x - nx * t1z) * tbs
+        t2z = (nx * t1y - ny * t1x) * tbs
+    else:
+        # ---- Duff ONB around the shading normal ----
+        nsign = jnp.where(nz >= 0.0, 1.0, -1.0)
+        a_onb = -1.0 / (nsign + nz)
+        b_onb = nx * ny * a_onb
+        t1x = 1.0 + nsign * nx * nx * a_onb
+        t1y = nsign * b_onb
+        t1z = -nsign * nx
+        t2x = b_onb
+        t2y = nsign + ny * ny * a_onb
+        t2z = -ny
 
     # wo in local frame
     wox = -(dx * t1x + dy * t1y + dz * t1z)
@@ -2072,17 +2136,39 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
     w_d = lum_base * (1.0 - metallic) * (1.0 - transm)
     w_g = jnp.where(lum_f0 > 0.0, jnp.maximum(lum_f0, 0.04), 0.0)
     w_t = transm
-    w_sum = jnp.maximum(w_d + w_g + w_t, 1e-20)
+    if adv:
+        # thick-glass fraction handled by the self-contained interface
+        # lobe; the base glossy lobe must not model that reflection again
+        thin_f = jnp.where(thinw > 0.5, 1.0, 0.0)
+        thick = transm * (1.0 - thin_f)
+        w_g = w_g * (1.0 - thick)
+        w_c = 0.25 * coat
+    else:
+        w_c = 0.0
+    w_sum = jnp.maximum(w_d + w_g + w_t + w_c, 1e-20)
     p_d = w_d / w_sum
     p_g = w_g / w_sum
     p_t = w_t / w_sum
 
     pick_d = xi0 < p_d
     pick_g = (~pick_d) & (xi0 < p_d + p_g)
-    pick_t = (~pick_d) & (~pick_g)
+    if adv:
+        p_c = w_c / w_sum
+        pick_t = (~pick_d) & (~pick_g) & (xi0 < p_d + p_g + p_t)
+        pick_c = (~pick_d) & (~pick_g) & (~pick_t)
+    else:
+        pick_t = (~pick_d) & (~pick_g)
 
     alpha = jnp.maximum(roughness * roughness, MIN_ALPHA)
     alpha2 = alpha * alpha
+    if adv:
+        # anisotropic GGX roughnesses (Disney aspect) + rotation frame
+        aspect = jnp.sqrt(1.0 - 0.9 * jnp.clip(aniso, 0.0, 1.0))
+        ax = jnp.maximum(alpha / aspect, MIN_ALPHA)
+        ay = jnp.maximum(alpha * aspect, MIN_ALPHA)
+        rtheta = (2.0 * PI) * aniso_rot
+        cos_r = jnp.cos(rtheta)
+        sin_r = jnp.sin(rtheta)
 
     # diffuse: cosine hemisphere
     ra = jnp.sqrt(jnp.clip(xi1, 0.0, 1.0))
@@ -2091,13 +2177,28 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
     wdy = ra * jnp.sin(phi_d)
     wdz = jnp.sqrt(jnp.maximum(0.0, 1.0 - xi1))
 
-    # glossy: GGX NDF half-vector sample + reflect
-    c2h = (1.0 - xi1) / jnp.maximum(1.0 + (alpha2 - 1.0) * xi1, 1e-12)
-    ch = jnp.sqrt(jnp.clip(c2h, 0.0, 1.0))
-    sh = jnp.sqrt(jnp.maximum(0.0, 1.0 - c2h))
-    hx = sh * jnp.cos(phi_d)
-    hy = sh * jnp.sin(phi_d)
-    hz = ch
+    if adv:
+        # glossy: anisotropic GGX half vector in slope space (identical to
+        # the isotropic c2h mapping when ax == ay), sampled in the rotated
+        # frame and rotated back (render/bsdf.py sample)
+        u_c = jnp.clip(xi1, 0.0, 1.0 - 1e-7)
+        r_slope = jnp.sqrt(u_c / (1.0 - u_c))
+        hxr = ax * r_slope * jnp.cos(phi_d)
+        hyr = ay * r_slope * jnp.sin(phi_d)
+        hinv_s = jax.lax.rsqrt(jnp.maximum(hxr * hxr + hyr * hyr + 1.0,
+                                           1e-24))
+        hxr, hyr, hzr = hxr * hinv_s, hyr * hinv_s, hinv_s
+        hx = hxr * cos_r - hyr * sin_r  # rotate back (-theta)
+        hy = hxr * sin_r + hyr * cos_r
+        hz = hzr
+    else:
+        # glossy: GGX NDF half-vector sample + reflect
+        c2h = (1.0 - xi1) / jnp.maximum(1.0 + (alpha2 - 1.0) * xi1, 1e-12)
+        ch = jnp.sqrt(jnp.clip(c2h, 0.0, 1.0))
+        sh = jnp.sqrt(jnp.maximum(0.0, 1.0 - c2h))
+        hx = sh * jnp.cos(phi_d)
+        hy = sh * jnp.sin(phi_d)
+        hz = ch
     odoth = wox * hx + woy * hy + woz * hz
     wgx = 2.0 * odoth * hx - wox
     wgy = 2.0 * odoth * hy - woy
@@ -2106,13 +2207,73 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
     wix = jnp.where(pick_d, wdx, wgx)
     wiy = jnp.where(pick_d, wdy, wgy)
     wiz = jnp.where(pick_d, wdz, wgz)
-    wix = jnp.where(pick_t, -wox, wix)
-    wiy = jnp.where(pick_t, -woy, wiy)
-    wiz = jnp.where(pick_t, -woz, wiz)
+    if adv:
+        # clearcoat: isotropic GGX reflect with the coat roughness
+        ac = jnp.maximum(coat_rough * coat_rough, MIN_ALPHA)
+        ac2 = ac * ac
+        u_cc = jnp.clip(xi1, 0.0, 1.0 - 1e-7)
+        c2hc = (1.0 - u_cc) / jnp.maximum(1.0 + (ac2 - 1.0) * u_cc, 1e-12)
+        chc = jnp.sqrt(jnp.clip(c2hc, 0.0, 1.0))
+        shc = jnp.sqrt(jnp.maximum(0.0, 1.0 - c2hc))
+        hcx = shc * jnp.cos(phi_d)
+        hcy = shc * jnp.sin(phi_d)
+        hcz = chc
+        odothc = wox * hcx + woy * hcy + woz * hcz
+        wix = jnp.where(pick_c, 2.0 * odothc * hcx - wox, wix)
+        wiy = jnp.where(pick_c, 2.0 * odothc * hcy - woy, wiy)
+        wiz = jnp.where(pick_c, 2.0 * odothc * hcz - woz, wiz)
+
+        # thick transmission: microfacet dielectric interface — exact
+        # Fresnel decides reflect-vs-refract per sample, TIR falls out as
+        # F -> 1 (render/bsdf.py sample; OmniGlass df::specular_bsdf)
+        c2ht = (1.0 - u_cc) / jnp.maximum(1.0 + (alpha2 - 1.0) * u_cc,
+                                          1e-12)
+        cht = jnp.sqrt(jnp.clip(c2ht, 0.0, 1.0))
+        sht = jnp.sqrt(jnp.maximum(0.0, 1.0 - c2ht))
+        htx = sht * jnp.cos(phi_d)
+        hty = sht * jnp.sin(phi_d)
+        htz = cht
+        eta_rel = jnp.where(front, ior, 1.0 / jnp.maximum(ior, 1e-6))
+        c_oh = jnp.maximum(wox * htx + woy * hty + woz * htz, 0.0)
+        # exact unpolarized dielectric Fresnel (TIR -> 1)
+        sin2_t = (1.0 - c_oh * c_oh) / jnp.maximum(eta_rel * eta_rel,
+                                                   1e-12)
+        tir = sin2_t >= 1.0
+        cos_tf = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+        rs_f = ((c_oh - eta_rel * cos_tf)
+                / jnp.maximum(c_oh + eta_rel * cos_tf, 1e-12))
+        rp_f = ((eta_rel * c_oh - cos_tf)
+                / jnp.maximum(eta_rel * c_oh + cos_tf, 1e-12))
+        f_t = jnp.where(tir, 1.0,
+                        jnp.clip(0.5 * (rs_f * rs_f + rp_f * rp_f),
+                                 0.0, 1.0))
+        eta_inv = 1.0 / jnp.maximum(eta_rel, 1e-6)
+        k_t = 1.0 - eta_inv * eta_inv * (1.0 - c_oh * c_oh)
+        cos_t = jnp.sqrt(jnp.maximum(k_t, 0.0))
+        scale_h = eta_inv * c_oh - cos_t
+        wrx = -eta_inv * wox + scale_h * htx
+        wry = -eta_inv * woy + scale_h * hty
+        wrz = -eta_inv * woz + scale_h * htz
+        refl_pick = xi3 < f_t
+        thin_b = thinw > 0.5
+        wtx = jnp.where(thin_b, -wox,
+                        jnp.where(refl_pick, 2.0 * c_oh * htx - wox, wrx))
+        wty = jnp.where(thin_b, -woy,
+                        jnp.where(refl_pick, 2.0 * c_oh * hty - woy, wry))
+        wtz = jnp.where(thin_b, -woz,
+                        jnp.where(refl_pick, 2.0 * c_oh * htz - woz, wrz))
+        wix = jnp.where(pick_t, wtx, wix)
+        wiy = jnp.where(pick_t, wty, wiy)
+        wiz = jnp.where(pick_t, wtz, wiz)
+    else:
+        wix = jnp.where(pick_t, -wox, wix)
+        wiy = jnp.where(pick_t, -woy, wiy)
+        wiz = jnp.where(pick_t, -woz, wiz)
 
     def eval_lobes(wix_, wiy_, wiz_):
-        """Diffuse/glossy reflection lobes at local wi (render/bsdf.py
-        _eval_lobes). Returns per-channel diffuse, glossy, and the pdf."""
+        """Diffuse/glossy(+clearcoat, aniso when adv) reflection lobes at
+        local wi (render/bsdf.py _eval_lobes). Returns per-channel diffuse,
+        glossy, and the pdf."""
         cos_i_ = wiz_
         refl_ = (woz > 0.0) & (cos_i_ > 0.0)
         cos_i_c_ = jnp.maximum(cos_i_, 0.0)
@@ -2123,13 +2284,32 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
         hxs, hys, hzs = hxs * hinv, hys * hinv, hzs * hinv
         nh = jnp.abs(hzs)
         oh = jnp.maximum(wox * hxs + woy * hys + woz * hzs, 1e-6)
-        dd = nh * nh * (alpha2 - 1.0) + 1.0
-        ggx_d = alpha2 / jnp.maximum(PI * dd * dd, 1e-12)
         nvo = jnp.maximum(woz, 1e-6)
         nvi = jnp.maximum(cos_i_c_, 1e-6)
-        g1o = 2.0 * nvo / (nvo + jnp.sqrt(alpha2 + (1.0 - alpha2) * nvo * nvo))
-        g1i = 2.0 * nvi / (nvi + jnp.sqrt(alpha2 + (1.0 - alpha2) * nvi * nvi))
-        gg = g1o * g1i
+        if adv:
+            # anisotropic D/G in the rotated tangent frame
+            hxr_ = hxs * cos_r + hys * sin_r
+            hyr_ = -hxs * sin_r + hys * cos_r
+            woxr = wox * cos_r + woy * sin_r
+            woyr = -wox * sin_r + woy * cos_r
+            wixr = wix_ * cos_r + wiy_ * sin_r
+            wiyr = -wix_ * sin_r + wiy_ * cos_r
+            q_ = ((hxr_ / ax) ** 2 + (hyr_ / ay) ** 2 + hzs * hzs)
+            ggx_d = 1.0 / jnp.maximum(PI * ax * ay * q_ * q_, 1e-12)
+
+            def _ag1(vx, vy, vz):
+                vza = jnp.maximum(jnp.abs(vz), 1e-6)
+                lam = 0.5 * (-1.0 + jnp.sqrt(
+                    1.0 + ((ax * vx) ** 2 + (ay * vy) ** 2) / (vza * vza)))
+                return 1.0 / (1.0 + lam)
+
+            gg = _ag1(woxr, woyr, woz) * _ag1(wixr, wiyr, wiz_)
+        else:
+            dd = nh * nh * (alpha2 - 1.0) + 1.0
+            ggx_d = alpha2 / jnp.maximum(PI * dd * dd, 1e-12)
+            g1o = 2.0 * nvo / (nvo + jnp.sqrt(alpha2 + (1.0 - alpha2) * nvo * nvo))
+            g1i = 2.0 * nvi / (nvi + jnp.sqrt(alpha2 + (1.0 - alpha2) * nvi * nvi))
+            gg = g1o * g1i
         mfres = jnp.clip(1.0 - oh, 0.0, 1.0)
         fres5 = (mfres * mfres) ** 2 * mfres
         fr_r = f0r + (1.0 - f0r) * fres5
@@ -2137,15 +2317,37 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
         fr_b = f0b + (1.0 - f0b) * fres5
         spec_core = ggx_d * gg / jnp.maximum(4.0 * woz * cos_i_c_, 1e-9) * cos_i_c_
         diff_core = (1.0 - metallic) * (1.0 - transm) * cos_i_c_ / PI
+        if adv:
+            # clearcoat lobe + base attenuation under the coat (both
+            # directions, standard-surface convention); the thick-glass
+            # fraction is removed from the base glossy lobe
+            dc_ = ac2 / jnp.maximum(
+                PI * (nh * nh * (ac2 - 1.0) + 1.0) ** 2, 1e-12)
+            g1oc = 2.0 * nvo / (nvo + jnp.sqrt(ac2 + (1.0 - ac2) * nvo * nvo))
+            g1ic = 2.0 * nvi / (nvi + jnp.sqrt(ac2 + (1.0 - ac2) * nvi * nvi))
+            fc_ = 0.04 + 0.96 * fres5
+            coat_core = (coat * fc_ * dc_ * g1oc * g1ic
+                         / jnp.maximum(4.0 * woz * cos_i_c_, 1e-9)
+                         * cos_i_c_)
+            m_o = jnp.clip(1.0 - nvo, 0.0, 1.0)
+            m_i = jnp.clip(1.0 - nvi, 0.0, 1.0)
+            att = ((1.0 - coat * (0.04 + 0.96 * (m_o * m_o) ** 2 * m_o))
+                   * (1.0 - coat * (0.04 + 0.96 * (m_i * m_i) ** 2 * m_i)))
+            spec_core = spec_core * ((1.0 - thick) * att)
+            diff_core = diff_core * att
+        else:
+            coat_core = 0.0
         zero = jnp.zeros_like(spec_core)
         fd_r = jnp.where(refl_, base_r * diff_core, zero)
         fd_g = jnp.where(refl_, base_g * diff_core, zero)
         fd_b = jnp.where(refl_, base_b * diff_core, zero)
-        fg_r = jnp.where(refl_, fr_r * spec_core, zero)
-        fg_g = jnp.where(refl_, fr_g * spec_core, zero)
-        fg_b = jnp.where(refl_, fr_b * spec_core, zero)
-        pdf_ = jnp.where(refl_, p_d * cos_i_c_ / PI
-                         + p_g * ggx_d * nh / jnp.maximum(4.0 * oh, 1e-9), zero)
+        fg_r = jnp.where(refl_, fr_r * spec_core + coat_core, zero)
+        fg_g = jnp.where(refl_, fr_g * spec_core + coat_core, zero)
+        fg_b = jnp.where(refl_, fr_b * spec_core + coat_core, zero)
+        pdf_ = p_d * cos_i_c_ / PI + p_g * ggx_d * nh / jnp.maximum(4.0 * oh, 1e-9)
+        if adv:
+            pdf_ = pdf_ + p_c * dc_ * nh / jnp.maximum(4.0 * oh, 1e-9)
+        pdf_ = jnp.where(refl_, pdf_, zero)
         return fd_r, fd_g, fd_b, fg_r, fg_g, fg_b, pdf_
 
     fd_r, fd_g, fd_b, fg_r, fg_g, fg_b, pdf = eval_lobes(wix, wiy, wiz)
@@ -2159,17 +2361,37 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
     bop_g = f_g * inv_pdf
     bop_b = f_b * inv_pdf
 
-    # transmission: straight through, Fresnel-weighted (render/bsdf.py)
+    # transmission: straight through, Fresnel-weighted (render/bsdf.py);
+    # adv thick surfaces use the self-contained interface lobe's white
+    # weight (G2/G1 Smith shadowing; tint rides Beer-Lambert absorption)
     cos_o_c = jnp.maximum(woz, 0.0)
     mtr = jnp.clip(1.0 - cos_o_c, 0.0, 1.0)
     tr5 = (mtr * mtr) ** 2 * mtr
     inv_pt = jnp.where(p_t > 1e-12, 1.0 / jnp.maximum(p_t, 1e-12), 0.0)
-    bop_r = jnp.where(pick_t, transm * (1.0 - (f0r + (1.0 - f0r) * tr5)) * inv_pt, bop_r)
-    bop_g = jnp.where(pick_t, transm * (1.0 - (f0g + (1.0 - f0g) * tr5)) * inv_pt, bop_g)
-    bop_b = jnp.where(pick_t, transm * (1.0 - (f0b + (1.0 - f0b) * tr5)) * inv_pt, bop_b)
+    thin_w_r = transm * (1.0 - (f0r + (1.0 - f0r) * tr5)) * inv_pt
+    thin_w_g = transm * (1.0 - (f0g + (1.0 - f0g) * tr5)) * inv_pt
+    thin_w_b = transm * (1.0 - (f0b + (1.0 - f0b) * tr5)) * inv_pt
+    if adv:
+        awz = jnp.maximum(jnp.abs(wiz), 1e-6)
+        g1_wi = 2.0 * awz / (awz + jnp.sqrt(alpha2 + (1.0 - alpha2)
+                                            * awz * awz))
+        thick_w = transm * g1_wi * inv_pt
+        thin_sel = thinw > 0.5
+        bop_r = jnp.where(pick_t,
+                          jnp.where(thin_sel, thin_w_r, thick_w), bop_r)
+        bop_g = jnp.where(pick_t,
+                          jnp.where(thin_sel, thin_w_g, thick_w), bop_g)
+        bop_b = jnp.where(pick_t,
+                          jnp.where(thin_sel, thin_w_b, thick_w), bop_b)
+        valid_t = (p_t > 0.0) & (thin_sel | refl_pick | (k_t > 0.0))
+    else:
+        bop_r = jnp.where(pick_t, thin_w_r, bop_r)
+        bop_g = jnp.where(pick_t, thin_w_g, bop_g)
+        bop_b = jnp.where(pick_t, thin_w_b, bop_b)
+        valid_t = p_t > 0.0
 
     # (no jnp.where on booleans: Mosaic lacks i1 select)
-    valid = (pick_t & (p_t > 0.0)) | (
+    valid = (pick_t & valid_t) | (
         ~pick_t & (pdf > 1e-12) & (cos_i > 0.0) & (woz > 0.0))
     bop_r = jnp.where(valid, bop_r, 0.0)
     bop_g = jnp.where(valid, bop_g, 0.0)
@@ -2185,7 +2407,12 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
     tpz = jnp.where(hit, tpz * bop_b, tpz)
 
     # new origin with scale-adaptive offset along the (signed) geom normal
-    osign = jnp.where(pick_t, -1.0, 1.0)
+    # (adv: a Fresnel-reflected thick-glass sample stays on the front side)
+    if adv:
+        crossing = pick_t & (thin_sel | ~refl_pick)
+    else:
+        crossing = pick_t
+    osign = jnp.where(crossing, -1.0, 1.0)
     ulp = jnp.float32(2.0 ** -16)
     feps = jnp.float32(1.0 / 65536.0)
     offx = gnx * osign * jnp.maximum(jnp.abs(posx) * ulp, feps)
@@ -2296,9 +2523,13 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
     alive_out = new_alive.astype(jnp.float32)
     if static.volumes:
         # toggle the medium on transmission through non-thin-walled surfaces
-        # (integrator stack==0: medium_idx = 1 - medium_idx). f32 0/1 math:
-        # Mosaic cannot select on i1 vectors
-        toggled = hit & valid & pick_t & (thinw <= 0.5)
+        # (integrator stack==0: medium_idx = 1 - medium_idx); adv: only a
+        # REFRACTED sample crosses the interface. f32 0/1 math: Mosaic
+        # cannot select on i1 vectors
+        if adv:
+            toggled = hit & valid & pick_t & (thinw <= 0.5) & ~refl_pick
+        else:
+            toggled = hit & valid & pick_t & (thinw <= 0.5)
         inside_f = inside.astype(jnp.float32)
         inside_new = jnp.where(toggled, 1.0 - inside_f, inside_f)
         alive_out = jnp.where(new_alive & (inside_new > 0.5), 2.0, alive_out)
@@ -2721,8 +2952,10 @@ def _shade_kernel(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
         # static slim layout) override from the XLA stage's parbuf rows
         (base_r, base_g, base_b, metallic, roughness, ior,
          em_r, em_g, em_b, transm, thinw, bf_edf,
-         va_r, va_g, va_b) = _resolve_material_rows(
-            mat_ref, hit_ref[H_MAT], static.n_mats, static.volumes)
+         va_r, va_g, va_b, coat, coat_rough, aniso, aniso_rot) = \
+            _resolve_material_rows(
+                mat_ref, hit_ref[H_MAT], static.n_mats, static.volumes,
+                static.advanced)
         for name, row in slim_param_layout(static.textured_params):
             if name == "base_color":
                 base_r, base_g, base_b = (par_ref[row], par_ref[row + 1],
@@ -2749,7 +2982,13 @@ def _shade_kernel(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
             base_r=base_r, base_g=base_g, base_b=base_b, metallic=metallic,
             roughness=roughness, ior=ior, em_r=em_r, em_g=em_g, em_b=em_b,
             transm=transm, thinw=thinw, bf_edf=bf_edf,
-            va_r=va_r, va_g=va_g, va_b=va_b)
+            va_r=va_r, va_g=va_g, va_b=va_b,
+            coat=coat, coat_rough=coat_rough, aniso=aniso,
+            aniso_rot=aniso_rot,
+            tanx=hit_ref[H_TAN + 0] if static.tangents else None,
+            tany=hit_ref[H_TAN + 1] if static.tangents else None,
+            tanz=hit_ref[H_TAN + 2] if static.tangents else None,
+            tbs=hit_ref[H_BS] if static.tangents else None)
 
 
 def _tri_specs(static: FusedStatic):

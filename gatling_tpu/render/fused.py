@@ -119,17 +119,17 @@ FUSED_AOV_MASK = (aov_bit(AovId.COLOR) | aov_bit(AovId.NORMAL)
 def supports_fused(config: RenderConfig, has_textures: bool,
                    has_normal_maps: bool = False,
                    has_scattering_volumes: bool = True,
-                   has_opacity_textures: bool = False,
-                   has_advanced_bsdf: bool = False) -> bool:
+                   has_opacity_textures: bool = False) -> bool:
     """Configs the fused megakernel reproduces exactly (in distribution).
 
     NEE, dome lighting, arbitrary triangle counts, textures and normal
     maps (split-bounce kernels with tangent rows), UNTEXTURED stochastic
     cutout (in-walk Bernoulli accepts), absorption-only volumes
-    (mediumStackSize == 0) and the first-hit AOVs in FUSED_AOV_MASK are
-    supported; scattering volumes / textured-opacity cutout / clipping /
-    advanced BSDF lobes (refractive transmission, clearcoat, anisotropy —
-    render/bsdf.py) still route to the general integrator.
+    (mediumStackSize == 0), the full advanced lobe set (thick refraction +
+    TIR + Beer-Lambert, clearcoat, mesh-tangent anisotropy —
+    FusedStatic.advanced) and the first-hit AOVs in FUSED_AOV_MASK are
+    supported; scattering volumes / textured-opacity cutout + NEE /
+    clipping still route to the general integrator.
     """
     del has_textures, has_normal_maps  # both use the split-bounce mode
     volumes_ok = (not config.has_volumes
@@ -140,7 +140,6 @@ def supports_fused(config: RenderConfig, has_textures: bool,
         # CAMERA paths; the in-kernel NEE occlusion walk cannot tap
         # textures, so the NEE combination still shades on the wavefront
         and not (config.has_cutout and has_opacity_textures and config.nee)
-        and not has_advanced_bsdf
         and not config.clipping_planes
         and (config.aov_mask & ~FUSED_AOV_MASK) == 0
     )

@@ -282,7 +282,11 @@ def _build_material(prim: Prim, base_dir: str) -> MaterialDesc:
                             nodes=mdl_desc.nodes, base_dir=mdl_desc.base_dir,
                             mdl_source=mdl_path)
 
-    return MaterialDesc(path=prim.path, surface_node=surface_node, nodes=nodes, base_dir=base_dir)
+    from gatling_tpu.render.patcher import patch_preview_surface_network
+
+    return patch_preview_surface_network(MaterialDesc(
+        path=prim.path, surface_node=surface_node, nodes=nodes,
+        base_dir=base_dir))
 
 
 _LIGHT_TYPES = {

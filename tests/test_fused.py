@@ -127,11 +127,8 @@ def test_supports_fused_gate():
     assert not supports_fused(
         RenderConfig(8, 8, has_cutout=True, nee=True, has_dome=False), False,
         has_scattering_volumes=False, has_opacity_textures=True)
-    # advanced BSDF lobes (refraction/clearcoat/anisotropy) shade on the
-    # wavefront until the fused shade grows them
-    assert not supports_fused(
-        RenderConfig(8, 8, has_dome=False), False,
-        has_scattering_volumes=False, has_advanced_bsdf=True)
+    # advanced BSDF lobes (refraction/clearcoat/anisotropy) shade in the
+    # fused kernels since round 5 (FusedStatic.advanced)
 
 
 def test_fused_matches_general_statistics():
