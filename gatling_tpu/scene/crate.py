@@ -164,6 +164,62 @@ def lz4_compress_block(src: bytes) -> bytes:
     return bytes(out)
 
 
+def lz4_compress_block_matches(src: bytes) -> bytes:
+    """Greedy hash-match LZ4 block compressor (real exporters emit
+    match-bearing blocks; the literals-only writer never exercises the
+    decoders' match-copy paths). Spec end conditions respected: the last
+    5 bytes are literals and no match starts within 12 bytes of the end."""
+    n = len(src)
+    if n < 16:
+        return lz4_compress_block(src)
+    out = bytearray()
+    table: dict[bytes, int] = {}
+    anchor = 0
+    i = 0
+    limit = n - 12  # no match may start at/after here
+
+    def emit(lit_start: int, lit_end: int, off: int = 0, mlen: int = 0):
+        lit = lit_end - lit_start
+        ml = mlen - 4 if mlen else 0
+        token = (min(lit, 15) << 4) | (min(ml, 15) if mlen else 0)
+        out.append(token)
+        if lit >= 15:
+            rem = lit - 15
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        out.extend(src[lit_start:lit_end])
+        if mlen:
+            out.append(off & 0xFF)
+            out.append((off >> 8) & 0xFF)
+            if ml >= 15:
+                rem = ml - 15
+                while rem >= 255:
+                    out.append(255)
+                    rem -= 255
+                out.append(rem)
+
+    while i < limit:
+        key = src[i:i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is None or i - cand > 0xFFFF or src[cand:cand + 4] != key:
+            i += 1
+            continue
+        # extend the match (stop 5 bytes before the end: last-literals rule)
+        mlen = 4
+        max_len = n - 5 - i
+        while mlen < max_len and src[cand + mlen] == src[i + mlen]:
+            mlen += 1
+        emit(anchor, i, i - cand, mlen)
+        i += mlen
+        anchor = i
+    # final literals-only sequence
+    emit(anchor, n)
+    return bytes(out)
+
+
 def _chunked_decompress(src: bytes, uncompressed_size: int) -> bytes:
     """pxr TfFastCompression wrapper: leading chunk-count byte (0 = one
     bare block), else per-chunk int32 sizes."""
@@ -182,8 +238,25 @@ def _chunked_decompress(src: bytes, uncompressed_size: int) -> bytes:
     return bytes(out)
 
 
-def _chunked_compress(src: bytes) -> bytes:
-    return b"\x00" + lz4_compress_block(src)
+def _chunked_compress(src: bytes, chunk_size: int | None = None,
+                      matches: bool = False) -> bytes:
+    """TfFastCompression wrapper. Default: one bare literals-only block
+    (leading 0 byte). chunk_size splits into the multi-chunk layout real
+    exporters write for large sections (count byte + per-chunk int32
+    sizes); matches=True uses the hash-match block compressor."""
+    comp = lz4_compress_block_matches if matches else lz4_compress_block
+    if chunk_size and len(src) > chunk_size:
+        chunks = [src[i:i + chunk_size]
+                  for i in range(0, len(src), chunk_size)]
+        if len(chunks) > 255:
+            raise ValueError("too many lz4 chunks")
+        out = bytearray([len(chunks)])
+        for c in chunks:
+            enc = comp(c)
+            out += struct.pack("<i", len(enc))
+            out += enc
+        return bytes(out)
+    return b"\x00" + comp(src)
 
 
 # ---------------------------------------------------------------------------
@@ -220,11 +293,52 @@ def _decode_ints(buf: bytes, n: int, wide: bool = False) -> np.ndarray:
     return np.cumsum(deltas)
 
 
-def _encode_ints(vals: np.ndarray, wide: bool = False) -> bytes:
-    """Always-widest-code encoder (valid, not minimal)."""
+def _encode_ints(vals: np.ndarray, wide: bool = False,
+                 minimal: bool = False) -> bytes:
+    """Delta-code encoder. Default emits always-widest codes (valid, not
+    minimal — the historical fixture writer). minimal=True emits what
+    pxr's integerCoding does: the most frequent delta becomes the common
+    value (code 0) and every other delta takes the smallest width that
+    holds it — exercising the reader's 1/2(/4)-byte code branches the way
+    real exporter files do."""
     n = len(vals)
     vals = np.asarray(vals, np.int64)
     deltas = np.diff(vals, prepend=np.int64(0))
+    if minimal and n:
+        if not wide:
+            # the narrow stream carries int32 deltas; 0xFFFFFFFF fieldset
+            # terminators wrap through int32 exactly like the widest-code
+            # encoder (the reader masks back with & 0xFFFFFFFF)
+            deltas = ((deltas + 2 ** 31) % 2 ** 32 - 2 ** 31).astype(np.int64)
+        uniq, counts = np.unique(deltas, return_counts=True)
+        lim = 2 ** 63 if wide else 2 ** 31
+        ok = (uniq >= -lim) & (uniq < lim)
+        cand = uniq[ok]
+        common = int(cand[np.argmax(counts[ok])]) if cand.size else 0
+        out = bytearray()
+        out += int(common).to_bytes(8 if wide else 4, "little", signed=True)
+        widths = (2, 4, 8) if wide else (1, 2, 4)
+        codes = np.zeros(n, np.uint8)
+        data = bytearray()
+        for i, d in enumerate(deltas.tolist()):
+            if d == common:
+                continue
+            for ci, w in enumerate(widths, start=1):
+                lo, hi = -(1 << (8 * w - 1)), 1 << (8 * w - 1)
+                if lo <= d < hi:
+                    codes[i] = ci
+                    data += int(d).to_bytes(w, "little", signed=True)
+                    break
+            else:
+                raise ValueError(f"delta {d} out of range")
+        ncb = (n * 2 + 7) // 8
+        cb = np.zeros(ncb * 4, np.uint8)
+        cb[:n] = codes
+        packed = (cb[0::4] | (cb[1::4] << 2) | (cb[2::4] << 4)
+                  | (cb[3::4] << 6))
+        out += packed.tobytes()
+        out += bytes(data)
+        return bytes(out)
     out = bytearray()
     out += (0).to_bytes(8 if wide else 4, "little", signed=True)
     ncb = (n * 2 + 7) // 8
@@ -735,7 +849,15 @@ def read_usdc(data: bytes, path: str = "") -> Stage:
 # ---------------------------------------------------------------------------
 
 class _CrateWriter:
-    def __init__(self) -> None:
+    def __init__(self, adversarial: bool = False,
+                 chunk_size: int = 1024) -> None:
+        # adversarial mode emits the layouts REAL exporters write that the
+        # easy fixture subset never exercises: minimal-width delta codes,
+        # multi-chunk TfFastCompression, match-bearing lz4 blocks,
+        # compressed int arrays, and float arrays through the 'i'
+        # (integral) / 't' (lookup-table) compression codes
+        self.adversarial = adversarial
+        self.chunk_size = chunk_size if adversarial else None
         self.tokens: list[str] = []
         self._token_idx: dict[str, int] = {}
         self.string_idx: list[int] = []
@@ -831,11 +953,44 @@ class _CrateWriter:
         elif np.issubdtype(a.dtype, np.integer):
             ty = T_INT
             a = a.astype(np.int32)
+            if self.adversarial and len(a):
+                comp = self._comp_ints_blob(a)
+                off = self._append(struct.pack("<Q", len(a)) + comp)
+                return (ty << 48) | _REP_ARRAY | _REP_COMPRESSED | off
         else:
             ty = T_FLOAT if "float" in (type_name or "float") else T_DOUBLE
-            a = a.astype(np.float32 if ty == T_FLOAT else np.float64)
+            dt = np.float32 if ty == T_FLOAT else np.float64
+            a = a.astype(dt)
+            if self.adversarial and len(a):
+                integral = np.all(a == np.floor(a)) and np.all(
+                    np.abs(a) < 2 ** 30)
+                uniq = np.unique(a)
+                if integral:
+                    # 'i': integral floats stored as compressed ints
+                    comp = self._comp_ints_blob(a.astype(np.int64))
+                    off = self._append(
+                        struct.pack("<Q", len(a)) + b"i" + comp)
+                    return (ty << 48) | _REP_ARRAY | _REP_COMPRESSED | off
+                if uniq.size <= min(1024, len(a)):
+                    # 't': lookup table + compressed indexes
+                    idx = np.searchsorted(uniq, a)
+                    comp = self._comp_ints_blob(idx.astype(np.int64))
+                    off = self._append(
+                        struct.pack("<Q", len(a)) + b"t"
+                        + struct.pack("<I", uniq.size)
+                        + uniq.astype(dt).tobytes() + comp)
+                    return (ty << 48) | _REP_ARRAY | _REP_COMPRESSED | off
         off = self._append(struct.pack("<Q", len(a)) + a.tobytes())
         return (ty << 48) | _REP_ARRAY | off
+
+    def _comp_ints_blob(self, vals: np.ndarray) -> bytes:
+        """[Q compSize][chunked lz4] of a delta-coded int stream — the
+        layout _read_compressed_ints consumes."""
+        enc = _chunked_compress(
+            _encode_ints(np.asarray(vals, np.int64),
+                         minimal=self.adversarial),
+            chunk_size=self.chunk_size, matches=self.adversarial)
+        return struct.pack("<Q", len(enc)) + enc
 
     def field(self, name: str, rep: int) -> int:
         key = (self.token(name), rep)
@@ -920,8 +1075,10 @@ class _CrateWriter:
         sections = []
 
         def comp_ints(vals, wide=False) -> bytes:
-            enc = _chunked_compress(_encode_ints(np.asarray(vals, np.int64),
-                                                 wide))
+            enc = _chunked_compress(
+                _encode_ints(np.asarray(vals, np.int64), wide,
+                             minimal=self.adversarial),
+                chunk_size=self.chunk_size, matches=self.adversarial)
             return struct.pack("<Q", len(enc)) + enc
 
         # paths first: encoding mints the path-element tokens, which must
@@ -929,7 +1086,8 @@ class _CrateWriter:
         pi, et, jm = self._encode_paths()
         # TOKENS
         blob = ("\0".join(self.tokens)).encode() + b"\0"
-        comp = _chunked_compress(blob)
+        comp = _chunked_compress(blob, chunk_size=self.chunk_size,
+                                 matches=self.adversarial)
         sections.append(("TOKENS", struct.pack(
             "<QQQ", len(self.tokens), len(blob), len(comp)) + comp))
         # STRINGS
@@ -937,8 +1095,9 @@ class _CrateWriter:
             "<Q" + "I" * len(self.string_idx), len(self.string_idx),
             *self.string_idx)))
         # FIELDS
-        reps_blob = _chunked_compress(np.asarray(
-            [rep for _, rep in self.fields], np.uint64).tobytes())
+        reps_blob = _chunked_compress(
+            np.asarray([rep for _, rep in self.fields], np.uint64).tobytes(),
+            chunk_size=self.chunk_size, matches=self.adversarial)
         sections.append(("FIELDS", struct.pack("<Q", len(self.fields))
                          + comp_ints([t for t, _ in self.fields])
                          + struct.pack("<Q", len(reps_blob)) + reps_blob))
@@ -969,9 +1128,12 @@ class _CrateWriter:
         return bytes(self.body)
 
 
-def write_usdc(stage: Stage) -> bytes:
-    """Serialize a Stage tree to crate bytes (reader-subset fidelity)."""
-    w = _CrateWriter()
+def write_usdc(stage: Stage, adversarial: bool = False) -> bytes:
+    """Serialize a Stage tree to crate bytes. adversarial=True emits the
+    hard layouts real exporters produce (minimal-width delta codes,
+    multi-chunk + match-bearing lz4, 'i'/'t' float compression,
+    compressed int arrays) so reader tests cover those decode paths."""
+    w = _CrateWriter(adversarial=adversarial)
     root_fields = {k: w.rep(v) for k, v in stage.meta.items()}
     w.spec("/", SPEC_PSEUDO_ROOT, root_fields)
 

@@ -297,3 +297,136 @@ def Mesh "M"
     assert a.value == 0.5  # unresolved: the authored default
     resolve_frame(s, 2.0)
     assert a.value == 0.9
+
+
+# ---------------------------------------------------------------------------
+# Adversarial crate layouts (VERDICT r4 item 4): the reader must survive
+# what real exporters write, not just the easy fixture subset. Every test
+# here consumes write_usdc(adversarial=True) output or hand-crafted bytes —
+# never the default writer.
+# ---------------------------------------------------------------------------
+
+
+def _stages_equal(a, b, atol=1e-5):
+    pa = {p.path: p for p in a.walk()}
+    pb = {p.path: p for p in b.walk()}
+    assert sorted(pa) == sorted(pb)
+    for path, prim in pa.items():
+        other = pb[path]
+        assert sorted(prim.attrs) == sorted(other.attrs), path
+        for an, attr in prim.attrs.items():
+            v1, v2 = attr.value, other.attrs[an].value
+            if isinstance(v1, (int, float)) and isinstance(v2, (int, float)):
+                assert abs(v1 - v2) <= atol, (path, an)
+            elif isinstance(v1, list) and v1 and isinstance(
+                    v1[0], (int, float)) and not isinstance(v1[0], bool):
+                np.testing.assert_allclose(np.asarray(v1, np.float64),
+                                           np.asarray(v2, np.float64),
+                                           atol=atol, err_msg=f"{path}.{an}")
+
+
+def test_adversarial_roundtrip_cornell():
+    """Minimal-width delta codes + multi-chunk match-bearing lz4 +
+    compressed int/float arrays decode to the same stage."""
+    s = load_usda(CORNELL)
+    data = write_usdc(s, adversarial=True)
+    # the adversarial container must actually differ from the easy one
+    assert data != write_usdc(s)
+    _stages_equal(s, read_usdc(data, path="adv"))
+
+
+def test_adversarial_python_lz4_fallback(monkeypatch):
+    """Match-bearing blocks through the PURE-PYTHON lz4 decoder (the
+    native decoder disabled) — the fallback's match-copy path."""
+    import gatling_tpu.native as gn
+
+    s = load_usda(CORNELL)
+    data = write_usdc(s, adversarial=True)
+    monkeypatch.setattr(gn, "native_lz4_decompress", lambda *a: None)
+    _stages_equal(s, read_usdc(data, path="adv-py"))
+
+
+def test_adversarial_float_lut_and_integral():
+    """Float arrays through the 't' (lookup-table) and 'i' (integral)
+    compression codes."""
+    txt = """#usda 1.0
+def Mesh "M"
+{
+    float[] widths = [0.25, 0.5, 0.25, 0.5, 0.25, 0.5, 0.25, 0.25]
+    float[] counts = [1, 2, 3, 4, 5, 6, 7, 8]
+}
+"""
+    s = parse_usda(txt)
+    data = write_usdc(s, adversarial=True)
+    s2 = read_usdc(data)
+    got_w = s2.find("/M").attrs["widths"].value
+    got_c = s2.find("/M").attrs["counts"].value
+    np.testing.assert_allclose(got_w, [0.25, 0.5] * 3 + [0.25, 0.25])
+    np.testing.assert_allclose(got_c, [1, 2, 3, 4, 5, 6, 7, 8])
+
+
+def test_listop_deleted_ordered_flags():
+    """ListOps with deleted (32) / ordered (64) sections parse and the
+    deleted/ordered items stay out of the composed item list."""
+    from gatling_tpu.scene import crate as C
+
+    w = C._CrateWriter()
+    import struct
+
+    # TokenListOp: explicit items [a, b] + deleted [c] + ordered [a]
+    payload = bytearray([2 | 32 | 64])
+    payload += struct.pack("<Q", 2)
+    payload += struct.pack("<I", w.token("a"))
+    payload += struct.pack("<I", w.token("b"))
+    payload += struct.pack("<Q", 1)
+    payload += struct.pack("<I", w.token("c"))
+    payload += struct.pack("<Q", 1)
+    payload += struct.pack("<I", w.token("a"))
+    off = w._append(bytes(payload))
+    rep = (C.T_TOKEN_LISTOP << 48) | off
+    w.spec("/", C.SPEC_PSEUDO_ROOT, {})
+    w.spec("/P", C.SPEC_PRIM, {"typeName": w.rep("Scope"),
+                               "apiSchemas": rep})
+    s = read_usdc(w.tobytes())
+    assert s.find("/P").meta["apiSchemas"] == ["a", "b"]
+
+
+def test_truncation_fuzz():
+    """Truncated crate bytes must raise, never hang or silently
+    mis-parse into a different scene."""
+    s = parse_usda("""#usda 1.0
+def Mesh "M"
+{
+    point3f[] points = [(0,0,0), (1,0,0), (0,1,0)]
+    int[] faceVertexCounts = [3]
+    int[] faceVertexIndices = [0, 1, 2]
+}
+""")
+    data = write_usdc(s, adversarial=True)
+    full = read_usdc(data)
+    n_attrs = sum(len(p.attrs) for p in full.walk())
+    for cut in list(range(0, 200, 7)) + list(
+            range(200, len(data), max(1, len(data) // 40))):
+        trunc = data[:cut]
+        try:
+            st = read_usdc(trunc)
+        except Exception:
+            continue  # raising is the expected outcome
+        # tolerated alternative: structurally identical prims with
+        # dropped-value warnings — never a silently DIFFERENT scene
+        assert sorted(p.path for p in st.walk()) == sorted(
+            p.path for p in full.walk()), cut
+        assert sum(len(p.attrs) for p in st.walk()) == n_attrs, cut
+
+
+def test_adversarial_timesamples():
+    """TimeSamples survive the adversarial container."""
+    from gatling_tpu.scene.usda import resolve_frame
+
+    s = parse_usda(ANIMATED)
+    s2 = read_usdc(write_usdc(s, adversarial=True), path="adv-ts")
+    a = s2.find("/Root/Tri").attrs["points"]
+    assert sorted(a.time_samples) == [1.0, 10.0]
+    resolve_frame(s2, 10)
+    np.testing.assert_allclose(
+        np.asarray(a.value, np.float64)[1], (2, 0, 0), atol=1e-6)
