@@ -77,11 +77,43 @@ _VALUE_RE = re.compile(
     r"""(?:uniform\s+|varying\s+)?(?P<type>[\w:]+)\s+(?P<name>\w+)\s*=\s*(?P<value>[^,]+(?:\([^)]*\))?[^,]*)""",
 )
 
+# conformance diagnostics: when set (lowering_diagnostics()), every df
+# construct the lowering does NOT recognize and every df argument whose
+# value expression fails to evaluate is recorded here instead of being
+# silently approximated — the MDL-SDK-parity audit hook
+# (MdlMaterialCompiler.cpp:193-266 compiles everything; the test suite
+# asserts the bundled corpus triggers none of these).
+_DIAG: list[str] | None = None
+
+
+class lowering_diagnostics:
+    """Context manager capturing unrecognized-construct reports."""
+
+    def __init__(self) -> None:
+        self.records: list[str] = []
+
+    def __enter__(self) -> "lowering_diagnostics":
+        global _DIAG
+        self._prev = _DIAG
+        _DIAG = self.records
+        return self
+
+    def __exit__(self, *exc) -> None:
+        global _DIAG
+        _DIAG = self._prev
+
+
+def _diag(msg: str) -> None:
+    if _DIAG is not None:
+        _DIAG.append(msg)
+
 
 def _parse_mdl_value(text: str) -> Any:
     text = text.strip().rstrip(",").strip()
-    m = re.match(r"color\s*\(([^)]*)\)", text)
-    if m:
+    m = re.match(r"color\s*\(([^)]*)\)$", text)
+    if m and not re.search(r"[A-Za-z_]", m.group(1)):
+        # literal components only; expressions (identifiers, nested
+        # calls) go through the _BodyEval color branch instead
         parts = [float(x) for x in re.findall(r"-?\d+\.?\d*(?:[eE][-+]?\d+)?", m.group(1))]
         if len(parts) == 1:
             parts = parts * 3
@@ -152,7 +184,9 @@ def _parse_call(text: str):
     named: dict[str, str] = {}
     positional: list[str] = []
     for arg in _split_args(inner):
-        am = re.match(r"(\w+)\s*:\s*(.+)$", arg, re.DOTALL)
+        # named-arg detection must not trip over qualified calls
+        # (math::min(...) is positional, not named "math")
+        am = re.match(r"(\w+)\s*:(?!:)\s*(.+)$", arg, re.DOTALL)
         if am:
             named[am.group(1)] = am.group(2).strip()
         else:
@@ -179,7 +213,24 @@ class _BodyEval:
             return self.params[expr]
         if expr in self.lets:
             return self.value(self.lets[expr], depth + 1)
-        # scalar * color / scalar * scalar products (common: tint * brightness)
+        # top-level sums then products (common: tint * brightness,
+        # 0.30 + 0.35 * redness)
+        sparts = ([] if re.search(r"[eE]\+", expr)
+                  else _split_top(expr, "+"))
+        if len(sparts) > 1:
+            vals = [self.value(p, depth + 1) for p in sparts]
+            if all(v is not None for v in vals):
+                out = 0.0
+                for v in vals:
+                    if isinstance(v, tuple) and isinstance(out, tuple):
+                        out = tuple(a + b for a, b in zip(out, v))
+                    elif isinstance(v, tuple):
+                        out = tuple(out + c for c in v)
+                    elif isinstance(out, tuple):
+                        out = tuple(c + v for c in out)
+                    else:
+                        out = out + v
+                return out
         parts = _split_top(expr, "*")
         if len(parts) > 1:
             vals = [self.value(p, depth + 1) for p in parts]
@@ -197,9 +248,49 @@ class _BodyEval:
                 return out
         c = _parse_call(expr)
         if c and c[0] == "color":
-            inner = self.value(c[2][0], depth + 1) if c[2] else None
-            if isinstance(inner, (int, float)):
-                return (float(inner),) * 3
+            args = [self.value(a, depth + 1) for a in c[2]]
+            if len(args) == 1 and isinstance(args[0], (int, float)):
+                return (float(args[0]),) * 3
+            if len(args) == 3 and all(
+                    isinstance(a, (int, float)) for a in args):
+                return tuple(float(a) for a in args)
+        if c and c[0] in ("lerp", "min", "max", "clamp", "saturate",
+                          "pow", "sqrt", "abs", "float"):
+            # the ::math:: subset the bundled corpus uses in let bindings
+            args = [self.value(a, depth + 1) for a in c[2]] + [
+                self.value(a, depth + 1) for a in c[1].values()]
+            if any(a is None for a in args):
+                return None
+
+            def _zip(f, *vs):
+                if any(isinstance(v, tuple) for v in vs):
+                    vs = [v if isinstance(v, tuple) else (float(v),) * 3
+                          for v in vs]
+                    return tuple(f(*c_) for c_ in zip(*vs))
+                return f(*vs)
+
+            try:
+                if c[0] == "lerp" and len(args) == 3:
+                    return _zip(lambda a, b, t: a + (b - a) * t, *args)
+                if c[0] == "min" and len(args) == 2:
+                    return _zip(min, *args)
+                if c[0] == "max" and len(args) == 2:
+                    return _zip(max, *args)
+                if c[0] == "clamp" and len(args) == 3:
+                    return _zip(lambda x, lo, hi: min(max(x, lo), hi), *args)
+                if c[0] == "saturate" and len(args) == 1:
+                    return _zip(lambda x: min(max(x, 0.0), 1.0), *args)
+                if c[0] == "pow" and len(args) == 2:
+                    return _zip(lambda x, y: float(x) ** float(y), *args)
+                if c[0] == "sqrt" and len(args) == 1:
+                    return _zip(lambda x: float(x) ** 0.5, *args)
+                if c[0] == "abs" and len(args) == 1:
+                    return _zip(abs, *args)
+                if c[0] == "float" and len(args) == 1:
+                    a = args[0]
+                    return float(a[0] if isinstance(a, tuple) else a)
+            except (TypeError, ValueError):
+                return None
         return None
 
 
@@ -230,27 +321,51 @@ def _lower_bsdf(expr: str, ev: _BodyEval, out: dict, depth: int = 0) -> None:
         return _lower_bsdf(ev.lets[expr], ev, out, depth + 1)
     c = _parse_call(expr)
     if not c:
+        if expr:
+            _diag(f"df expression {expr[:60]!r} is not a recognized "
+                  "construct")
         return
     name, named, _pos = c
     if name == "diffuse_reflection_bsdf":
         tint = ev.value(named.get("tint"))
         if tint is not None:
             out["base_color"] = tint if isinstance(tint, tuple) else (tint,) * 3
+        elif "tint" in named:
+            _diag(f"diffuse tint expression {named['tint']!r} did not "
+                  "evaluate")
         out.setdefault("roughness", 1.0)
         out["metallic"] = 0.0
     elif name in ("microfacet_ggx_smith_bsdf", "microfacet_beckmann_smith_bsdf",
-                  "simple_glossy_bsdf", "microfacet_ggx_vcavities_bsdf"):
+                  "simple_glossy_bsdf", "microfacet_ggx_vcavities_bsdf",
+                  "backscattering_glossy_reflection_bsdf", "ward_geisler_moroder_bsdf"):
         r = ev.value(named.get("roughness_u"))
+        rv = ev.value(named.get("roughness_v"))
         if isinstance(r, (int, float)):
             # MDL microfacet roughness_u is the squared slope (alpha^2-like);
             # the uber-BSDF squares its roughness once -> sqrt here
-            out["roughness"] = float(r) ** 0.5
+            au = float(r) ** 0.5
+            if isinstance(rv, (int, float)) and rv != r:
+                # distinct u/v slopes: invert the Disney aspect mapping
+                # (ax = a/aspect, ay = a*aspect, aspect^2 = 1 - 0.9*aniso)
+                av_ = float(rv) ** 0.5
+                hi, lo = max(au, av_), max(min(au, av_), 1e-6)
+                aspect2 = lo / hi
+                out["roughness"] = (au * av_) ** 0.25 if au * av_ > 0 else 0.0
+                out["anisotropy"] = min(max((1.0 - aspect2) / 0.9, 0.0), 1.0)
+            else:
+                out["roughness"] = au
+        elif "roughness_u" in named:
+            _diag(f"microfacet roughness_u expression "
+                  f"{named['roughness_u']!r} did not evaluate")
         for mdl_name, uber in (("anisotropy", "anisotropy"),
                                ("anisotropy_rotation", "anisotropy_rotation")):
             av = ev.value(named.get(mdl_name))
             if isinstance(av, (int, float)) and av:
                 out[uber] = float(av)
         tint = ev.value(named.get("tint"))
+        if tint is None and "tint" in named:
+            _diag(f"microfacet tint expression {named['tint']!r} "
+                  "did not evaluate")
         mode = named.get("mode", "")
         if "transmit" in mode:
             out["transmission"] = 1.0
@@ -310,8 +425,31 @@ def _lower_bsdf(expr: str, ev: _BodyEval, out: dict, depth: int = 0) -> None:
         t = ev.value(named.get("color"))
         if t is not None:
             out["base_color"] = t if isinstance(t, tuple) else (t,) * 3
+        elif "color" in named:
+            _diag(f"tint color expression {named['color']!r} did not "
+                  "evaluate")
         if "base" in named:
             _lower_bsdf(named["base"], ev, out, depth + 1)
+    elif name == "diffuse_transmission_bsdf":
+        # translucency: diffuse pass-through — carried as thin-walled
+        # transmission with a rough interface (closest uber analog)
+        t = ev.value(named.get("tint"))
+        if t is not None:
+            out["base_color"] = t if isinstance(t, tuple) else (t,) * 3
+        out["transmission"] = 1.0
+        out["thin_walled"] = 1
+        out.setdefault("roughness", 1.0)
+    elif name in ("bsdf", "edf", "vdf", "hair_bsdf"):
+        pass  # empty default distributions: no scattering contribution
+    elif name in ("directional_factor", "measured_curve_factor",
+                  "thin_film"):
+        # modifier wrappers: lower the wrapped base unchanged
+        if "base" in named:
+            _lower_bsdf(named["base"], ev, out, depth + 1)
+        else:
+            _diag(f"df modifier {name} without base")
+    else:
+        _diag(f"unrecognized df construct {name}")
 
 
 def _resolve_module(qualifier: str, base_dir: str = "") -> str | None:
@@ -469,6 +607,11 @@ def _lower_mdl_body(source: str, sub_identifier: str | None,
             elif ch == ";" and depth0 == 0:
                 body = body[:i]
                 break
+        # strip // and /* */ comments (preserving string literals) so let
+        # bindings and df args with leading comment lines still parse
+        body = re.sub(
+            r'("(?:[^"\\]|\\.)*")|/\*.*?\*/|//[^\n]*',
+            lambda m: m.group(1) or "", body, flags=re.DOTALL)
         lets: dict[str, str] = {}
         lm = re.match(r"\s*let\s*\{", body)
         if lm:
@@ -530,11 +673,26 @@ def _lower_mdl_body(source: str, sub_identifier: str | None,
             if emis and "material_emission" in emis:
                 ec = _parse_call(emis.strip())
                 if ec:
+                    edf = _parse_call((ec[1].get("emission") or "").strip())
+                    escale = (1.0,) * 3
+                    if edf:
+                        if edf[0] in ("diffuse_edf", "edf"):
+                            pass  # lambertian emitter: the uber EDF
+                        elif edf[0] == "tint" and "color" in edf[1]:
+                            tv = ev.value(edf[1]["color"])
+                            if isinstance(tv, tuple):
+                                escale = tv
+                        else:
+                            _diag(f"unrecognized edf construct {edf[0]}")
                     inten = ev.value(ec[1].get("intensity"))
+                    if inten is None and "intensity" in ec[1]:
+                        _diag("emission intensity expression "
+                              f"{ec[1]['intensity']!r} did not evaluate")
                     if inten is not None:
-                        dst["emissive_color"] = (
-                            inten if isinstance(inten, tuple)
-                            else (float(inten),) * 3)
+                        inten = (inten if isinstance(inten, tuple)
+                                 else (float(inten),) * 3)
+                        dst["emissive_color"] = tuple(
+                            a * b for a, b in zip(inten, escale))
                         dst["emissive_intensity"] = 1.0
 
         surf = named.get("surface")

@@ -358,3 +358,51 @@ def test_omnihair_binds():
     # melanin-tinted diffuse: darker than the raw base color, red-shifted
     assert 0 < h.params["base_color"][0] <= 0.4
     assert h.params["base_color"][0] > h.params["base_color"][2]
+
+
+def test_bundled_corpus_df_conformance():
+    """VERDICT r4 item 7: every df construct used by the bundled
+    OmniPBR/OmniGlass/OmniSurface/OmniHair/core_definitions bodies lowers
+    through the df-graph path — zero unrecognized-construct or
+    failed-expression fallbacks (reference: the MDL SDK compiles
+    everything, MdlMaterialCompiler.cpp:193-266)."""
+    import os
+
+    from gatling_tpu.render.mdl import (
+        BUNDLED_MDL_DIR,
+        _extract_material_params,
+        _lower_mdl_body,
+        lowering_diagnostics,
+    )
+
+    corpus = [("OmniPBR.mdl", "OmniPBR"), ("OmniGlass.mdl", "OmniGlass"),
+              ("OmniSurface.mdl", "OmniSurface"), ("OmniHair.mdl", "OmniHair")]
+    cd = os.path.join("nvidia", "core_definitions.mdl")
+    corpus += [(cd, m) for m in (
+        "diffuse", "metal", "scratched_metal", "plastic", "flex_material",
+        "flex_material_v2", "thin_glass", "thick_glass", "thin_translucent",
+        "retroreflective", "add_emission", "apply_clearcoat")]
+    for rel, name in corpus:
+        src = open(os.path.join(BUNDLED_MDL_DIR, rel)).read()
+        params = _extract_material_params(src, name)
+        with lowering_diagnostics() as d:
+            body = _lower_mdl_body(src, name, params)
+        assert not d.records, f"{name}: {d.records}"
+        assert body, f"{name}: df-graph lowering produced nothing"
+
+
+def test_omnihair_melanin_tint_lowers():
+    """The let-bound math::lerp melanin tint evaluates into base_color
+    (previously fell back silently to the parameter-name mapping)."""
+    from gatling_tpu.render.mdl import load_mdl_material
+
+    desc = load_mdl_material("OmniHair.mdl", "OmniHair",
+                             {"melanin_concentration": 0.0})
+    node = desc.nodes[desc.surface_node]
+    # zero melanin -> lerp returns white base_color
+    assert tuple(node.inputs["base_color"]) == (1.0, 1.0, 1.0)
+    desc2 = load_mdl_material("OmniHair.mdl", "OmniHair",
+                              {"melanin_concentration": 1.0,
+                               "melanin_redness": 1.0})
+    c = tuple(desc2.nodes[desc2.surface_node].inputs["base_color"])
+    assert c[0] > c[1] > c[2]  # dark red-shifted
