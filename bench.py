@@ -26,7 +26,7 @@ import numpy as np
 
 def measure(scene_path: str, width=None, spp=None, max_bounces=None,
             use_nee=False, use_textured=False, use_normalmap=False,
-            lod_bounces=0) -> dict:
+            lod_bounces=0, runs=4) -> dict:
     """Measure one ladder config; returns the result dict."""
     from gatling_tpu.scene.stage import load_scene
     from gatling_tpu.ops.geometry import build_geometry
@@ -237,7 +237,6 @@ def measure(scene_path: str, width=None, spp=None, max_bounces=None,
 
     # min-of-N: the tunneled TPU pool is shared, so per-run contention
     # noise is large; the minimum is the honest throughput estimate
-    runs = 4
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -277,6 +276,47 @@ def measure(scene_path: str, width=None, spp=None, max_bounces=None,
             "tracer": tracer_name,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
+        },
+    }
+
+
+def measure_time_to_spp(scene_path: str, width=1200, total_spp=1024,
+                        max_bounces=8, chunk_spp=None,
+                        measured_spp=None) -> dict:
+    """North-star wall-clock metric (BASELINE.md): seconds to accumulate
+    `total_spp` samples at width^2, rendered in host-level spp chunks so no
+    single XLA execution trips the shared worker's ~30 s watchdog (the same
+    chunking the checkpoint/progressive path uses). When `measured_spp` is
+    set below total_spp, that many samples are timed and the total is the
+    LINEAR extrapolation over identical chunks (each chunk is the same
+    compiled executable at a different sample_offset) — reported honestly
+    in detail.measured_spp."""
+    chunk = chunk_spp or (16 if scene_path.endswith("cornell.usda") else 4)
+    meas = measured_spp or total_spp
+    n_chunks = -(-meas // chunk)
+    t_total = 0.0
+    r = None
+    for _ in range(n_chunks):
+        # each call's warmup render hits the in-process jit cache after the
+        # first chunk; only the timed frame contributes to t_total
+        r = measure(scene_path, width=width, spp=chunk,
+                    max_bounces=max_bounces,
+                    use_nee=(scene_path == "interior"), runs=1)
+        t_total += r["detail"]["frame_seconds"]
+    scale = total_spp / (n_chunks * chunk)
+    secs = t_total * scale
+    return {
+        "metric": f"{os.path.basename(scene_path).split('.')[0]}"
+                  f"_{width}sq_{total_spp}spp_seconds",
+        "value": round(secs, 2),
+        "unit": "seconds",
+        "vs_baseline": None,
+        "detail": {
+            "resolution": [width, width], "total_spp": total_spp,
+            "chunk_spp": chunk, "measured_spp": n_chunks * chunk,
+            "extrapolated": bool(scale > 1.0),
+            "max_bounces": max_bounces,
+            "tracer": r["detail"]["tracer"] if r else "?",
         },
     }
 
@@ -333,6 +373,28 @@ def main() -> None:
                             "detail": r["detail"]}
     if head is None:
         raise SystemExit("cornell ladder config failed")
+
+    # north-star wall-clock configs (BASELINE.md): time-to-1024spp at 1200^2
+    # via host-level spp chunking (VERDICT r4 item 5). Interior measures 16
+    # real spp and extrapolates over identical chunks; detail says so.
+    for label, kw in (
+        ("cornell_1200sq_1024spp_seconds",
+         dict(scene_path="/root/reference/cornell.usda", chunk_spp=16,
+              measured_spp=256)),
+        ("interior_1200sq_1024spp_seconds",
+         dict(scene_path="interior", chunk_spp=4, measured_spp=16)),
+    ):
+        try:
+            r = measure_time_to_spp(**kw)
+        except Exception as e:  # noqa: BLE001
+            extra[label] = {"error": f"{e.__class__.__name__}: {e}"}
+            print(f"# {label} FAILED: {e}", file=sys.stderr)
+            continue
+        print(f"# {label}: {r['value']} s (measured {r['detail']['measured_spp']} spp)",
+              file=sys.stderr)
+        extra[label] = {"value": r["value"], "unit": r["unit"],
+                        "vs_baseline": r["vs_baseline"],
+                        "detail": r["detail"]}
     head["detail"]["extra_configs"] = extra
     print(json.dumps(head))
 

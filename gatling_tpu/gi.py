@@ -321,6 +321,24 @@ def _ensure_accel(scene: "GiScene") -> None:
                           scene._tracer, 1e3 * (time.monotonic() - t0))
 
 
+def _resolvable_primvars(scene: "GiScene") -> set:
+    """Primvar names the renderer can resolve per hit: the interpolated
+    vertex-color channel plus every instance-rate primvar any mesh
+    carries (instancer.cpp:138-189 scene-data analog)."""
+    out = {"displayColor"}
+    for m in scene.meshes:
+        pv = getattr(m, "instance_primvars", None)
+        if pv:
+            out.update(pv)
+    return out
+
+
+def _expr_resolvable(expr, scene: "GiScene") -> bool:
+    from gatling_tpu.render.shadergraph import expr_dynamic_beyond
+
+    return expr_dynamic_beyond(expr, _resolvable_primvars(scene))
+
+
 def _build_config(params: GiRenderParams, width: int, height: int, aov_mask: int) -> RenderConfig:
     s = params.render_settings
     return RenderConfig(
@@ -345,7 +363,8 @@ def _build_config(params: GiRenderParams, width: int, height: int, aov_mask: int
         dynamic_params=tuple(
             (idx, pname, expr)
             for idx, m in enumerate(params.scene._lowered_materials or [])
-            for pname, expr in sorted(m.dynamic.items())),
+            for pname, expr in sorted(m.dynamic.items())
+            if _expr_resolvable(expr, params.scene)),
         has_backface=any(
             m.backface for m in params.scene._lowered_materials or []),
         tex_lod_bounces=int(s.get("textureLodBounces", 0)),
@@ -729,11 +748,15 @@ def render(params: GiRenderParams) -> None:
                 scene._aov_state, mesh,
                 scene._texture_pool or empty_pool())
         else:
+            from gatling_tpu.ops.geometry import build_instance_primvar_tables
+
+            inst_pv = build_instance_primvar_tables(scene.meshes)
             scene._aov_state = render_frame(
                 config, uniforms, scene._geom, scene._material_table,
                 scene._light_arrays, scene._dome_data or default_dome(),
                 scene._aov_state,
-                scene._texture_pool or empty_pool(), scene._accel)
+                scene._texture_pool or empty_pool(), scene._accel,
+                inst_pv or None)
 
     # device -> host AOV copies (Gi.cpp:2439-2502)
     for b in params.aov_bindings:

@@ -266,3 +266,37 @@ def update_instance_transforms(
         for k in _CHUNK_KEYS:
             cache.arrays[k][start:start + count] = rows[k]
     return _geom_from_arrays(cache.arrays)
+
+
+def build_instance_primvar_tables(mesh_descs) -> dict:
+    """Per-instance primvar tables indexed by the SAME sequential instance
+    id build_geometry_cached assigns (one id per (mesh, transform) pair, in
+    mesh_descs order). MeshDesc.instance_primvars carries {name: [K, <=3]}
+    values aligned with the mesh's instance_transforms — the instancer
+    primvar scene-data route (reference: instancer.cpp:138-189 forwards any
+    instancer primvar into BLAS scene-data reads). Missing names default to
+    zeros; scalar primvars broadcast into .x with y=z=0."""
+    names: set[str] = set()
+    total = 0
+    for md in mesh_descs:
+        k = (len(md.instance_transforms)
+             if md.instance_transforms is not None else 1)
+        total += k
+        pv = getattr(md, "instance_primvars", None)
+        if pv:
+            names.update(pv)
+    if not names:
+        return {}
+    out = {n: np.zeros((max(total, 1), 3), np.float32) for n in sorted(names)}
+    i = 0
+    for md in mesh_descs:
+        k = (len(md.instance_transforms)
+             if md.instance_transforms is not None else 1)
+        pv = getattr(md, "instance_primvars", None) or {}
+        for n in names:
+            if n in pv:
+                v = np.asarray(pv[n], np.float32).reshape(k, -1)
+                w = min(v.shape[1], 3)
+                out[n][i:i + k, :w] = v[:, :w]
+        i += k
+    return {n: jnp.asarray(v) for n, v in out.items()}

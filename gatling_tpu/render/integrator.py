@@ -343,8 +343,16 @@ def trace_sample(
     sample_index: jnp.ndarray,  # [] i32
     textures: TexturePool | None = None,
     accel: Accel | None = None,
+    instance_primvars: dict[str, jnp.ndarray] | None = None,
 ) -> SampleResult:
-    """Trace one sample per pixel through the full bounce loop."""
+    """Trace one sample per pixel through the full bounce loop.
+
+    instance_primvars maps primvar name -> [num_instances, 3] per-instance
+    values (ops/geometry.py build_instance_primvar_tables); material
+    primvar leaves of those names resolve per hit through the hit's
+    instance id — the scene-data route of the reference's instancer
+    primvars (instancer.cpp:138-189 -> mdl_interface.glsl
+    scene_data_lookup_*)."""
     if textures is None:
         textures = empty_pool()
     if accel is None:
@@ -496,10 +504,14 @@ def trace_sample(
             # substitute where the hit's material matches
             from gatling_tpu.render.shadergraph import eval_dynamic_expr
 
+            pv = {"displayColor": st["vcolor"]}
+            for pv_name, table in (instance_primvars or {}).items():
+                idx = jnp.clip(st["instance_id"], 0, table.shape[0] - 1)
+                pv[pv_name] = table[idx]
             rgb_params = ("base_color", "emissive", "specular_color")
             for mat_idx, pname, expr in config.dynamic_params:
                 val = eval_dynamic_expr(expr, s["direction"], st["normal"],
-                                        primvars={"displayColor": st["vcolor"]})
+                                        primvars=pv)
                 sel = st["material_id"] == mat_idx
                 cur = getattr(params, pname)
                 if pname in rgb_params:
@@ -781,6 +793,7 @@ def render_pixels(
     sample_offset: jnp.ndarray,
     textures: TexturePool | None = None,
     accel: Accel | None = None,
+    instance_primvars: dict[str, jnp.ndarray] | None = None,
 ) -> SampleResult:
     """Render `spp` samples for the given pixels, returning the mean color,
     max path length and averaged first-hit info. The reusable core shared by
@@ -791,7 +804,8 @@ def render_pixels(
     def sample_body(s, carry):
         color_acc, bounce_acc, first_acc = carry
         res = trace_sample(config, uniforms, geom, materials, lights, dome,
-                           pixel_index, sample_offset + s, textures, accel)
+                           pixel_index, sample_offset + s, textures, accel,
+                           instance_primvars)
         color_acc = color_acc + res.color * inv_spp
         bounce_acc = jnp.maximum(bounce_acc, res.bounces)
         # average accumulating first-hit channels over samples; keep ids
@@ -898,13 +912,15 @@ def render_frame(
     aovs: dict[str, jnp.ndarray],
     textures: TexturePool | None = None,
     accel: Accel | None = None,
+    instance_primvars: dict[str, jnp.ndarray] | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Single-chip frame: the full giRender dispatch analog
     (reference: Gi.cpp:2437 cgpuCmdTraceRays + progressive accumulation)."""
     n = config.width * config.height
     pixel_index = jnp.arange(n, dtype=jnp.int32)
     res = render_pixels(config, uniforms, geom, materials, lights, dome,
-                        pixel_index, config.spp, uniforms.sample_offset, textures, accel)
+                        pixel_index, config.spp, uniforms.sample_offset,
+                        textures, accel, instance_primvars)
     return blend_aovs(config, uniforms, aovs, res)
 
 

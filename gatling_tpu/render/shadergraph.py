@@ -102,6 +102,31 @@ def expr_reads_primvar(e: Expr | None) -> bool:
     return any(expr_reads_primvar(a) for a in e.args)
 
 
+def expr_primvar_channels(e: Expr | None) -> set:
+    """Names of all primvar leaves in the subtree."""
+    if e is None:
+        return set()
+    out = {e.channel} if e.op == "primvar" else set()
+    for a in e.args:
+        out |= expr_primvar_channels(a)
+    return out
+
+
+def expr_dynamic_beyond(e: Expr | None, resolvable: set) -> bool:
+    """True when the expr genuinely needs per-hit evaluation: it reads
+    view/normal state or a primvar the renderer can resolve. Exprs whose
+    only dynamic leaves are UNRESOLVABLE primvars evaluate to their
+    fallback constants — keeping them static avoids demoting the whole
+    scene to the wavefront for nothing."""
+    if e is None:
+        return False
+    if e.op in ("viewdir", "normalvec"):
+        return True
+    if e.op == "primvar":
+        return e.channel in resolvable
+    return any(expr_dynamic_beyond(a, resolvable) for a in e.args)
+
+
 def expr_has_texture(e: Expr | None) -> bool:
     if e is None:
         return False
@@ -490,14 +515,17 @@ class GraphLowering:
                                       node.inputs.get("geomprop", "")))
             fallback = _vec4(node.inputs.get("fallback",
                                              node.inputs.get("default", default)))
-            if var in _INTERPOLATED_PRIMVARS:
+            if var:
+                # every named primvar becomes a dynamic leaf: displayColor
+                # resolves from the interpolated vertex-color rows,
+                # instance-rate names from the instance tables
+                # (build_instance_primvar_tables), anything unresolvable
+                # evaluates to the reader's fallback constant — gi drops
+                # exprs with only-unresolvable leaves before they can
+                # demote the scene to the wavefront
                 return GraphValue(constant=fallback,
                                   expr=Expr(op="primvar", channel=var,
                                             const=fallback))
-            if var:
-                get_logger().info(
-                    "shader graph: primvar %r is not an interpolated "
-                    "channel; using the reader fallback (%s)", var, node.path)
             return GraphValue(constant=fallback)
         if sid == "texcoord":
             # bakeable uv leaf: math over texcoord bakes over the texel grid

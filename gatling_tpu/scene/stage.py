@@ -72,6 +72,11 @@ class MeshDesc:
     double_sided: bool
     object_id: int
     instance_transforms: np.ndarray | None = None  # [N,4,4] or None
+    # instance-rate primvars from a PointInstancer, aligned with
+    # instance_transforms: {name: [N, <=3] float}. Materials reading them
+    # through primvar leaves resolve per hit via the instance id
+    # (reference: instancer.cpp:138-189 scene-data forwarding)
+    instance_primvars: dict[str, np.ndarray] | None = None
 
 
 @dataclasses.dataclass(eq=False)
@@ -493,11 +498,13 @@ def build_scene(stage: Stage) -> SceneDesc:
                       meters_per_unit=float(stage.meta.get("metersPerUnit", 1.0)))
 
     def add_mesh_prim(prim: Prim, world: np.ndarray,
-                      instance_transforms: np.ndarray | None = None) -> None:
+                      instance_transforms: np.ndarray | None = None,
+                      instance_primvars: dict | None = None) -> None:
         mesh = _build_mesh(prim, world, object_id=len(scene.meshes))
         if mesh is None:
             return
         mesh.instance_transforms = instance_transforms
+        mesh.instance_primvars = instance_primvars
         # GeomSubsets: per-face material bindings -> one MeshDesc per subset
         # (reference: mesh.cpp:1036-1137)
         subsets = [c for c in prim.children.values() if c.type_name == "GeomSubset"
@@ -550,6 +557,27 @@ def build_scene(stage: Stage) -> SceneDesc:
         if dc is not None and isinstance(dc.value, list) and len(dc.value) == len(inst_mats):
             inst_colors = np.asarray([[float(c) for c in v][:3] for v in dc.value])
 
+        # ARBITRARY instance-rate primvars (instancer.cpp:138-189: any
+        # instancer primvar forwards into scene-data reads): numeric
+        # arrays with one entry per instance ride MeshDesc.instance_
+        # primvars; materials reading them through primvar leaves resolve
+        # per hit via the instance id
+        inst_pvars: dict[str, np.ndarray] = {}
+        for aname, attr in prim.attrs.items():
+            if not aname.startswith("primvars:") or aname.endswith(":indices"):
+                continue
+            pv_name = aname[len("primvars:"):]
+            v = attr.value
+            if not isinstance(v, list) or len(v) != len(inst_mats):
+                continue
+            try:
+                arr = np.asarray([
+                    [float(c) for c in e][:3] if isinstance(e, (tuple, list))
+                    else [float(e), 0.0, 0.0] for e in v], np.float32)
+            except (TypeError, ValueError):
+                continue
+            inst_pvars[pv_name] = arr
+
         for p_i, proto_path in enumerate(protos):
             proto = stage.find(proto_path)
             if proto is None:
@@ -563,13 +591,16 @@ def build_scene(stage: Stage) -> SceneDesc:
             colors = None
             if inst_colors is not None:
                 colors = np.tile(inst_colors[sel_mask], (len(bases), 1))
+            sel_pvars = {n: np.tile(a[sel_mask], (len(bases), 1))
+                         for n, a in inst_pvars.items()} or None
 
             def proto_walk(p: Prim, rel: np.ndarray) -> None:
                 rel2 = local_transform(p) @ rel
                 if p.type_name == "Mesh":
                     xforms = np.stack([rel2 @ mm for mm in mats])
                     if colors is None or p.rels.get("material:binding"):
-                        add_mesh_prim(p, np.eye(4), instance_transforms=xforms)
+                        add_mesh_prim(p, np.eye(4), instance_transforms=xforms,
+                                      instance_primvars=sel_pvars)
                     else:
                         # unbound prototypes take per-instance displayColor:
                         # group instances by color into fallback materials

@@ -106,3 +106,108 @@ def test_bound_material_ignores_displaycolor():
     img = _render(geom, table, ())
     np.testing.assert_allclose(img[2:6, 2:6].mean(axis=(0, 1)),
                                (0.6, 0.6, 0.6), rtol=0.06)
+
+
+def test_instance_rate_primvar_drives_material():
+    """VERDICT r4 item 9: an arbitrary instancer primvar (here myTint)
+    routes through the scene-data path — the bound material's primvar
+    leaf resolves per hit via the instance id, so two instances of ONE
+    mesh shade with their own colors (reference: instancer.cpp:138-189)."""
+    from gatling_tpu.ops.geometry import build_instance_primvar_tables
+
+    pts = np.array([[-50, -50, 0], [50, -50, 0], [-50, 50, 0], [50, 50, 0]],
+                   np.float32)
+    mesh = build_triangulated_mesh(pts, np.array([4]), np.array([0, 1, 3, 2]))
+    # two instances: left half / right half of the view
+    xf_l = np.eye(4); xf_l[0, 0] = 0.001; xf_l[3, 0] = -1.0
+    xf_r = np.eye(4); xf_r[0, 0] = 0.001; xf_r[3, 0] = 1.0
+    # widen x-scale so each covers its half: scale 100 in local x=+-50
+    xf_l[0, 0] = 0.02; xf_r[0, 0] = 0.02
+    tints = np.array([[0.9, 0.1, 0.1], [0.1, 0.1, 0.9]], np.float32)
+    meshes = [MeshDesc(path="/p", mesh=mesh, transform=np.eye(4),
+                       material="m", double_sided=True, object_id=0,
+                       instance_transforms=np.stack([xf_l, xf_r]),
+                       instance_primvars={"myTint": tints})]
+    geom = build_geometry(meshes, {"m": 0, None: 1})
+
+    nodes = [
+        ShaderNode(path="/m/s", shader_id="UsdPreviewSurface", inputs={},
+                   input_connections={"diffuseColor": ("/m/pv", "out")}),
+        ShaderNode(path="/m/pv", shader_id="UsdPrimvarReader_float3",
+                   inputs={"varname": "myTint",
+                           "fallback": (0.5, 0.5, 0.5)},
+                   input_connections={}),
+    ]
+    desc = MaterialDesc(path="/m", surface_node="/m/s",
+                        nodes={n.path: n for n in nodes})
+    m = lower_material(desc)
+    m.params["ior"] = 1.0
+    table = build_material_table([m, lower_material(None)])
+    assert "base_color" in m.dynamic and m.dynamic["base_color"].op == "primvar"
+    assert m.dynamic["base_color"].channel == "myTint"
+
+    tables = build_instance_primvar_tables(meshes)
+    assert set(tables) == {"myTint"}
+    np.testing.assert_allclose(np.asarray(tables["myTint"]), tints)
+
+    cfg = RenderConfig(width=8, height=8, spp=32, max_bounces=2,
+                       jittered=False, fis=False, has_dome=True,
+                       rr_bounce_offset=100,
+                       dynamic_params=((0, "base_color",
+                                        m.dynamic["base_color"]),))
+    dome = DomeLightData(texture=jnp.full((1, 1, 3), 1.0, jnp.float32),
+                         fallback=jnp.zeros((1, 1, 3), jnp.float32))
+    pix = jnp.arange(64, dtype=jnp.int32)
+    res = render_pixels(cfg, _uniforms(), geom, table, empty_light_arrays(),
+                        dome, pix, 32, jnp.int32(0),
+                        instance_primvars=tables)
+    img = np.asarray(res.color).reshape(8, 8, 3)
+    left = img[2:6, 1:3].mean(axis=(0, 1))
+    right = img[2:6, 5:7].mean(axis=(0, 1))
+    np.testing.assert_allclose(left, (0.9, 0.1, 0.1), rtol=0.08, atol=0.02)
+    np.testing.assert_allclose(right, (0.1, 0.1, 0.9), rtol=0.08, atol=0.02)
+
+
+def test_instancer_primvars_flow_from_usd():
+    """The stage pipeline forwards arbitrary instancer primvars into
+    MeshDesc.instance_primvars."""
+    from gatling_tpu.scene.stage import build_scene
+    from gatling_tpu.scene.usda import parse_usda
+
+    txt = """#usda 1.0
+def PointInstancer "PI"
+{
+    rel prototypes = [</PI/Protos/Cube>]
+    int[] protoIndices = [0, 0, 0]
+    point3f[] positions = [(0,0,0), (2,0,0), (4,0,0)]
+    float[] primvars:myWeight = [0.1, 0.5, 0.9]
+    color3f[] primvars:myTint = [(1,0,0), (0,1,0), (0,0,1)]
+    def Scope "Protos"
+    {
+        def Mesh "Cube" (prepend apiSchemas = ["MaterialBindingAPI"])
+        {
+            rel material:binding = </M>
+            point3f[] points = [(0,0,0), (1,0,0), (0,1,0)]
+            int[] faceVertexCounts = [3]
+            int[] faceVertexIndices = [0, 1, 2]
+        }
+    }
+}
+def Material "M"
+{
+    token outputs:surface.connect = </M/s.outputs:surface>
+    def Shader "s"
+    {
+        uniform token info:id = "UsdPreviewSurface"
+        token outputs:surface
+    }
+}
+"""
+    sc = build_scene(parse_usda(txt))
+    mesh = next(m for m in sc.meshes if m.instance_transforms is not None)
+    assert mesh.instance_transforms.shape[0] == 3
+    pv = mesh.instance_primvars
+    assert pv is not None and set(pv) >= {"myWeight", "myTint"}
+    np.testing.assert_allclose(pv["myWeight"][:, 0], [0.1, 0.5, 0.9])
+    np.testing.assert_allclose(pv["myTint"],
+                               [(1, 0, 0), (0, 1, 0), (0, 0, 1)])
