@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -368,8 +370,23 @@ def render_pixels_fused(
     returns the mean traced-segment count per sample [R] (path segments +
     NEE shadow rays — the Mray/s accounting source)."""
     r = pixel_index.shape[0]
+    # spp batching: trace several samples per pixel in ONE wave so the
+    # per-bounce fixed costs (walk-plan prelude, coherence sort, kernel
+    # grid launches, dead-block tails) amortize across samples instead of
+    # repeating per sequential spp iteration. Capped so the ray state
+    # stays within a ~4M-ray footprint (16 rows f32 = 256 MB); per-sample
+    # RNG streams are IDENTICAL to the sequential path (sample index =
+    # offset + s*batch + replica), only the float accumulation order
+    # differs. First-hit AOV peeling stays sequential.
+    spp_batch = 1
+    if not want_first_hit and spp > 1 and r >= 128:
+        cap = max(1, int(os.environ.get("GATLING_SPP_BATCH_RAYS",
+                                        "4194304")) // r)
+        spp_batch = max(d for d in range(1, min(spp, cap) + 1)
+                        if spp % d == 0)
+    rb = r * spp_batch
     blk = static.block_rows * 128
-    r_pad = -(-r // blk) * blk
+    r_pad = -(-rb // blk) * blk
     px = pixel_index % config.width
     py = pixel_index // config.width
     nee = bool(config.nee)
@@ -395,14 +412,25 @@ def render_pixels_fused(
             tile_perm = None
     else:
         tile_perm = None
+    if spp_batch > 1:
+        # replica-major tiling AFTER the tile swizzle: each replica keeps
+        # its tight primary frusta; replica index selects the sample
+        pixel_index = jnp.tile(pixel_index, spp_batch)
+        px = jnp.tile(px, spp_batch)
+        py = jnp.tile(py, spp_batch)
+        replica = jnp.repeat(jnp.arange(spp_batch, dtype=jnp.int32), r)
 
     def sample_body(s, carry):
         if want_first_hit:
             acc, segs, fh_acc = carry
         else:
             acc, segs = carry
+        if spp_batch > 1:
+            sidx = sample_offset + s * spp_batch + replica
+        else:
+            sidx = sample_offset + s
         rng = smp.rng_init(pixel_index.astype(jnp.uint32),
-                           (sample_offset + s).astype(jnp.uint32))
+                           jnp.asarray(sidx).astype(jnp.uint32))
         origins, dirs, rng = generate_primary_rays(
             uniforms.camera, config.width, config.height, px, py, rng,
             config.jittered, config.fis, config.depth_of_field)
@@ -549,14 +577,14 @@ def render_pixels_fused(
             # all permutations were chunk-aligned: unsort whole chunks
             corig = orig.reshape(-1, 128)[:, 0]
             state = _sort_chunks(state, jnp.argsort(corig))
-        radiance = unpack_radiance(state, r)
+        radiance = unpack_radiance(state, rb)
 
         if config.has_dome:
             # dome post-pass over the kernel's miss records
             # (reference: rp_main.miss:55-87)
-            miss_rec = unpack_rows(state, 14, 1, r)[:, 0]
-            tp = unpack_rows(state, 6, 3, r)
-            miss_dir = unpack_rows(state, 3, 3, r)
+            miss_rec = unpack_rows(state, 14, 1, rb)[:, 0]
+            tp = unpack_rows(state, 6, 3, rb)
+            miss_dir = unpack_rows(state, 3, 3, rb)
             sample_dir = _quat_rotate(uniforms.dome_rotation, miss_dir)
             sample_dir = sample_dir / jnp.maximum(
                 jnp.linalg.norm(sample_dir, axis=-1, keepdims=True), 1e-20)
@@ -568,12 +596,17 @@ def render_pixels_fused(
             radiance = radiance + jnp.where(
                 (miss_rec > 0.0)[:, None], tp * dome_rad, 0.0)
 
-        # radiance clamp (rgen:488-494)
+        # radiance clamp (rgen:488-494) — per SAMPLE, before the replica sum
         max_v = jnp.max(radiance, axis=-1)
         scale = jnp.where(max_v > uniforms.max_sample_value,
                           uniforms.max_sample_value / jnp.maximum(max_v, 1e-20), 1.0)
-        acc = acc + jnp.maximum(radiance * scale[:, None], 0.0) / spp
-        segs = segs + unpack_rows(state, 15, 1, r)[:, 0] / spp
+        contrib = jnp.maximum(radiance * scale[:, None], 0.0)
+        seg_rows = unpack_rows(state, 15, 1, rb)[:, 0]
+        if spp_batch > 1:
+            contrib = contrib.reshape(spp_batch, r, 3).sum(0)
+            seg_rows = seg_rows.reshape(spp_batch, r).sum(0)
+        acc = acc + contrib / spp
+        segs = segs + seg_rows / spp
         if want_first_hit:
             return acc, segs, fh_new
         return acc, segs
@@ -587,7 +620,8 @@ def render_pixels_fused(
                             hit=jnp.zeros((r,), bool)),)
         color, segs, fh = jax.lax.fori_loop(0, spp, sample_body, init)
     else:
-        color, segs = jax.lax.fori_loop(0, spp, sample_body, init)
+        color, segs = jax.lax.fori_loop(0, spp // spp_batch, sample_body,
+                                        init)
         fh = None
     if tile_perm is not None:
         # undo the tile swizzle: row i holds pixel_index[tile_perm[i]]

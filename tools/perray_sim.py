@@ -1,4 +1,9 @@
-"""Per-RAY traversal ceiling simulation for sphere_field (numpy, CPU).
+"""Per-RAY traversal ceiling simulation (numpy, CPU).
+
+GATLING_SIM_SCENE=interior runs the cluster-level analysis on the
+Evermotion-class interior (flat clustered mode — no instance level);
+default is sphere_field with both levels. GATLING_SIM_BLOCKS sweeps
+block sizes for the union stats (default "1024", e.g. "256,512,1024").
 
 Answers, for primary rays and (if /tmp/state1.npy exists, from
 tools/walk_prof.py) the coherence-sorted bounce-1 rays:
@@ -18,6 +23,9 @@ reachable by scan/visit elimination (block unions small) or needs a
 per-visit cost revolution (unions large).
 """
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ["JAX_PLATFORMS"] = "cpu"
 import numpy as np
 import jax.numpy as jnp
@@ -33,7 +41,12 @@ BLK = 1024
 
 
 def ray_sets():
-    desc = sphere_field()
+    if os.environ.get("GATLING_SIM_SCENE") == "interior":
+        from gatling_tpu.scene.examples import interior
+
+        desc = interior()
+    else:
+        desc = sphere_field()
     cam = desc.first_camera()
     W = H = 512
     cu = CameraUniforms(
@@ -58,7 +71,7 @@ def ray_sets():
     return desc, sets
 
 
-def binned_union(entry, tbest, alive, visited_in, label, chunk=None):
+def binned_union(entry, tbest, alive, label, chunk=None):
     """Re-sort rays by (first-candidate id, entry t) — the proposed
     binning key — and report block unions of the terminated visit sets.
     chunk=N sorts whole N-ray chunks by their majority key instead
@@ -105,22 +118,27 @@ def terminated_stats(entry, tbest, alive, label):
         print(f"  {name}: mean {v[a].mean():.2f}  p50 {np.percentile(v[a],50):.0f} "
               f"p95 {np.percentile(v[a],95):.0f}  hit-mean {v[a & hit].mean():.2f} "
               f"miss-mean {v[a & ~hit].mean() if (a & ~hit).any() else 0:.2f}")
-    # block union of terminated visit sets
-    nb = R // BLK
-    uni, unic = [], []
+    # block union of terminated visit sets, per requested block size
     idx_s = np.take_along_axis(
         np.broadcast_to(np.arange(K, dtype=np.int32), (R, K)), srt, axis=1)
-    for b in range(nb):
-        sl = slice(b * BLK, (b + 1) * BLK)
-        if not alive[sl].any():
-            continue
-        vis_ids = idx_s[sl][visited[sl] & alive[sl, None]]
-        cand_ids = np.nonzero(np.isfinite(entry[sl]) & alive[sl, None])[1]
-        uni.append(np.unique(vis_ids).size)
-        unic.append(np.unique(cand_ids).size)
-    uni, unic = np.array(uni), np.array(unic)
-    print(f"  block union candidates: mean {unic.mean():.1f} p95 {np.percentile(unic,95):.0f}")
-    print(f"  block union terminated: mean {uni.mean():.1f} p95 {np.percentile(uni,95):.0f}")
+    for blk in [int(x) for x in os.environ.get(
+            "GATLING_SIM_BLOCKS", str(BLK)).split(",")]:
+        nb = R // blk
+        uni, unic = [], []
+        for b in range(nb):
+            sl = slice(b * blk, (b + 1) * blk)
+            if not alive[sl].any():
+                continue
+            vis_ids = idx_s[sl][visited[sl] & alive[sl, None]]
+            cand_ids = np.nonzero(np.isfinite(entry[sl]) & alive[sl, None])[1]
+            uni.append(np.unique(vis_ids).size)
+            unic.append(np.unique(cand_ids).size)
+        uni, unic = np.array(uni), np.array(unic)
+        print(f"  block[{blk}] union candidates: mean {unic.mean():.1f} "
+              f"p95 {np.percentile(unic,95):.0f}  "
+              f"terminated: mean {uni.mean():.1f} "
+              f"p95 {np.percentile(uni,95):.0f}  "
+              f"visit-time-proxy {unic.mean() * (R // blk):.0f}")
     return visited
 
 
@@ -136,7 +154,9 @@ def slab_entry(lo, hi, o, inv, cap):
 
 def main():
     desc, sets = ray_sets()
-    geom = build_geometry(desc.meshes, {None: 0})
+    midx = {m.material: 0 for m in desc.meshes}
+    midx[None] = 0
+    geom = build_geometry(desc.meshes, midx)
     table = build_material_table([lower_material(None)])
     scene, static = build_fused_scene(geom, table, None)
     l2 = np.asarray(scene.l2_aabbs, np.float32)
@@ -178,6 +198,38 @@ def main():
         ex = np.maximum((g_lo - o) * inv, (g_hi - o) * inv)
         cap0 = np.maximum(ex.min(1), 0.0) * 1.0001 + 1e-3
 
+        if os.environ.get("SIM_SKIP_INSTANCES"):
+            entry_c = np.full((R, C), np.inf, np.float32)
+            for c0 in range(0, R, 16384):
+                sl = slice(c0, c0 + 16384)
+                entry_c[sl] = slab_entry(l2[0:3], l2[3:6], o[sl], inv[sl],
+                                         cap0[sl])
+            entry_c[~alive] = np.inf
+            tbest_c = np.full((R, C), np.inf, np.float32)
+            n = tris[:, 0:3]
+            d0 = tris[:, 3]
+            r1 = tris[:, 8:12]
+            r2 = tris[:, 16:20]
+            for c in range(C):
+                cand = np.isfinite(entry_c[:, c])
+                if not cand.any():
+                    continue
+                rs = np.nonzero(cand)[0]
+                oo, dd = o[rs], d[rs]
+                nd = dd @ n[c]
+                po = oo @ n[c] + d0[c]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    tt = -po / np.where(np.abs(nd) > 1e-12, nd, np.nan)
+                u = (oo @ r1[c, 0:3]) + tt * (dd @ r1[c, 0:3]) + r1[c, 3]
+                v = (oo @ r2[c, 0:3]) + tt * (dd @ r2[c, 0:3]) + r2[c, 3]
+                ok = (np.isfinite(tt) & (u >= 0) & (v >= 0)
+                      & (u + v <= 1) & (tt > 1e-4))
+                tbest_c[rs, c] = np.where(ok, tt, np.inf).min(1)
+            terminated_stats(entry_c, tbest_c, alive, f"{label} / clusters")
+            binned_union(entry_c, tbest_c, alive,
+                         f"{label} / clusters BINNED per-ray")
+            continue
+
         # ---- instance level ----
         entry_i = slab_entry(ilo, ihi, o, inv, cap0)   # [R, n_inst]
         entry_i[~alive] = np.inf
@@ -206,9 +258,9 @@ def main():
                 tbest_i[rs, i] = t
         print()
         vis_i = terminated_stats(entry_i, tbest_i, alive, f"{label} / instances")
-        binned_union(entry_i, tbest_i, alive, vis_i,
+        binned_union(entry_i, tbest_i, alive,
                      f"{label} / instances BINNED per-ray")
-        binned_union(entry_i, tbest_i, alive, vis_i,
+        binned_union(entry_i, tbest_i, alive,
                      f"{label} / instances BINNED chunk128", chunk=128)
         if os.environ.get("SIM_SKIP_CLUSTERS"):
             continue
