@@ -190,8 +190,13 @@ def measure(scene_path: str, width=None, spp=None, max_bounces=None,
                                                    build_fused_scene_instanced)
 
         res = None
-        if not use_textured and not use_normalmap:
-            res = build_fused_scene_instanced(desc.meshes, midx, table, lights)
+        if not use_normalmap:
+            kt = table
+            if lod_bounces > 0 and use_textured:
+                from gatling_tpu.render.material import substitute_texture_means
+
+                kt = substitute_texture_means(table, pool)
+            res = build_fused_scene_instanced(desc.meshes, midx, kt, lights)
         if res is not None:
             fs, fstatic = res
         else:

@@ -620,9 +620,14 @@ def render(params: GiRenderParams) -> None:
         has_aniso = any(
             r.params.get("anisotropy", 0.0) != 0.0
             for r in scene._lowered_materials)
+        # depth-1 medium scattering encodes the medium material id in the
+        # kernel's alive row (6 bits): gigantic material tables fall back
+        scatter_fits = (not (config.has_volumes
+                             and config.medium_stack_size == 1)
+                        or len(scene._lowered_materials) <= 63)
         use_fused = (_jax.default_backend() == "tpu"
                      and not has_vertex_colors and not has_dynamic
-                     and not config.has_backface
+                     and not config.has_backface and scatter_fits
                      and supports_fused(config, has_textures, has_normal_maps,
                                         has_scattering, has_opacity_textures))
     if use_fused:
@@ -632,7 +637,10 @@ def render(params: GiRenderParams) -> None:
 
         if getattr(scene, "_fused_scene", None) is None:
             fs = fstatic = order = None
-            if not has_textures and not has_normal_maps and not has_aniso:
+            # the two-level instanced/object walk handles textured scenes
+            # (uv rows ride the shared local clusters); normal maps and
+            # anisotropy need tangent rows the instanced tables lack
+            if not has_normal_maps and not has_aniso:
                 # two-level instanced scene (BLAS sharing): the right
                 # structure when unique meshes repeat many times — walks
                 # the shared local clusters instead of a flattened table
@@ -657,7 +665,9 @@ def render(params: GiRenderParams) -> None:
             scene._fused_order = order
         fs, fstatic = scene._fused_scene
         if config.has_volumes:
-            fstatic = dataclasses.replace(fstatic, volumes=True)
+            fstatic = dataclasses.replace(
+                fstatic, volumes=True,
+                scatter=config.medium_stack_size == 1)
         if has_textures or has_aniso:
             # split-bounce mode (trace -> XLA stage -> shade): textures, and
             # anisotropy's mesh-tangent hit rows

@@ -200,6 +200,7 @@ P_EXP2_EXPOSURE = 6
 P_TMIN = 7
 P_LIGHT_MULT = 8
 P_METERS = 9
+P_MAX_WALK = 10  # maxVolumeWalkLength (scatter mode)
 PARAMS_LEN = 10
 
 SHADOW_TMIN = 0.01  # reference: rgen:397-438 shadow ray tMin
@@ -286,6 +287,13 @@ class FusedStatic:
     # absorption-only volumes (mediumStackSize == 0 semantics): the medium
     # flag rides the alive row (1 = outside, 2 = inside a medium)
     volumes: bool = False
+    # scattering volumes (depth-1 medium stack): the alive row encodes
+    # (2 + medium material id + 64 * walk count); each bounce distance-
+    # samples free flight against sigma_t, caps the trace at t_sample,
+    # and un-hit rays inside the medium take a Henyey-Greenstein walk
+    # step instead of shading (rp_main.rgen:317-346 + miss stepVolume).
+    # Requires volumes=True and n_mats <= 63 (id fits the encoding).
+    scatter: bool = False
     # clustered mode with the WHOLE cluster table resident in VMEM (fits
     # under CLU_VMEM_MAX_BYTES): no per-group DMA/cache at all — Mosaic
     # fetches the unchanging input block once per pallas_call. Measured:
@@ -774,16 +782,34 @@ def build_fused_scene_instanced(
         flat_tris += tm.num_triangles * len(transforms)
 
     unique_tris = sum(i["n"] for i in uniq.values())
-    if (flat_tris <= min_flat or unique_tris == 0
-            or flat_tris / max(unique_tris, 1) < min_gain):
+    if flat_tris <= min_flat or unique_tris == 0:
         return None
+    gain = flat_tris / max(unique_tris, 1)
+    # round-5 OBJECT-WALK extension: the two-level walk engages not only
+    # for BLAS-sharing gain, but for ANY multi-object clustered scene
+    # whose unique tables stay VMEM-resident — measured motivation
+    # (tools/perray_sim.py, Evermotion-class interior): flat-cluster
+    # block-1024 unions are 26.9 (primaries) while OBJECT-level unions
+    # are 1.7, so walking per-object local clusters behind object-entry
+    # culling visits a fraction of the flat walk's clusters. A
+    # single-object scene gains nothing (the L1 level degenerates) and
+    # stays flat.
+    uniq_rows = CLU_TRI_ROWS
+    uniq_bytes = sum(-(-i["n"] // CLUSTER_SIZE) for i in uniq.values()) \
+        * CLUSTER_SIZE * uniq_rows * 4
+    object_walk = (len(insts) >= 2
+                   and uniq_bytes <= CLU_VMEM_MAX_BYTES)
+    if gain < min_gain and not object_walk:
+        return None
+    if uniq_bytes > CLU_VMEM_MAX_BYTES:
+        return None  # instanced mode requires VMEM-resident local tables
     # round-4 rework (exact per-ray-union plan + candidate-list pass 2 +
     # MXU instance transforms + real fan bounds) brought the instanced
     # walk to parity with the flattened clu_vmem walk on sphere_field
-    # (94/176 vs 97/182 us/block, tools/walk_prof4 protocol), so
-    # instancing now engages whenever the BLAS-sharing gain exists — it
-    # wins the memory axis outright (0.25 MB resident vs a 47 MB
-    # flattened table) and keeps transform edits table-only refits.
+    # (94/176 vs 97/182 us/block, tools/walk_prof.py GATLING_PROF_INST=1
+    # protocol), so instancing engages whenever the BLAS-sharing gain
+    # exists — it wins the memory axis outright (0.25 MB resident vs a
+    # 47 MB flattened table) and keeps transform edits table-only refits.
 
     # local cluster tables (CLU layout, shared across instances)
     n_rows = CLU_TRI_ROWS
@@ -1949,6 +1975,23 @@ def _resolve_material_rows(mat_ref, mat_f, n_mats: int, volumes: bool,
     return tuple(mp) + tuple(adv)
 
 
+def _resolve_medium_rows(mat_ref, mid_f, n_mats: int):
+    """Scatter mode: resolve the CURRENT medium's sigma_s (cols 19-21),
+    sigma_t (= sigma_a 16-18 + sigma_s) and HG bias (col 22) by the medium
+    material id riding the alive-row encoding."""
+    m_id = jnp.round(mid_f).astype(jnp.int32)
+    out = [jnp.zeros_like(mid_f) for _ in range(7)]
+    for mm in range(n_mats):
+        is_m = m_id == mm
+        sa = [mat_ref[mm, 16 + k] for k in range(3)]
+        ss = [mat_ref[mm, 19 + k] for k in range(3)]
+        for k in range(3):
+            out[k] = jnp.where(is_m, ss[k], out[k])
+            out[3 + k] = jnp.where(is_m, sa[k] + ss[k], out[3 + k])
+        out[6] = jnp.where(is_m, mat_ref[mm, 22], out[6])
+    return tuple(out)
+
+
 def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
                  plan, state_ref, out_ref, scratch, *, static: FusedStatic,
                  nee: bool, inst=None):
@@ -1963,6 +2006,43 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
     alive_f = s(13)
 
     tmin = params_ref[P_TMIN]
+
+    # ---- volume free-flight distance sampling (rgen:317-346) ----
+    vol = None
+    if static.scatter:
+        inside = alive_f >= 1.5
+        enc = jnp.maximum(alive_f - 2.0, 0.0)
+        walk_f = jnp.floor(enc * (1.0 / 64.0))
+        mid_f = enc - walk_f * 64.0
+        (ms_r, ms_g, ms_b, mt_r, mt_g, mt_b, gbias) = _resolve_medium_rows(
+            mat_ref, mid_f, static.n_mats)
+        has_scat = (ms_r + ms_g + ms_b) > 0.0
+        do_dist = (alive & inside & has_scat
+                   & (walk_f <= params_ref[P_MAX_WALK]))
+        rng_v1, xv0 = _pcg_next(rng)
+        rng_v2, xv1 = _pcg_next(rng_v1)
+        rng = jnp.where(do_dist, rng_v2, rng)
+        # spectral single-channel MIS select (rgen sampleDistance:49-69)
+        al_r = jnp.where(mt_r > 0.0, ms_r / jnp.maximum(mt_r, 1e-20), 0.0)
+        al_g = jnp.where(mt_g > 0.0, ms_g / jnp.maximum(mt_g, 1e-20), 0.0)
+        al_b = jnp.where(mt_b > 0.0, ms_b / jnp.maximum(mt_b, 1e-20), 0.0)
+        w_r = tpx * al_r
+        w_g = tpy * al_g
+        w_b = tpz * al_b
+        wsum = w_r + w_g + w_b
+        big_w = wsum > 1e-9
+        p3_r = jnp.where(big_w, w_r / jnp.maximum(wsum, 1e-9), 1.0 / 3.0)
+        p3_g = jnp.where(big_w, w_g / jnp.maximum(wsum, 1e-9), 1.0 / 3.0)
+        p3_b = jnp.where(big_w, w_b / jnp.maximum(wsum, 1e-9), 1.0 / 3.0)
+        pick1 = xv0 < p3_r
+        pick2 = (~pick1) & (xv0 < p3_r + p3_g)
+        sel_sigma = jnp.where(pick1, mt_r, jnp.where(pick2, mt_g, mt_b))
+        s_coef = jnp.maximum(sel_sigma * params_ref[P_METERS], 1e-20)
+        t_sample = -jnp.log(jnp.maximum(1.0 - xv1, 1e-20)) / s_coef
+        vol = dict(inside=inside, mid_f=mid_f, walk_f=walk_f,
+                   do_dist=do_dist, t_sample=t_sample,
+                   ms=(ms_r, ms_g, ms_b), mt=(mt_r, mt_g, mt_b),
+                   p3=(p3_r, p3_g, p3_b), gbias=gbias)
 
     # ---- closest-hit search ----
     if static.clustered:
@@ -1993,7 +2073,16 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
             0, static.n_tris, body, _hit_carry_init(ox.shape))
         hit = alive & (best_t < FLOAT_MAX)
 
-    miss = alive & ~hit
+    if vol is not None:
+        # distance sampling caps the segment at t_sample: a hit beyond it
+        # (or no hit at all) is a VOLUME WALK STEP, not a surface hit and
+        # not a background miss (rp_main.miss stepVolume)
+        vol_step = vol["do_dist"] & (~hit | (best_t > vol["t_sample"]))
+        hit = hit & ~vol_step
+        vol["step"] = vol_step
+        miss = alive & ~hit & ~vol_step
+    else:
+        miss = alive & ~hit
 
     # ---- miss: constant background; dome radiance is applied by the XLA
     # post-pass from the row-14 miss record (see module docstring) ----
@@ -2039,7 +2128,8 @@ def _bounce_body(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
         roughness=roughness, ior=ior, em_r=em_r, em_g=em_g, em_b=em_b,
         transm=transm, thinw=thinw, bf_edf=bf_edf,
         va_r=va_r, va_g=va_g, va_b=va_b,
-        coat=coat, coat_rough=coat_rough, aniso=aniso, aniso_rot=aniso_rot)
+        coat=coat, coat_rough=coat_rough, aniso=aniso, aniso_rot=aniso_rot,
+        vol=vol, hit_mat_f=mat_f, hit_t=best_t)
 
 
 
@@ -2052,7 +2142,8 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
                 em_r, em_g, em_b, transm, thinw, bf_edf,
                 va_r=None, va_g=None, va_b=None,
                 coat=None, coat_rough=None, aniso=None, aniso_rot=None,
-                tanx=None, tany=None, tanz=None, tbs=None):
+                tanx=None, tany=None, tanz=None, tbs=None,
+                vol=None, hit_mat_f=None, hit_t=None):
     """Emission + BSDF sampling + NEE shadow walk + RR + state writeback:
     shared by the single-kernel bounce and the textured split-bounce shade
     kernel (material params arrive as per-ray values in the latter).
@@ -2065,7 +2156,17 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
     bounce = params_ref[P_BOUNCE]
     adv = static.advanced
 
-    if static.volumes:
+    if static.volumes and vol is not None:
+        # scatter mode (depth-1 stack): surface-hit transmittance uses the
+        # CURRENT medium's sigma_t (integrator chit:160-186 / :540-550)
+        inside = vol["inside"]
+        dist_m = jnp.where(hit, hit_t, 0.0) * params_ref[P_METERS]
+        att = inside & hit
+        mt_r, mt_g, mt_b = vol["mt"]
+        tpx = jnp.where(att, tpx * jnp.exp(-mt_r * dist_m), tpx)
+        tpy = jnp.where(att, tpy * jnp.exp(-mt_g * dist_m), tpy)
+        tpz = jnp.where(att, tpz * jnp.exp(-mt_b * dist_m), tpz)
+    elif static.volumes:
         # absorption-only volumes (mediumStackSize == 0, integrator:427-431):
         # the medium flag rides the alive row (2.0 = inside). Transmittance
         # applies on the segment INTO this hit, with the HIT material's
@@ -2425,6 +2526,60 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
     dy = jnp.where(hit, k2y, dy)
     dz = jnp.where(hit, k2z, dz)
 
+    if vol is not None:
+        # ---- volume walk step (rgen:461-477 + miss stepVolume) ----
+        # non-hit rays keep their ORIGINAL origin/direction through the
+        # where(hit, ...) updates above, so step math reads them directly
+        step = vol["step"]
+        ts = vol["t_sample"]
+        dm_s = ts * params_ref[P_METERS]
+        ms_r, ms_g, ms_b = vol["ms"]
+        vt_r, vt_g, vt_b = vol["mt"]
+        p3_r, p3_g, p3_b = vol["p3"]
+        trv_r = jnp.exp(-vt_r * dm_s)
+        trv_g = jnp.exp(-vt_g * dm_s)
+        trv_b = jnp.exp(-vt_b * dm_s)
+        pdf_w = jnp.maximum(p3_r * vt_r * trv_r + p3_g * vt_g * trv_g
+                            + p3_b * vt_b * trv_b, 1e-20)
+        tpx = jnp.where(step, tpx * ms_r * trv_r / pdf_w, tpx)
+        tpy = jnp.where(step, tpy * ms_g * trv_g / pdf_w, tpy)
+        tpz = jnp.where(step, tpz * ms_b * trv_b / pdf_w, tpz)
+        ox = jnp.where(step, ox + dx * ts, ox)
+        oy = jnp.where(step, oy + dy * ts, oy)
+        oz = jnp.where(step, oz + dz * ts, oz)
+        # Henyey-Greenstein phase around the current direction
+        rng_h1, xh0 = _pcg_next(rng)
+        rng_h2, xh1 = _pcg_next(rng_h1)
+        rng = jnp.where(step, rng_h2, rng)
+        g_hg = vol["gbias"]
+        iso = jnp.abs(g_hg) < 1e-3
+        sq_hg = (1.0 - g_hg * g_hg) / jnp.maximum(
+            1.0 - g_hg + 2.0 * g_hg * xh0, 1e-9)
+        g_safe = jnp.where(jnp.abs(g_hg) < 1e-9, 1.0, g_hg)
+        cos_hg = jnp.where(iso, 1.0 - 2.0 * xh0,
+                           (1.0 + g_hg * g_hg - sq_hg * sq_hg)
+                           / (2.0 * g_safe))
+        cos_hg = jnp.clip(cos_hg, -1.0, 1.0)
+        sin_hg = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_hg * cos_hg))
+        phi_hg = 2.0 * PI * xh1
+        vsign = jnp.where(dz >= 0.0, 1.0, -1.0)
+        va_o = -1.0 / (vsign + dz)
+        vb_o = dx * dy * va_o
+        v1x = 1.0 + vsign * dx * dx * va_o
+        v1y = vsign * vb_o
+        v1z = -vsign * dx
+        v2x = vb_o
+        v2y = vsign + dy * dy * va_o
+        v2z = -dy
+        shx = sin_hg * jnp.cos(phi_hg)
+        shy = sin_hg * jnp.sin(phi_hg)
+        sc_x = v1x * shx + v2x * shy + dx * cos_hg
+        sc_y = v1y * shx + v2y * shy + dy * cos_hg
+        sc_z = v1z * shx + v2z * shy + dz * cos_hg
+        dx = jnp.where(step, sc_x, dx)
+        dy = jnp.where(step, sc_y, dy)
+        dz = jnp.where(step, sc_z, dz)
+
     # ---- NEE (rp_main.chit sampleLight:30-129 + rgen:397-438) ----
     shadow_count = jnp.zeros_like(radx)
     if nee:
@@ -2530,9 +2685,25 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
             toggled = hit & valid & pick_t & (thinw <= 0.5) & ~refl_pick
         else:
             toggled = hit & valid & pick_t & (thinw <= 0.5)
-        inside_f = inside.astype(jnp.float32)
+        inside_f = jnp.where(inside, 1.0, 0.0)
         inside_new = jnp.where(toggled, 1.0 - inside_f, inside_f)
-        alive_out = jnp.where(new_alive & (inside_new > 0.5), 2.0, alive_out)
+        if vol is not None:
+            # scatter encoding: alive = 2 + medium material id + 64 * walk.
+            # Entering stores the hit material as the medium and resets
+            # the walk (chit:478); a walk step increments it.
+            entering = toggled & front
+            mid_new = jnp.where(
+                entering, jnp.clip(jnp.round(hit_mat_f), 0.0, 63.0),
+                vol["mid_f"])
+            walk_new = jnp.where(
+                toggled, 0.0,
+                jnp.where(vol["step"], vol["walk_f"] + 1.0, vol["walk_f"]))
+            enc_new = 2.0 + mid_new + 64.0 * walk_new
+            alive_out = jnp.where(new_alive & (inside_new > 0.5),
+                                  enc_new, alive_out)
+        else:
+            alive_out = jnp.where(new_alive & (inside_new > 0.5), 2.0,
+                                  alive_out)
 
     out_ref[0] = ox
     out_ref[1] = oy
@@ -2549,7 +2720,10 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
     out_ref[12] = jax.lax.bitcast_convert_type(rng, jnp.float32)
     out_ref[13] = alive_out
     out_ref[14] = miss_rec
-    out_ref[15] = s15 + alive_f + shadow_count
+    # traced-segment accounting: one segment per alive ray this bounce
+    # (the volume encodings ride alive_f > 1, so count the MASK, not the
+    # row value) plus NEE shadow rays
+    out_ref[15] = s15 + jnp.where(alive, 1.0, 0.0) + shadow_count
 
 
 def _sample_lights_fused(light_ref, light_types, k0, k1, k2, k3,
@@ -2814,6 +2988,10 @@ def bounce_step(params, scene: FusedScene, state, *, static: FusedStatic, nee: b
 
 def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, *rest,
                   static: FusedStatic):
+    inst = None
+    if static.instanced:
+        inst_smem_ref, inst_map_ref, inst_attr_ref, inst_m24_ref, *rest = rest
+        inst = (inst_smem_ref, inst_map_ref, inst_attr_ref, inst_m24_ref)
     if static.clustered:
         (plan_ref, gbox_ref, lhs_ref,
          state_ref, hit_ref, *scratch) = rest
@@ -2842,7 +3020,7 @@ def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, *rest,
                 gbox_ref, lhs_ref, cache, best128, clus128, attrs_acc, acc,
                 ox, oy, oz, dx, dy, dz, tmin, alive_f, n_l1=static.n_l1,
                 want_uv=True, tangents=static.tangents,
-                cutout=static.cutout)
+                cutout=static.cutout, inst=inst)
             best_t, u, v = acc[0], acc[1], acc[2]
             (gnx, gny, gnz, n0x, n0y, n0z,
              n1x, n1y, n1z, n2x, n2y, n2z, mat_f, dsided) = tuple(
@@ -2922,8 +3100,12 @@ def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, *rest,
 
 
 def _shade_kernel(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
-                  state_ref, hit_ref, par_ref, out_ref, *scratch,
-                  static: FusedStatic, nee: bool):
+                  *rest, static: FusedStatic, nee: bool):
+    inst = None
+    if static.instanced:
+        inst_smem_ref, inst_map_ref, inst_attr_ref, inst_m24_ref, *rest = rest
+        inst = (inst_smem_ref, inst_map_ref, inst_attr_ref, inst_m24_ref)
+    state_ref, hit_ref, par_ref, out_ref, *scratch = rest
     any_alive = jnp.max(state_ref[13]) > 0.5
 
     @pl.when(jnp.logical_not(any_alive))
@@ -2970,7 +3152,7 @@ def _shade_kernel(params_ref, tri_ref, mat_ref, light_ref, l1_ref, l2_ref,
 
         _shade_core(
             params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref, scratch,
-            static, nee,
+            static, nee, inst=inst,
             s15=s(15), ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
             tpx=tpx, tpy=tpy, tpz=tpz, radx=radx, rady=rady, radz=radz,
             rng=rng, alive=alive, alive_f=alive_f, hit=hit, miss=miss,
@@ -3062,6 +3244,7 @@ def trace_step(params, scene: FusedScene, state, *, static: FusedStatic):
     if static.clustered:
         plan_args = _cluster_walk_plan(state, scene.l1_aabbs, scene.l2_aabbs)
         plan_specs = _plan_specs(static)
+    inst_specs, inst_args = _inst_specs_args(static, scene)
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -3070,6 +3253,7 @@ def trace_step(params, scene: FusedScene, state, *, static: FusedStatic):
             tri_spec,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # L1 AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # L2 AABBs
+            *inst_specs,
             *plan_specs,
             _block_spec(STATE_ROWS, br),
         ],
@@ -3081,7 +3265,8 @@ def trace_step(params, scene: FusedScene, state, *, static: FusedStatic):
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_clu_vmem_limit(static),
         ),
-    )(params, scene.tris, scene.l1_aabbs, scene.l2_aabbs, *plan_args, state)
+    )(params, scene.tris, scene.l1_aabbs, scene.l2_aabbs, *inst_args,
+      *plan_args, state)
 
 
 @partial(jax.jit, static_argnames=("static", "nee"))
@@ -3093,6 +3278,7 @@ def shade_step(params, scene: FusedScene, state, hitbuf, parbuf, *,
     n_blocks = state.shape[1] // br
     tri_spec, scratch_shapes = _tri_specs(static)
     kernel = partial(_shade_kernel, static=static, nee=nee)
+    inst_specs, inst_args = _inst_specs_args(static, scene)
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -3103,20 +3289,21 @@ def shade_step(params, scene: FusedScene, state, hitbuf, parbuf, *,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lights
             pl.BlockSpec(memory_space=pltpu.SMEM),  # L1 AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # L2 AABBs
+            *inst_specs,
             _block_spec(STATE_ROWS, br),
             _block_spec(hit_row_count(static.tangents), br),
             _block_spec(slim_param_rows(static.textured_params), br),
         ],
         out_specs=_block_spec(STATE_ROWS, br),
         out_shape=jax.ShapeDtypeStruct(state.shape, jnp.float32),
-        input_output_aliases={6: 0},
+        input_output_aliases={6 + len(inst_specs): 0},
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_clu_vmem_limit(static),
         ),
     )(params, scene.tris, scene.mats, scene.lights, scene.l1_aabbs,
-      scene.l2_aabbs, state, hitbuf, parbuf)
+      scene.l2_aabbs, *inst_args, state, hitbuf, parbuf)
 
 
 def make_params(config, uniforms, bounce) -> jnp.ndarray:
@@ -3131,4 +3318,5 @@ def make_params(config, uniforms, bounce) -> jnp.ndarray:
         jnp.float32(0.0),  # tmin
         uniforms.light_intensity_multiplier,
         uniforms.meters_per_scene_unit,
+        uniforms.max_volume_walk_length.astype(jnp.float32),
     ])

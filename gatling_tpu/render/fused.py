@@ -134,8 +134,13 @@ def supports_fused(config: RenderConfig, has_textures: bool,
     clipping still route to the general integrator.
     """
     del has_textures, has_normal_maps  # both use the split-bounce mode
+    # stack 0: absorption-only (scattering coefficients are inert at
+    # stack 0 in the wavefront too); stack 1: the fused scatter mode
+    # (FusedStatic.scatter) carries the full depth-1 medium semantics
+    # incl. HG walks; nested media (stack >= 2) stay on the wavefront
+    del has_scattering_volumes
     volumes_ok = (not config.has_volumes
-                  or (config.medium_stack_size == 0 and not has_scattering_volumes))
+                  or config.medium_stack_size <= 1)
     return (
         volumes_ok
         # textured-opacity cutout runs the split-bounce re-trace stage for

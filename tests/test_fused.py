@@ -112,8 +112,18 @@ def test_supports_fused_gate():
     assert supports_fused(RenderConfig(8, 8, has_dome=False), False,
                           has_normal_maps=True,  # split-bounce tangent rows
                           has_scattering_volumes=False)
-    assert not supports_fused(
+    # round 5: depth-1 scattering runs the fused scatter mode; only
+    # NESTED media (stack >= 2) still route to the wavefront
+    assert supports_fused(
         RenderConfig(8, 8, has_volumes=True, has_dome=False), False,
+        has_scattering_volumes=True)
+    assert supports_fused(
+        RenderConfig(8, 8, has_volumes=True, medium_stack_size=1,
+                     has_dome=False), False,
+        has_scattering_volumes=True)
+    assert not supports_fused(
+        RenderConfig(8, 8, has_volumes=True, medium_stack_size=2,
+                     has_dome=False), False,
         has_scattering_volumes=True)
     # untextured cutout resolves inside the fused walks
     assert supports_fused(RenderConfig(8, 8, has_cutout=True, has_dome=False),

@@ -335,3 +335,84 @@ def Xform "Root"
     assert istatic.n_instances == n
     # ONE unique mesh: 1 real cluster + the degenerate pad cluster
     assert istatic.n_clusters == 1
+
+
+def test_fused_instanced_textured_parity():
+    """Round 5: the two-level instanced walk runs the textured
+    split-bounce kernels (uv rows ride the shared local clusters; the
+    object-walk route for unique-mesh scenes like the interior).
+    Distribution parity vs the wavefront."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gatling_tpu import imgio
+    from gatling_tpu.interface import empty_light_arrays
+    from gatling_tpu.ops.geometry import build_geometry
+    from gatling_tpu.ops.pallas_bounce import build_fused_scene_instanced
+    from gatling_tpu.render.fused import render_pixels_fused
+    from gatling_tpu.render.integrator import (DomeLightData, RenderConfig,
+                                               render_pixels)
+    from gatling_tpu.render.material import (build_materials, lower_material,
+                                             textured_params)
+    from gatling_tpu.render.texture import TextureRef
+    from gatling_tpu.scene.stage import MeshDesc
+    from tests.test_volumes import _quad, _uniforms
+
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[..., 3] = 255
+    c = ((np.arange(8)[:, None] // 2 + np.arange(8)[None, :] // 2) % 2)
+    img[..., 0] = np.where(c, 220, 60)
+    img[..., 1] = np.where(c, 60, 200)
+    img[..., 2] = 120
+    imgio.write_image_file("/tmp/gatling_test_checker8.png", img)
+
+    m = lower_material(None)
+    m.textures["base_color"] = TextureRef(
+        file_path="/tmp/gatling_test_checker8.png", is_srgb=False)
+    m.params["ior"] = 1.0
+    m2 = lower_material(None)
+    m2.params.update(base_color=(0.9, 0.3, 0.1), ior=1.0)
+    xf1 = np.eye(4)
+    xf2 = np.eye(4)
+    xf2[3, 0] = 0.6
+    xf2[3, 2] = 0.8
+    meshes = [
+        MeshDesc(path="/q", mesh=_quad(0.0, size=1.2), transform=np.eye(4),
+                 material="m", double_sided=True, object_id=0,
+                 instance_transforms=np.stack([xf1, xf2])),
+        MeshDesc(path="/w", mesh=_quad(-2.0, size=0.8), transform=np.eye(4),
+                 material="m2", double_sided=True, object_id=1),
+    ]
+    midx = {"m": 0, "m2": 1, None: 2}
+    geom = build_geometry(meshes, midx)
+    rows = [m, m2, lower_material(None)]
+    table, pool = build_materials(rows)
+    res = build_fused_scene_instanced(meshes, midx, table, None, min_flat=0)
+    assert res is not None
+    fs, fstatic = res
+    fstatic = dataclasses.replace(fstatic, textured=True,
+                                  textured_params=textured_params(rows))
+    cfg = RenderConfig(width=16, height=16, spp=12, max_bounces=3,
+                       has_dome=True)
+    dome = DomeLightData(texture=jnp.full((1, 1, 3), 1.0, jnp.float32),
+                         fallback=jnp.zeros((1, 1, 3), jnp.float32))
+    pix = jnp.arange(256, dtype=jnp.int32)
+    uni = _uniforms()._replace(
+        dome_emission_multiplier=jnp.ones(3, jnp.float32))
+    with pltpu.force_tpu_interpret_mode():
+        fused = np.asarray(render_pixels_fused(
+            cfg, uni, fs, dome, pix, 12, jnp.int32(0), static=fstatic,
+            materials=table, textures=pool))
+    gen = np.asarray(render_pixels(
+        cfg, uni, geom, table, empty_light_arrays(), dome, pix, 12,
+        jnp.int32(0), textures=pool).color)
+    f = fused.reshape(16, 16, 3)
+    g = gen.reshape(16, 16, 3)
+    assert np.isfinite(f).all() and (f >= 0).all()
+    rel = abs(f.mean() - g.mean()) / max(g.mean(), 1e-6)
+    fd = f.reshape(4, 4, 4, 4, 3).mean(axis=(1, 3)).ravel()
+    gd = g.reshape(4, 4, 4, 4, 3).mean(axis=(1, 3)).ravel()
+    corr = np.corrcoef(fd, gd)[0, 1]
+    assert rel < 0.15 and corr > 0.9, (rel, corr)

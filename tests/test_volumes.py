@@ -144,3 +144,91 @@ def test_scattering_medium_conserves_energy_roughly():
     assert (img >= 0).all()
     center = img.reshape(8, 8, 3)[4, 4]
     assert center.mean() < 2.0  # some light scattered out of the path
+
+
+# ---------------------------------------------------------------------------
+# Fused scatter mode (VERDICT r4 item 6): depth-1 medium scattering inside
+# the fused kernels (FusedStatic.scatter) vs the wavefront
+# ---------------------------------------------------------------------------
+
+
+def _fused_volume_render(geom, table, config, spp):
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gatling_tpu.ops.pallas_bounce import build_fused_scene
+    from gatling_tpu.render.fused import render_pixels_fused
+
+    scene, static = build_fused_scene(geom, table, None)
+    static = dataclasses.replace(
+        static, volumes=True, scatter=config.medium_stack_size == 1)
+    n = config.width * config.height
+    pix = jnp.arange(n, dtype=jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        img = np.asarray(render_pixels_fused(
+            config, _uniforms(), scene, default_dome(), pix, spp,
+            jnp.int32(0), static=static))
+    return img.reshape(config.height, config.width, 3)
+
+
+def test_fused_scatter_absorption_parity():
+    """Pure-absorption slab at stack 1: the fused scatter mode reproduces
+    Beer-Lambert through the ENTERED medium's sigma exactly."""
+    sigma = (0.5, 1.0, 2.0)
+    geom, table = _slab_scene(sigma)
+    config = RenderConfig(width=8, height=8, spp=1, max_bounces=6,
+                          jittered=False, fis=False, has_volumes=True,
+                          medium_stack_size=1, rr_bounce_offset=100,
+                          has_dome=False)
+    img = _fused_volume_render(geom, table, config, 1)
+    expected = 2.0 * np.exp(-2.0 * np.asarray(sigma))
+    np.testing.assert_allclose(img[4, 4], expected, rtol=0.05)
+
+
+def test_fused_scatter_distribution_parity():
+    """Fog slab (isotropic scattering, albedo ~0.7) in front of an
+    emissive wall: fused scatter mode matches the wavefront's stack-1
+    estimator in distribution."""
+    import dataclasses as _dc
+
+    from gatling_tpu.render.integrator import render_pixels
+    from gatling_tpu.render.material import _pack_material_table
+
+    geom, table = _slab_scene((0.3, 0.3, 0.3))
+    table = _pack_material_table(table._replace(
+        volume_scattering=table.volume_scattering.at[0].set(
+            jnp.asarray([0.7, 0.7, 0.7]))))
+    config = RenderConfig(width=8, height=8, spp=48, max_bounces=10,
+                          jittered=False, fis=False, has_volumes=True,
+                          medium_stack_size=1, rr_bounce_offset=100,
+                          has_dome=False)
+    fused = _fused_volume_render(geom, table, config, 48)
+    pix = jnp.arange(64, dtype=jnp.int32)
+    gen = np.asarray(render_pixels(
+        config, _uniforms(), geom, table, empty_light_arrays(),
+        default_dome(), pix, 48, jnp.int32(0)).color).reshape(8, 8, 3)
+    assert np.isfinite(fused).all() and (fused >= 0).all()
+    # scattering attenuates the direct wall view below the no-scatter case
+    direct = 2.0 * np.exp(-2.0 * 0.3)
+    assert fused[4, 4].mean() < direct + 0.05
+    rel = abs(fused.mean() - gen.mean()) / max(gen.mean(), 1e-6)
+    assert rel < 0.2, (fused.mean(), gen.mean())
+
+
+def test_fused_scatter_walk_terminates():
+    """A dense high-albedo medium must not loop forever: the walk cap
+    (maxVolumeWalkLength) bounds scattering events and the render stays
+    finite."""
+    from gatling_tpu.render.material import _pack_material_table
+
+    geom, table = _slab_scene((0.1, 0.1, 0.1))
+    table = _pack_material_table(table._replace(
+        volume_scattering=table.volume_scattering.at[0].set(
+            jnp.asarray([5.0, 5.0, 5.0]))))
+    config = RenderConfig(width=8, height=8, spp=4, max_bounces=12,
+                          jittered=False, fis=False, has_volumes=True,
+                          medium_stack_size=1, rr_bounce_offset=100,
+                          has_dome=False)
+    img = _fused_volume_render(geom, table, config, 4)
+    assert np.isfinite(img).all() and (img >= 0).all()

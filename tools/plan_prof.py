@@ -56,14 +56,18 @@ params = make_params(cfg, uni, jnp.int32(0))
 NB = W*H // 1024
 
 
+def fence(out):
+    # reduce ON DEVICE and fetch one scalar: fetching whole outputs drags
+    # tens of MB through the tunnel and swamps the kernel time
+    return float(sum(jnp.sum(a) for a in jax.tree.leaves(out)))
+
+
 def timeit(fn, *args, n=5):
-    out = fn(*args)
-    jax.tree.map(lambda a: np.asarray(a).ravel()[0], out)
+    fence(fn(*args))
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.tree.map(lambda a: np.asarray(a).ravel()[0], out)
+        fence(fn(*args))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
