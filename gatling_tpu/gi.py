@@ -294,6 +294,36 @@ def _build_accel(geom, tracer: str | None = None) -> tuple[str, Accel, Any]:
     return tracer, Accel(), geom
 
 
+def _shadow_cutout_pass(scene: "GiScene"):
+    """[M] per-material SHADOW-walk cutout pass probabilities: textured
+    opacity resolves to the texture's mean pass rate (the in-kernel NEE
+    occlusion walk cannot tap textures; the mean is the unbiased
+    per-material approximation of the reference's sequential anyhit
+    draws, rp_main.ahit SHADOW_TEST). Returns None when no material has
+    an opacity texture (the camera values then serve both walks)."""
+    rows = scene._lowered_materials or []
+    if not any("opacity" in (r.textures or {}) for r in rows):
+        return None
+    out = np.ones(len(rows), np.float32)
+    for i, r in enumerate(rows):
+        th = float(r.params.get("opacity_threshold", 0.0) or 0.0)
+        ref = (r.textures or {}).get("opacity")
+        if ref is not None:
+            try:
+                img = np.asarray(scene._texture_manager._load(ref))
+                ch = {"r": 0, "g": 1, "b": 2, "a": 3}.get(
+                    getattr(ref, "channel", "r"), 0)
+                vals = img[..., ch]
+                out[i] = float((vals >= th).mean() if th > 0.0
+                               else vals.mean())
+            except Exception:  # noqa: BLE001 — missing file -> opaque
+                out[i] = 1.0
+        else:
+            op = float(r.params.get("opacity", 1.0))
+            out[i] = float(op >= th) if th > 0.0 else op
+    return np.clip(out, 0.0, 1.0)
+
+
 def _fused_mat_table(scene: "GiScene"):
     """Material table for the fused kernel's SMEM copy. Textured scenes get
     the texture MEANS substituted into the textured columns
@@ -481,7 +511,8 @@ def render(params: GiRenderParams) -> None:
 
                 res = build_fused_scene_instanced(
                     scene.meshes, scene._material_index,
-                    _fused_mat_table(scene), scene._light_arrays)
+                    _fused_mat_table(scene), scene._light_arrays,
+                    shadow_pass=_shadow_cutout_pass(scene))
                 if res is not None:
                     scene._fused_scene = res
                 else:  # transforms changed eligibility: fall back flat
@@ -492,7 +523,8 @@ def render(params: GiRenderParams) -> None:
 
                 fs, fstatic, order = build_fused_scene_with_order(
                     scene._geom_base, _fused_mat_table(scene), scene._light_arrays,
-                    reuse_order=scene._fused_order)
+                    reuse_order=scene._fused_order,
+                    shadow_pass=_shadow_cutout_pass(scene))
                 scene._fused_scene = (fs, fstatic)
                 scene._fused_order = order
         scene._pending_transforms = []
@@ -649,7 +681,8 @@ def render(params: GiRenderParams) -> None:
 
                 res = build_fused_scene_instanced(
                     scene.meshes, scene._material_index,
-                    _fused_mat_table(scene), scene._light_arrays)
+                    _fused_mat_table(scene), scene._light_arrays,
+                    shadow_pass=_shadow_cutout_pass(scene))
                 if res is not None:
                     fs, fstatic = res
                     get_logger().info(
@@ -660,7 +693,8 @@ def render(params: GiRenderParams) -> None:
             if fs is None:
                 fs, fstatic, order = build_fused_scene_with_order(
                     scene._geom_base if scene._geom_base is not None else scene._geom,
-                    _fused_mat_table(scene), scene._light_arrays)
+                    _fused_mat_table(scene), scene._light_arrays,
+                    shadow_pass=_shadow_cutout_pass(scene))
             scene._fused_scene = (fs, fstatic)
             scene._fused_order = order
         fs, fstatic = scene._fused_scene

@@ -126,6 +126,7 @@ CLU_N1 = 20
 CLU_N2 = 24   # 24-26 n2
 CLU_UV = 28   # 28-33 uv0.xy uv1.xy uv2.xy
 CLU_OPAC = 34  # stochastic-cutout pass probability (1.0 = opaque)
+CLU_OPAC_SH = 35  # SHADOW-walk pass probability (textured: UV-mean opacity)
 CLU_TRI_ROWS = 40
 # tangent extension rows (static.tangents only)
 CLU_T0 = 40   # 40-42, 43-45, 46-48: tangents per corner
@@ -155,15 +156,23 @@ CLU_ROW_MAP_TAN = CLU_ROW_MAP + tuple(
 
 
 def tri_row_count(tangents: bool, cutout: bool = False) -> int:
-    """Resident-table row count (TR_* layout). Cutout appends one
-    pass-probability row at tr_opac_row (SMEM tables have no DMA row
-    alignment constraint)."""
+    """Resident-table row count (TR_* layout). Cutout appends TWO
+    pass-probability rows at tr_opac_row / tr_opac_sh_row: the camera
+    walk's value (textured-opacity materials stay opaque there — the
+    split-bounce re-trace resolves them exactly) and the SHADOW walk's
+    value (textured materials carry their UV-mean opacity, the in-kernel
+    occlusion approximation). SMEM tables have no DMA row alignment
+    constraint."""
     base = TRI_ROWS_TAN if tangents else TRI_ROWS
-    return base + (1 if cutout else 0)
+    return base + (2 if cutout else 0)
 
 
 def tr_opac_row(tangents: bool) -> int:
     return TRI_ROWS_TAN if tangents else TRI_ROWS
+
+
+def tr_opac_sh_row(tangents: bool) -> int:
+    return tr_opac_row(tangents) + 1
 
 
 def clu_row_count(tangents: bool) -> int:
@@ -456,10 +465,12 @@ def _cutout_pass_prob(geom: SceneGeometry, table: MaterialTable) -> np.ndarray:
 
 
 def _tri_rows(geom: SceneGeometry, tangents: bool = False,
-              cutout_prob: "np.ndarray | None" = None) -> np.ndarray:
+              cutout_prob: "np.ndarray | None" = None,
+              shadow_prob: "np.ndarray | None" = None) -> np.ndarray:
     """Per-triangle kernel rows [T, tri_row_count(...)] (Baldwin-Weber
     precompute; per-corner tangents appended for normal-mapped scenes;
-    one cutout pass-probability row appended for cutout scenes)."""
+    camera + shadow cutout pass-probability rows appended for cutout
+    scenes — shadow defaults to the camera value)."""
     v0 = np.asarray(geom.v0, np.float64)
     e1 = np.asarray(geom.e1, np.float64)
     e2 = np.asarray(geom.e2, np.float64)
@@ -505,6 +516,8 @@ def _tri_rows(geom: SceneGeometry, tangents: bool = False,
         rows[:, TR_BS:TR_BS + 3] = np.asarray(geom.bsign)
     if cutout_prob is not None:
         rows[:, tr_opac_row(tangents)] = cutout_prob
+        rows[:, tr_opac_sh_row(tangents)] = (
+            cutout_prob if shadow_prob is None else shadow_prob)
     return rows
 
 
@@ -570,12 +583,13 @@ def build_fused_scene(
     table: MaterialTable,
     light_arrays: LightArrays | None = None,
     resident_max: int = 4096,
+    shadow_pass: "np.ndarray | None" = None,
 ) -> tuple[FusedScene, FusedStatic]:
     """Build kernel scene tables. Scenes up to resident_max real triangles
     keep the whole table in SMEM; larger scenes get Morton-ordered 128-tri
     clusters in HBM with two-level SMEM AABBs."""
     scene, static, _order = build_fused_scene_with_order(
-        geom, table, light_arrays, resident_max)
+        geom, table, light_arrays, resident_max, shadow_pass=shadow_pass)
     return scene, static
 
 
@@ -585,6 +599,7 @@ def build_fused_scene_with_order(
     light_arrays: LightArrays | None = None,
     resident_max: int = 4096,
     reuse_order: "np.ndarray | None" = None,
+    shadow_pass: "np.ndarray | None" = None,
 ) -> tuple[FusedScene, FusedStatic, "np.ndarray | None"]:
     """build_fused_scene variant exposing the Morton triangle order so
     transform edits can REFIT (recompute rows + cluster AABBs under the
@@ -609,10 +624,17 @@ def build_fused_scene_with_order(
     tangents = bool((np.asarray(table.normal_tex) >= 0).any()
                     or _aniso_from_table(table))
     pass_prob = _cutout_pass_prob(geom, table)
-    cutout = bool((pass_prob < 1.0).any())
+    if shadow_pass is not None:
+        mid = np.clip(np.asarray(geom.material_id), 0,
+                      len(shadow_pass) - 1)
+        shadow_prob = np.asarray(shadow_pass, np.float32)[mid]
+    else:
+        shadow_prob = pass_prob
+    cutout = bool((pass_prob < 1.0).any() or (shadow_prob < 1.0).any())
     if n_real <= resident_max:
         rows = _tri_rows(geom, tangents,
-                         pass_prob if cutout else None)
+                         pass_prob if cutout else None,
+                         shadow_prob if cutout else None)
         static = FusedStatic(n_tris=n_real, n_mats=int(table.packed_f.shape[0]),
                              n_clusters=0, n_l1=1, light_types=light_types,
                              tangents=tangents, cutout=cutout,
@@ -650,6 +672,7 @@ def build_fused_scene_with_order(
     dst_rows = [dst for _, dst in row_map]
     rows_p[:n_real, dst_rows] = rows[:, src_rows]
     rows_p[:n_real, CLU_OPAC] = pass_prob[order]  # Morton-reordered
+    rows_p[:n_real, CLU_OPAC_SH] = shadow_prob[order]
     tris = rows_p.reshape(c_pad, CLUSTER_SIZE, n_rows).transpose(0, 2, 1).copy()
 
     # cluster AABBs (vectorized; padding triangles carry empty boxes)
@@ -695,6 +718,7 @@ def build_fused_scene_instanced(
     light_arrays: LightArrays | None = None,
     min_gain: float = 4.0,
     min_flat: int = 4096,
+    shadow_pass: "np.ndarray | None" = None,
 ) -> "tuple[FusedScene, FusedStatic] | None":
     """Two-level INSTANCED fused scene — the BLAS-sharing analog of the
     reference's TLAS (one BLAS per unique mesh, one TLAS instance per
@@ -736,6 +760,12 @@ def build_fused_scene_instanced(
     op = pf[:, MF_OPACITY]
     th = pf[:, MF_OPACITY_THRESH]
     mat_pass = np.where(th > 0.0, (op >= th).astype(np.float32), op)
+    # camera walks treat opacity-TEXTURED materials as opaque — the
+    # split-bounce re-trace stage resolves them exactly (same override as
+    # _cutout_pass_prob); the SHADOW walk uses their UV-mean opacity
+    mat_pass = np.where(np.asarray(table.opacity_tex) >= 0, 1.0, mat_pass)
+    mat_pass_sh = (np.asarray(shadow_pass, np.float32)
+                   if shadow_pass is not None else mat_pass)
 
     # ---- unique meshes -> local clustered rows ----
     uniq: dict[int, dict] = {}  # id(mesh) -> info
@@ -778,7 +808,9 @@ def build_fused_scene_instanced(
                           "mat": mat_row, "obj": md.object_id,
                           "ds": 1.0 if md.double_sided else 0.0,
                           "pass": float(mat_pass[min(mat_row,
-                                                     len(mat_pass) - 1)])})
+                                                     len(mat_pass) - 1)]),
+                          "pass_sh": float(mat_pass_sh[min(
+                              mat_row, len(mat_pass_sh) - 1)])})
         flat_tris += tm.num_triangles * len(transforms)
 
     unique_tris = sum(i["n"] for i in uniq.values())
@@ -921,6 +953,7 @@ def build_fused_scene_instanced(
         inst_smem[e, 9:12] = inst["a_t"]
         inst_smem[e, 12] = inst["pass"]
         inst_smem[e, 13] = float(nc)  # real fan count (walk loop bound)
+        inst_smem[e, 14] = inst["pass_sh"]  # shadow-walk pass prob
         inst_attr[e, 0:9] = a3.reshape(-1)
         inst_attr[e, 9:12] = inst["a_t"]
         inst_attr[e, 12] = float(inst["mat"])
@@ -928,7 +961,8 @@ def build_fused_scene_instanced(
         inst_attr[e, 14] = float(e)
         inst_attr[e, 15] = inst["ds"]
 
-    cutout = bool((inst_smem[:, 12] < 1.0).any())
+    cutout = bool((inst_smem[:, 12] < 1.0).any()
+                  or (inst_smem[:, 14] < 1.0).any())
 
     # per-entry world->local [8, 8] right operand M (row vector v @ M):
     # M[0:3, 0:3] = A3, M[3, 0:3] = a_t (origins carry w=1, directions
@@ -1888,9 +1922,12 @@ def _trace_clustered_occluded(tri_ref, l1_ref, l2_ref, cache, occ128, acc,
                                 (c * CLUSTER_SIZE).astype(jnp.uint32),
                                 lane_i)
                             if inst is not None:
-                                okm = okm & (xi < inst_smem_ref[g, 12])
+                                # shadow pass prob (col 14: textured
+                                # materials carry their UV-mean opacity)
+                                okm = okm & (xi < inst_smem_ref[g, 14])
                             else:
-                                okm = okm & (xi < tri[CLU_OPAC:CLU_OPAC + 1, :])
+                                okm = okm & (
+                                    xi < tri[CLU_OPAC_SH:CLU_OPAC_SH + 1, :])
                         occ128[...] = jnp.maximum(occ128[...],
                                                   okm.astype(jnp.float32))
                     return 0
@@ -2195,32 +2232,37 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
     rng4, xi3 = _pcg_next(rng3)
     rng = jnp.where(hit, rng4, rng)
 
-    if tanx is not None:
-        # mesh tangent frame (split-bounce hit rows): re-orthonormalize
-        # against the (possibly normal-mapped) shading normal, bitangent
-        # as cross(n, t) * sign — the integrator's shading-state frame,
-        # which makes anisotropy rotation mesh-anchored
+    # ---- Duff ONB around the shading normal ----
+    nsign = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a_onb = -1.0 / (nsign + nz)
+    b_onb = nx * ny * a_onb
+    t1x = 1.0 + nsign * nx * nx * a_onb
+    t1y = nsign * b_onb
+    t1z = -nsign * nx
+    t2x = b_onb
+    t2y = nsign + ny * ny * a_onb
+    t2z = -ny
+    if adv and tanx is not None:
+        # advanced scenes anchor the frame to the MESH tangent (anisotropy
+        # rotation is mesh-relative): re-orthonormalize against the
+        # (possibly normal-mapped) shading normal, bitangent as
+        # cross(n, t) * sign. Degenerate tangents (uv-less meshes, tangent
+        # parallel to the perturbed normal) keep the Duff ONB.
         tdn = tanx * nx + tany * ny + tanz * nz
-        t1x = tanx - nx * tdn
-        t1y = tany - ny * tdn
-        t1z = tanz - nz * tdn
-        tl = jax.lax.rsqrt(jnp.maximum(
-            t1x * t1x + t1y * t1y + t1z * t1z, 1e-20))
-        t1x, t1y, t1z = t1x * tl, t1y * tl, t1z * tl
-        t2x = (ny * t1z - nz * t1y) * tbs
-        t2y = (nz * t1x - nx * t1z) * tbs
-        t2z = (nx * t1y - ny * t1x) * tbs
-    else:
-        # ---- Duff ONB around the shading normal ----
-        nsign = jnp.where(nz >= 0.0, 1.0, -1.0)
-        a_onb = -1.0 / (nsign + nz)
-        b_onb = nx * ny * a_onb
-        t1x = 1.0 + nsign * nx * nx * a_onb
-        t1y = nsign * b_onb
-        t1z = -nsign * nx
-        t2x = b_onb
-        t2y = nsign + ny * ny * a_onb
-        t2z = -ny
+        mtx = tanx - nx * tdn
+        mty = tany - ny * tdn
+        mtz = tanz - nz * tdn
+        tlen2 = mtx * mtx + mty * mty + mtz * mtz
+        tok = tlen2 > 1e-12
+        tl = jax.lax.rsqrt(jnp.maximum(tlen2, 1e-20))
+        mtx, mty, mtz = mtx * tl, mty * tl, mtz * tl
+        bsgn = jnp.where(tbs >= 0.0, 1.0, -1.0)
+        t1x = jnp.where(tok, mtx, t1x)
+        t1y = jnp.where(tok, mty, t1y)
+        t1z = jnp.where(tok, mtz, t1z)
+        t2x = jnp.where(tok, (ny * mtz - nz * mty) * bsgn, t2x)
+        t2y = jnp.where(tok, (nz * mtx - nx * mtz) * bsgn, t2y)
+        t2z = jnp.where(tok, (nx * mty - ny * mtx) * bsgn, t2z)
 
     # wo in local frame
     wox = -(dx * t1x + dy * t1y + dz * t1z)
@@ -2635,7 +2677,8 @@ def _shade_core(params_ref, tri_ref, light_ref, l1_ref, l2_ref, out_ref,
 
                 if static.cutout:
                     skey = rng ^ jnp.uint32(0x5BD1E995)
-                    opac_row = tr_opac_row(static.tangents)
+                    # shadow row: textured materials carry UV-mean opacity
+                    opac_row = tr_opac_sh_row(static.tangents)
 
                 # f32 0/1 carry: Mosaic cannot legalize i1 vector loop carries
                 def occl_body(t, occ):

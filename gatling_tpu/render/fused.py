@@ -141,12 +141,14 @@ def supports_fused(config: RenderConfig, has_textures: bool,
     del has_scattering_volumes
     volumes_ok = (not config.has_volumes
                   or config.medium_stack_size <= 1)
+    del has_opacity_textures
+    # textured-opacity cutout runs the split-bounce re-trace stage for
+    # CAMERA paths; the in-kernel NEE occlusion walk draws against the
+    # texture's UV-mean opacity per material (gi._shadow_cutout_pass) —
+    # shadow rays through leaf textures carry the right AVERAGE
+    # transmission (round 5; the reference taps the texture per anyhit)
     return (
         volumes_ok
-        # textured-opacity cutout runs the split-bounce re-trace stage for
-        # CAMERA paths; the in-kernel NEE occlusion walk cannot tap
-        # textures, so the NEE combination still shades on the wavefront
-        and not (config.has_cutout and has_opacity_textures and config.nee)
         and not config.clipping_planes
         and (config.aov_mask & ~FUSED_AOV_MASK) == 0
     )

@@ -289,10 +289,11 @@ def test_textured_cutout_fused_retrace():
     config = RenderConfig(width=16, height=16, spp=4, max_bounces=3,
                           jittered=False, fis=False, has_cutout=True,
                           has_dome=False, rr_bounce_offset=100)
-    # fused supports this combo without NEE; with NEE it must refuse
+    # fused supports this combo with AND without NEE (round 5: the
+    # occlusion walk draws against per-material UV-mean opacity)
     assert supports_fused(config, True, has_opacity_textures=True)
-    assert not supports_fused(dataclasses.replace(config, nee=True), True,
-                              has_opacity_textures=True)
+    assert supports_fused(dataclasses.replace(config, nee=True), True,
+                          has_opacity_textures=True)
 
     scene, static = build_fused_scene(geom, table, None)
     static = dataclasses.replace(
@@ -323,3 +324,111 @@ def test_textured_cutout_fused_retrace():
     # pass fraction (independent draws -> statistical tolerance)
     assert abs(f - w) < 0.12, (f, w)
     assert 0.2 < f < 0.8
+
+
+def test_textured_cutout_nee_fused_mean_opacity_shadow():
+    """VERDICT r4 item 6: NEE + textured-opacity cutout on the FUSED
+    path. The in-kernel occlusion walk draws against the texture's
+    UV-MEAN opacity (here a 50% checker): NEE through the leaf screen
+    must land near the wavefront's exact per-texel shadow estimate."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gatling_tpu import imgio
+    from gatling_tpu.ops.pallas_bounce import build_fused_scene
+    from gatling_tpu.render.fused import render_pixels_fused
+    from gatling_tpu.render.lights import build_light_arrays
+    from gatling_tpu.render.material import (build_materials, lower_material,
+                                             textured_params)
+    from gatling_tpu.render.texture import TextureRef
+    from gatling_tpu.scene.meshproc import Interpolation
+    from gatling_tpu.scene.stage import LightDesc
+
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[..., :3] = 255
+    c = ((np.arange(8)[:, None] // 2 + np.arange(8)[None, :] // 2) % 2)
+    img[..., 3] = np.where(c, 255, 0)
+    path = "/tmp/gatling_cutout_checker_nee.png"
+    imgio.write_image_file(path, img)
+
+    # floor at z=-1 lit by a rect light ABOVE a leaf screen at z=1
+    size = 5.0
+    pts = np.array([[-size, -size, 1.0], [size, -size, 1.0],
+                    [-size, size, 1.0], [size, size, 1.0]], np.float32)
+    uvs = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.float32)
+    screen_mesh = build_triangulated_mesh(
+        pts, np.array([4]), np.array([0, 1, 3, 2]),
+        uvs=uvs, uvs_interp=Interpolation.VERTEX)
+    meshes = [
+        MeshDesc(path="/screen", mesh=screen_mesh, transform=np.eye(4),
+                 material="screen", double_sided=True, object_id=0),
+        MeshDesc(path="/floor", mesh=_quad(-1.0), transform=np.eye(4),
+                 material="floor", double_sided=True, object_id=1),
+    ]
+    midx = {"screen": 0, "floor": 1, None: 2}
+    geom = build_geometry(meshes, midx)
+    screen = LoweredMaterial(params=dict(_DEFAULTS),
+                             traits=MaterialTraits(has_cutout=True),
+                             textures={"opacity": TextureRef(
+                                 file_path=path, is_srgb=False, channel="a")})
+    screen.params.update(base_color=(0.0, 0.0, 0.0), opacity_threshold=0.5)
+    floor = LoweredMaterial(params=dict(_DEFAULTS), traits=MaterialTraits(),
+                            textures={})
+    floor.params.update(base_color=(0.8, 0.8, 0.8), ior=1.0)
+    rows = [screen, floor, lower_material(None)]
+    table, pool = build_materials(rows)
+
+    xf = np.eye(4)
+    xf[3, :3] = [0.0, 0.0, 3.0]
+    lights = build_light_arrays([LightDesc(
+        path="/L", light_type="rect", transform=xf,
+        params=dict(intensity=6.0, exposure=0.0,
+                    color=np.array([1.0, 1.0, 1.0], np.float32),
+                    normalize=False, diffuse=1.0, specular=1.0,
+                    enableColorTemperature=False, colorTemperature=6500.0,
+                    width=2.0, height=2.0))])
+
+    # shadow pass prob for the screen = the checker's mean pass (0.5)
+    shadow_pass = np.array([0.5, 1.0, 1.0], np.float32)
+    scene, static = build_fused_scene(geom, table, lights,
+                                      shadow_pass=shadow_pass)
+    assert static.cutout
+    static = dataclasses.replace(
+        static, textured=True, cutout_textured=True,
+        textured_params=textured_params(rows))
+    config = RenderConfig(width=16, height=16, spp=48, max_bounces=3,
+                          jittered=False, fis=False, has_cutout=True,
+                          nee=True, has_dome=False, rr_bounce_offset=100)
+    from gatling_tpu.render.integrator import render_pixels
+
+    pix = jnp.arange(256, dtype=jnp.int32)
+    uni = _uniforms()
+    with pltpu.force_tpu_interpret_mode():
+        fused = np.asarray(render_pixels_fused(
+            config, uni, scene, default_dome(), pix, 48, jnp.int32(0),
+            static=static, materials=table, textures=pool))
+    gen = np.asarray(render_pixels(
+        config, uni, geom, table, lights, default_dome(), pix, 48,
+        jnp.int32(0), pool).color)
+    f = fused.reshape(16, 16, 3)
+    g = gen.reshape(16, 16, 3)
+    assert np.isfinite(f).all() and (f >= 0).all()
+    # the mean-opacity shadow is an approximation of the exact per-texel
+    # anyhit; tolerance is looser than the exact-parity tests
+    rel = abs(f.mean() - g.mean()) / max(g.mean(), 1e-6)
+    assert rel < 0.25, (f.mean(), g.mean())
+    # and the mean-opacity really gates shadows: pass prob 0 (candidate
+    # intersections never register -> shadow rays sail through) must be
+    # BRIGHTER than the 0.5-mean screen
+    scene2, static2 = build_fused_scene(geom, table, lights,
+                                        shadow_pass=np.array(
+                                            [0.0, 1.0, 1.0], np.float32))
+    static2 = dataclasses.replace(
+        static2, textured=True, cutout_textured=True,
+        textured_params=textured_params(rows))
+    with pltpu.force_tpu_interpret_mode():
+        unshadowed = np.asarray(render_pixels_fused(
+            config, uni, scene2, default_dome(), pix, 48, jnp.int32(0),
+            static=static2, materials=table, textures=pool))
+    assert unshadowed.mean() > f.mean()

@@ -128,13 +128,13 @@ def test_supports_fused_gate():
     # untextured cutout resolves inside the fused walks
     assert supports_fused(RenderConfig(8, 8, has_cutout=True, has_dome=False),
                           False, has_scattering_volumes=False)
-    # textured-opacity cutout now runs the split-bounce re-trace stage for
-    # camera paths; only the NEE combination still routes to the wavefront
-    # (the in-kernel occlusion walk cannot tap textures)
+    # textured-opacity cutout runs the split-bounce re-trace stage for
+    # camera paths; round 5: the NEE combination also stays fused (the
+    # occlusion walk draws against per-material UV-mean opacity)
     assert supports_fused(
         RenderConfig(8, 8, has_cutout=True, has_dome=False), False,
         has_scattering_volumes=False, has_opacity_textures=True)
-    assert not supports_fused(
+    assert supports_fused(
         RenderConfig(8, 8, has_cutout=True, nee=True, has_dome=False), False,
         has_scattering_volumes=False, has_opacity_textures=True)
     # advanced BSDF lobes (refraction/clearcoat/anisotropy) shade in the
