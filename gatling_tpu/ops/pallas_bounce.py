@@ -1231,6 +1231,14 @@ def _cluster_walk_plan(state, l1_aabbs, l2_aabbs, exact: bool = True):
     cap = jnp.maximum(jnp.min(ex, axis=0), 0.0) * 1.0001 + 1e-3
     cap = jnp.where(a_flat, cap, -1.0)
 
+    # ADVICE-r4 gate, measured (tools/plan_prof.py, v5e): at n_l1 = 145
+    # (flat) / 258 (instanced) the exact per-ray union costs only ~8
+    # us/block more than the interval heuristic while cutting kernel scan
+    # iterations 3-30x — exact stays the default. The O(rays x n_l1)
+    # prelude grows linearly in n_l1, so pathological entry counts fall
+    # back to the conservative interval bounds.
+    if exact and g_lo.shape[1] > 1024:
+        exact = False
     if exact:
         # exact per-ray slab union: dist[b, g] = min over block b's alive
         # rays of the ray/box entry t (3e37 when no ray crosses box g).
