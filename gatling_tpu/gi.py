@@ -441,7 +441,30 @@ def _parallel_devices(settings, n_pixels: int) -> int:
 
 def render(params: GiRenderParams) -> None:
     """giRender analog (reference: Gi.cpp:1989-2524). Resolves dirty state,
-    rebuilds device caches, dispatches the frame, copies AOVs to host."""
+    rebuilds device caches, dispatches the frame, copies AOVs to host.
+
+    GATLING_VALIDATE=1 enables the validation layer (the lavapipe +
+    VK_LAYER_KHRONOS_validation + debugPrintf analog, SURVEY §5): Pallas
+    kernels run in interpret mode (python-level bounds/shape checking),
+    jax debug-NaN tracing arms, and every AOV output is asserted finite
+    before the host copy. Orders of magnitude slower — a debugging tool,
+    exactly like the reference's validation builds."""
+    if os.environ.get("GATLING_VALIDATE") == "1":
+        from jax.experimental.pallas import tpu as _pltpu
+
+        import jax as _jax
+
+        _jax.config.update("jax_debug_nans", True)
+        try:
+            with _pltpu.force_tpu_interpret_mode():
+                _render_impl(params, validate=True)
+        finally:
+            _jax.config.update("jax_debug_nans", False)
+        return
+    _render_impl(params)
+
+
+def _render_impl(params: GiRenderParams, validate: bool = False) -> None:
     gi_initialize()
     log = get_logger()
     scene = params.scene
@@ -803,6 +826,15 @@ def render(params: GiRenderParams) -> None:
                 inst_pv or None)
 
     # device -> host AOV copies (Gi.cpp:2439-2502)
+    if validate:
+        # validation layer: every AOV must be finite before the host copy
+        # (the debugPrintf/assert analog — a NaN here names the AOV)
+        for key2, arr in scene._aov_state.items():
+            a = np.asarray(arr)
+            if not np.isfinite(a).all():
+                raise FloatingPointError(
+                    f"GATLING_VALIDATE: AOV {key2!r} contains "
+                    f"{int((~np.isfinite(a)).sum())} non-finite values")
     for b in params.aov_bindings:
         key2 = _AOV_KEYS[b.aov_id]
         arr = np.asarray(scene._aov_state[key2])

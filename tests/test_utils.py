@@ -135,3 +135,20 @@ def test_watched_shader_sources(monkeypatch):
 
     monkeypatch.setenv("GATLING_WATCH_SHADERS", "0")
     assert watched_shader_sources() == {}
+
+
+def test_validation_layer(monkeypatch):
+    """GATLING_VALIDATE=1 (SURVEY §5: the VK validation-layer/debugPrintf
+    analog): kernels run in interpret mode, NaN tracing arms, and AOVs
+    are asserted finite before the host copy."""
+    import numpy as np
+
+    monkeypatch.setenv("GATLING_VALIDATE", "1")
+    monkeypatch.setenv("GATLING_FUSED", "0")
+    from gatling_tpu.cli import render_scene_file
+    from gatling_tpu.utils.config import default_settings
+
+    s = default_settings()
+    s.update(spp=1, maxBounces=2)
+    img, _ = render_scene_file("/root/reference/cornell.usda", 16, 16, s)
+    assert np.isfinite(img).all()
