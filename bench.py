@@ -148,10 +148,14 @@ def measure(scene_path: str, width=None, spp=None, max_bounces=None,
     lights = build_light_arrays(scene_lights)
     cam = desc.first_camera()
 
+    has_volumes = any(
+        any(c > 0.0 for c in r.params.get("volume_absorption", ()))
+        or any(c > 0.0 for c in r.params.get("volume_scattering", ()))
+        for r in rows)
     config = RenderConfig(
         width=width, height=height, spp=spp, max_bounces=max_bounces,
         rr_bounce_offset=3, aov_mask=aov_bit(AovId.COLOR),
-        tracer=tracer, nee=use_nee,
+        tracer=tracer, nee=use_nee, has_volumes=has_volumes,
         has_dome=any(l.light_type == "dome" for l in desc.lights),
         tex_lod_bounces=lod_bounces)
     uniforms = Uniforms(
@@ -208,6 +212,10 @@ def measure(scene_path: str, width=None, spp=None, max_bounces=None,
 
                 kernel_table = substitute_texture_means(table, pool)
             fs, fstatic = build_fused_scene(geom, kernel_table, lights)
+        if has_volumes:
+            import dataclasses as _dcv
+
+            fstatic = _dcv.replace(fstatic, volumes=True)
         if use_textured:
             import dataclasses as _dc
 
@@ -343,6 +351,11 @@ LADDER = [
                                   use_normalmap=True)),
     ("sphere_field", dict(scene_path="sphere_field")),
     ("interior_nee_textured", dict(scene_path="interior", use_nee=True)),
+    # advanced lobe set (glass + clearcoat) in the FUSED shade — VERDICT r4
+    # item 2's criterion: within ~2x of cornell throughput, not the
+    # 3.7-5.6 Mray/s wavefront it used to demote to
+    ("glass_coated", dict(
+        scene_path="tests/graphical/Materials.GlassCoated/scene.usda")),
 ]
 
 
