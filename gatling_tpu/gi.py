@@ -676,10 +676,14 @@ def _render_impl(params: GiRenderParams, validate: bool = False) -> None:
             r.params.get("anisotropy", 0.0) != 0.0
             for r in scene._lowered_materials)
         # depth-1 medium scattering encodes the medium material id in the
-        # kernel's alive row (6 bits): gigantic material tables fall back
+        # kernel's alive row (6 bits): gigantic material tables fall back,
+        # and the split-bounce (textured/aniso) kernels lack the
+        # free-flight machinery — SCATTERING+textured shades wavefront
         scatter_fits = (not (config.has_volumes
                              and config.medium_stack_size == 1)
-                        or len(scene._lowered_materials) <= 63)
+                        or (len(scene._lowered_materials) <= 63
+                            and not (has_scattering
+                                     and (has_textures or has_aniso))))
         use_fused = (_jax.default_backend() == "tpu"
                      and not has_vertex_colors and not has_dynamic
                      and not config.has_backface and scatter_fits
@@ -724,7 +728,12 @@ def _render_impl(params: GiRenderParams, validate: bool = False) -> None:
         if config.has_volumes:
             fstatic = dataclasses.replace(
                 fstatic, volumes=True,
-                scatter=config.medium_stack_size == 1)
+                # the split-bounce kernels lack free-flight sampling: the
+                # textured route keeps the absorption-only encoding (the
+                # scattering+textured combination is gated to the
+                # wavefront above)
+                scatter=(config.medium_stack_size == 1
+                         and not (has_textures or has_aniso)))
         if has_textures or has_aniso:
             # split-bounce mode (trace -> XLA stage -> shade): textures, and
             # anisotropy's mesh-tangent hit rows
