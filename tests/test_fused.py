@@ -824,3 +824,24 @@ def test_fused_instanced_cutout_statistics():
             static=fstatic))
     # independent Bernoulli streams -> statistical agreement only
     assert abs(a.mean() - b.mean()) / max(b.mean(), 1e-6) < 0.15
+
+
+def test_spp_batching_bit_equal(monkeypatch):
+    """Round 5: spp batching (several samples per pixel in ONE ray wave)
+    reproduces the sequential sample loop exactly — identical per-sample
+    RNG streams, only the accumulation order may differ."""
+    geom, table, uni = _cornell()
+    scene, static = build_fused_scene(geom, table, None)
+    cfg = RenderConfig(width=16, height=16, spp=4, max_bounces=3,
+                       has_dome=False)
+    pix = jnp.arange(256, dtype=jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("GATLING_SPP_BATCH_RAYS", "1")
+        seq = np.asarray(render_pixels_fused(
+            cfg, uni, scene, default_dome(), pix, 4, jnp.int32(0),
+            static=static))
+        monkeypatch.setenv("GATLING_SPP_BATCH_RAYS", "4194304")
+        bat = np.asarray(render_pixels_fused(
+            cfg, uni, scene, default_dome(), pix, 4, jnp.int32(0),
+            static=static))
+    np.testing.assert_allclose(bat, seq, atol=1e-5)
