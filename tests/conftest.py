@@ -13,8 +13,13 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-# persistent compilation cache: integrator configs recompile otherwise
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gatling_jax_cache")
+# persistent compilation cache: integrator configs recompile otherwise.
+# A CPU-ONLY directory: the TPU bench path's remote compiles can deposit
+# CPU AOT entries built for a different host machine type, and loading
+# those silently miscompiles (observed: a transform-edit test failing
+# only after a cache hit, with XLA warning "could lead to execution
+# errors such as SIGILL"). Never share this dir with TPU runs.
+os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/gatling_jax_cache_cpu"
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 

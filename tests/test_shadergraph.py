@@ -315,16 +315,31 @@ def test_primvar_reader_becomes_dynamic_leaf():
 
 
 def test_primvar_reader_unknown_name_falls_back():
-    """Non-interpolated primvar names degrade to the reader fallback with a
-    log, not a dynamic leaf."""
+    """Round 5: EVERY named primvar becomes a dynamic leaf (instance-rate
+    primvars resolve through the scene-data tables). A name the renderer
+    cannot resolve evaluates to the reader fallback at eval time, and gi
+    drops unresolvable-only exprs so they never demote the scene."""
+    import jax.numpy as jnp
+
+    from gatling_tpu.render.shadergraph import (eval_dynamic_expr,
+                                                expr_dynamic_beyond)
+
     nodes = [
         _node("/s", "surf", conns={"in": ("/pv", "out")}),
         _node("/pv", "geompropvalue",
               {"geomprop": "myCustomData", "default": (0.7, 0.7, 0.7)}),
     ]
     gv = _eval(_mat(nodes, "/s"))
-    assert gv.expr is None and gv.texture is None
+    assert gv.expr is not None and gv.expr.op == "primvar"
+    assert gv.expr.channel == "myCustomData"
     np.testing.assert_allclose(gv.constant[:3], [0.7] * 3, atol=1e-6)
+    # unresolvable -> fallback constant at eval time
+    v = np.asarray(eval_dynamic_expr(
+        gv.expr, jnp.zeros((4, 3)), jnp.zeros((4, 3)), primvars=None))
+    np.testing.assert_allclose(v[:, :3], 0.7, atol=1e-6)
+    # gi's demotion filter: dropped unless some renderer channel resolves it
+    assert not expr_dynamic_beyond(gv.expr, {"displayColor"})
+    assert expr_dynamic_beyond(gv.expr, {"displayColor", "myCustomData"})
 
 
 def test_lower_material_primvar_base_color():
