@@ -155,11 +155,20 @@ class GiScene:
             # memoized by source identity: descs SHARING a mesh (sphere
             # fields, instanced prototypes) must keep sharing one object,
             # or the instanced fused builder's unique-mesh dedup
-            # (build_fused_scene_instanced) splinters
-            cached = self._compress_cache.get(id(mesh.mesh))
+            # (build_fused_scene_instanced) splinters. The id() key MUST
+            # be evicted when the source object dies — CPython reuses
+            # freed addresses, and a recycled id once served a DIFFERENT
+            # mesh's compressed payload to a new mesh (observed as an
+            # allocator-order-dependent wrong-geometry render).
+            import weakref
+
+            src = mesh.mesh
+            cached = self._compress_cache.get(id(src))
             if cached is None:
-                cached = meshproc.compress_mesh(mesh.mesh)
-                self._compress_cache[id(mesh.mesh)] = cached
+                cached = meshproc.compress_mesh(src)
+                self._compress_cache[id(src)] = cached
+                weakref.finalize(src, self._compress_cache.pop, id(src),
+                                 None)
             mesh.mesh = cached
         self.meshes.append(mesh)
         self.dirty |= DirtyFlags.GEOMETRY | DirtyFlags.FRAMEBUFFER
