@@ -77,8 +77,14 @@ from gatling_tpu.render.material import MaterialTable
 # dead_prof.py), the per-block fixed grid+DMA overhead is ~2.6 us, and
 # halving the block count cut the all-alive bounce 4.9 -> 3.6 ms/iter with
 # no downside (8192-ray blocks were slightly worse).
-RAY_BLOCK = 1024
-BLOCK_ROWS = RAY_BLOCK // 128  # 8
+# GATLING_RAY_BLOCK widens the clustered walk block (e.g. 2048): the
+# per-ray-union sim (PERF.md block-size sweep) measured total visit work
+# shrinking 1.3-1.6x at 2048-4096 because block unions grow sublinearly.
+# Every kernel shape derives from these two constants (import-time env).
+import os as _os0  # noqa: E402
+
+RAY_BLOCK = int(_os0.environ.get("GATLING_RAY_BLOCK", "1024"))
+BLOCK_ROWS = RAY_BLOCK // 128  # 8 at the 1024 default
 STATE_ROWS = 16
 PI = 3.14159265358979
 MIN_ALPHA = 1e-3
