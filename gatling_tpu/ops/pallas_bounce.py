@@ -617,6 +617,12 @@ def build_fused_scene_with_order(
     real = (np.abs(e1_all).sum(axis=1) > 0) | (np.abs(e2_all).sum(axis=1) > 0)
     n_real = int(np.max(np.nonzero(real)[0])) + 1 if real.any() else 0
     geom = SceneGeometry(*[arr[:n_real] for arr in geom])
+    # resident/clustered crossover: the resident path walks triangles in a
+    # SERIAL ~110-cycle/tri SMEM loop, the clustered path intersects 128 at
+    # a time on the MXU — the crossover sits far below 4096
+    # (GATLING_RESIDENT_MAX to measure/override)
+    resident_max = int(_os.environ.get("GATLING_RESIDENT_MAX",
+                                       str(resident_max)))
 
     if light_arrays is not None:
         light_table, light_types = build_fused_lights(light_arrays)
