@@ -351,6 +351,10 @@ LADDER = [
                                   use_normalmap=True)),
     ("sphere_field", dict(scene_path="sphere_field")),
     ("interior_nee_textured", dict(scene_path="interior", use_nee=True)),
+    # the measured production texture setting (textureLodBounces=2,
+    # PERF.md): indirect bounces shade from exact texture means
+    ("interior_nee_textured_lod2", dict(scene_path="interior", use_nee=True,
+                                        lod_bounces=2)),
     # advanced lobe set (glass + clearcoat) in the FUSED shade — VERDICT r4
     # item 2's criterion: within ~2x of cornell throughput, not the
     # 3.7-5.6 Mray/s wavefront it used to demote to
