@@ -25,7 +25,7 @@ import numpy as np
 
 
 def measure(scene_path: str, width=None, spp=None, max_bounces=None,
-            use_nee=False, use_textured=False, use_normalmap=False,
+            use_nee=None, use_textured=False, use_normalmap=False,
             lod_bounces=0, runs=4) -> dict:
     """Measure one ladder config; returns the result dict."""
     from gatling_tpu.scene.stage import load_scene
@@ -49,8 +49,9 @@ def measure(scene_path: str, width=None, spp=None, max_bounces=None,
 
     from gatling_tpu.gi import _build_accel, _choose_tracer
 
-    if scene_path == "interior":
-        use_nee = True
+    if scene_path == "interior" and use_nee is None:
+        use_nee = True  # the ladder's Evermotion-class config includes NEE
+    use_nee = bool(use_nee)
 
     if scene_path == "sphere_field":
         # Junk-Shop-class procedural stand-in (~290k triangles, BVH tracer)
