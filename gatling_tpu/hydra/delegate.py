@@ -17,6 +17,7 @@ objects from gatling_tpu.scene.stage in place of Hydra scene-index prims.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 import numpy as np
@@ -116,6 +117,27 @@ class HdRenderPass:
             b.render_buffer.converged = not interactive
 
 
+def _third_party_licenses() -> str:
+    """The printLicenses renderer-command payload
+    (renderDelegate.cpp:160-195 prints the reference's bundled
+    third-party notices)."""
+    deps = (
+        ("JAX / XLA", "Apache License 2.0", "https://github.com/jax-ml/jax"),
+        ("NumPy", "BSD 3-Clause", "https://numpy.org"),
+        ("Pillow", "MIT-CMU (HPND)", "https://python-pillow.org"),
+        ("MaterialX (node definitions)", "Apache License 2.0",
+         "https://materialx.org"),
+        ("NVIDIA MDL specification (interface compatibility)",
+         "CC BY 4.0 (spec)", "https://raytracing-docs.nvidia.com/mdl"),
+        ("Pixar USD (file-format specifications)", "TOST 1.0 / Apache 2.0",
+         "https://openusd.org"),
+    )
+    lines = ["gatling_tpu third-party components:"]
+    for name, lic, url in deps:
+        lines.append(f"  {name}: {lic} ({url})")
+    return "\n".join(lines)
+
+
 class HdRenderDelegate:
     """Reference: renderDelegate.cpp."""
 
@@ -139,9 +161,37 @@ class HdRenderDelegate:
         return SETTING_DESCRIPTORS
 
     def set_render_setting(self, name: str, value: Any) -> None:
+        # debug-only settings are locked outside debug sessions
+        # (renderDelegate.cpp:145-158 locks them in release builds)
+        from gatling_tpu.utils.config import descriptor
+
+        try:
+            d = descriptor(name)
+        except KeyError:
+            d = None
+        if (d is not None and d.debug_only
+                and os.environ.get("GATLING_DEBUG") != "1"):
+            from gatling_tpu.utils.log import get_logger
+
+            get_logger().warning(
+                "render setting %r is debug-only and locked "
+                "(set GATLING_DEBUG=1 to change it)", name)
+            return
         if name in self.render_settings and self.render_settings[name] != value:
             self.render_settings[name] = value
             self.scene.dirty |= gi.DirtyFlags.FRAMEBUFFER
+
+    # --- renderer commands (renderDelegate.cpp:160-195 printLicenses) ---
+
+    def get_renderer_command_descriptors(self):
+        return ({"commandName": "printLicenses",
+                 "commandDescription": "Print third-party licenses"},)
+
+    def invoke_renderer_command(self, command: str) -> bool:
+        if command == "printLicenses":
+            print(_third_party_licenses())
+            return True
+        return False
 
     # --- prim sync (the HdGatlingMesh/Light/Material::Sync analogs) ---
 

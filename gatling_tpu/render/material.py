@@ -16,6 +16,7 @@ gltf_pbr subsets mapped onto the same parameter set.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -338,8 +339,37 @@ def lower_material(desc: MaterialDesc | None, frame: float = 0.0) -> LoweredMate
         or "opacity" in textures
     )
     traits.is_thin_walled = bool(params["thin_walled"])
-    return LoweredMaterial(params=params, traits=traits, textures=textures,
-                           dynamic=dynamic, backface=backface)
+    out = LoweredMaterial(params=params, traits=traits, textures=textures,
+                          dynamic=dynamic, backface=backface)
+    _maybe_dump_material(desc, out)
+    return out
+
+
+def _maybe_dump_material(desc, low: "LoweredMaterial") -> None:
+    """GATLING_DUMP_MATERIALS=<dir>: write each lowered material's
+    parameter set / textures / dynamic exprs / traits as JSON — the
+    observability analog of the reference's GTL_DUMP_MTLX / GTL_DUMP_MDL
+    generated-source dumps (MtlxMdlCodeGen.cpp:249,280)."""
+    out_dir = os.environ.get("GATLING_DUMP_MATERIALS")
+    if not out_dir or desc is None:
+        return
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    name = (desc.path or "anon").strip("/").replace("/", "_") or "anon"
+    doc = {
+        "path": desc.path,
+        "surface_node": desc.surface_node,
+        "params": {k: (list(v) if isinstance(v, (tuple, list)) else v)
+                   for k, v in low.params.items()},
+        "textures": {k: dataclasses.asdict(t) if dataclasses.is_dataclass(t)
+                     else str(t) for k, t in (low.textures or {}).items()},
+        "dynamic": {k: repr(e) for k, e in (low.dynamic or {}).items()},
+        "traits": dataclasses.asdict(low.traits),
+        "backface": bool(low.backface),
+    }
+    with open(os.path.join(out_dir, name + ".json"), "w") as f:
+        json.dump(doc, f, indent=2, default=str)
 
 
 _CH_INDEX = {"r": 0, "g": 1, "b": 2, "a": 3, "rgb": 0}

@@ -58,3 +58,39 @@ def test_interactive_accumulates():
     assert delegate.scene.sample_offset == 1
     rp.execute(desc.first_camera(), [HdAovBinding("color", buf)], interactive=True)
     assert delegate.scene.sample_offset == 2  # progressive accumulation
+
+
+def test_renderer_commands_and_debug_lock(monkeypatch, capsys):
+    """renderDelegate.cpp:145-195 analogs: the printLicenses renderer
+    command, and debug-only settings locked outside debug sessions."""
+    monkeypatch.delenv("GATLING_DEBUG", raising=False)
+    plugin = get_renderer_plugin()
+    dl = plugin.create_render_delegate()
+    names = [d["commandName"] for d in dl.get_renderer_command_descriptors()]
+    assert "printLicenses" in names
+    assert dl.invoke_renderer_command("printLicenses")
+    assert "Apache License" in capsys.readouterr().out
+    assert not dl.invoke_renderer_command("definitelyNotACommand")
+    before = dl.render_settings["progressiveAccumulation"]
+    dl.set_render_setting("progressiveAccumulation", not before)
+    assert dl.render_settings["progressiveAccumulation"] == before
+    monkeypatch.setenv("GATLING_DEBUG", "1")
+    dl.set_render_setting("progressiveAccumulation", not before)
+    assert dl.render_settings["progressiveAccumulation"] != before
+
+
+def test_material_dump_hook(monkeypatch, tmp_path):
+    """GATLING_DUMP_MATERIALS: the GTL_DUMP_MTLX/MDL observability analog
+    writes one JSON per lowered material."""
+    import json
+
+    from gatling_tpu.render.material import lower_material
+
+    monkeypatch.setenv("GATLING_DUMP_MATERIALS", str(tmp_path))
+    desc = load_scene(CORNELL)
+    for m in desc.materials.values():
+        lower_material(m)
+    files = list(tmp_path.glob("*.json"))
+    assert len(files) == len(desc.materials)
+    doc = json.loads(files[0].read_text())
+    assert {"params", "traits", "textures", "dynamic"} <= set(doc)
