@@ -566,9 +566,23 @@ def render_pixels_fused(
                                       static.block_rows)
             if sort_rays:
                 keys = _coherence_keys(st, scene_lo, scene_inv)
-                order = jnp.argsort(keys)
-                st = _sort_state(st, order)
-                orig_ = orig_[order]
+                if os.environ.get("GATLING_CLU_SORT", "ray") == "chunk":
+                    # chunk-granularity coherence permute: the per-ray
+                    # _sort_state gather costs ~2.6 ns/row-element
+                    # (~40 us/1024-ray block/bounce); permuting whole
+                    # 128-ray chunks by their median key is ~20x cheaper
+                    # at modestly worse walk unions (sim: +28% bounce-1).
+                    # Env-gated for measurement; per-ray stays default.
+                    nb_ = st.shape[1]
+                    ckey = jnp.median(
+                        keys.reshape(nb_, 128).astype(jnp.float32), axis=1)
+                    corder = jnp.argsort(ckey)
+                    st = _sort_chunks(st, corder)
+                    orig_ = orig_.reshape(nb_, 128)[corder].reshape(-1)
+                else:
+                    order = jnp.argsort(keys)
+                    st = _sort_state(st, order)
+                    orig_ = orig_[order]
                 perm_ = jnp.bool_(True)
             return bounce + 1, st, orig_, perm_
 
