@@ -199,6 +199,9 @@ CLU_VMEM_MAX_BYTES = 56 * 1024 * 1024
 # profiling switches (timing surgery only; wrong images when set)
 import os as _os  # noqa: E402
 _PROF_NODMA = _os.environ.get("GATLING_WALK_NODMA", "") == "1"
+# fan-level cap tightening experiment (exact either way): update per-ray
+# caps after every cluster visit instead of once per entry
+_FAN_TIGHTEN = _os.environ.get("GATLING_FAN_TIGHTEN", "") == "1"
 _PROF_NOMXU = _os.environ.get("GATLING_WALK_NOMXU", "") == "1"
 _PROF_NOP2 = _os.environ.get("GATLING_WALK_NOP2", "") == "1"
 
@@ -1589,6 +1592,13 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, plan_ref,
                         best128[...] = jnp.where(bet, tt, cur)
                         clus128[...] = jnp.where(bet, c.astype(jnp.float32),
                                                  clus128[...])
+                        if _FAN_TIGHTEN:
+                            # tighten per-ray caps after EVERY cluster so
+                            # later clusters in this fan prune on their
+                            # slab test (costs one lane-reduce per visit)
+                            btf = jnp.min(best128[...], axis=1)
+                            acc[0] = jnp.minimum(
+                                acc[0], btf.reshape(BLOCK_ROWS, 128))
                 return 0
 
             jax.lax.fori_loop(0, fan_g, l2_body, 0)

@@ -147,9 +147,11 @@ def supports_fused(config: RenderConfig, has_textures: bool,
     # texture's UV-mean opacity per material (gi._shadow_cutout_pass) —
     # shadow rays through leaf textures carry the right AVERAGE
     # transmission (round 5; the reference taps the texture per anyhit)
+    # clipping planes run a bounce-0 peel through the split kernels
+    # (origin advanced to the near plane, far-plane hit filter) — fused
+    # since round 5
     return (
         volumes_ok
-        and not config.clipping_planes
         and (config.aov_mask & ~FUSED_AOV_MASK) == 0
     )
 
@@ -441,54 +443,85 @@ def render_pixels_fused(
         origins, dirs, rng = generate_primary_rays(
             uniforms.camera, config.width, config.height, px, py, rng,
             config.jittered, config.fis, config.depth_of_field)
+        if config.clipping_planes:
+            # camera clipping (rp_main.rgen:283-285): advance the origin to
+            # the near plane (hits in front become behind the new origin)
+            # and record the far cap for the bounce-0 peel's hit filter
+            cosc = jnp.maximum(
+                jnp.sum(dirs * uniforms.camera.forward, axis=-1), 1e-5)
+            c_lo = uniforms.camera.clip_start / cosc
+            clip_rem = uniforms.camera.clip_end / cosc - c_lo
+            origins = origins + dirs * c_lo[:, None]
         state = pack_state(origins, dirs, rng, r_pad)
         orig = jnp.arange(r_pad, dtype=jnp.int32)
         start_bounce = 0
 
-        if want_first_hit:
-            # peel bounce 0 through the split-bounce kernels so the hit
+        if want_first_hit or config.clipping_planes:
+            # peel bounce 0 through the split-bounce kernels: the hit
             # buffer doubles as the first-hit AOV source (chit:191-290)
+            # and carries the far-clip hit filter
             from gatling_tpu.ops.pallas_bounce import (
-                H_HIT, H_N, H_T, H_UVX, H_UVY,
+                H_HIT, H_N, H_T, H_UVX, H_UVY, slim_param_rows,
             )
             from gatling_tpu.render import bsdf as bsdf_mod
 
             params0 = make_params(config, uniforms, jnp.int32(0))
             hitbuf = trace_step(params0, scene, state, static=static)
+            if config.clipping_planes:
+                # hits beyond the far plane become bounce-0 misses
+                rem_p = jnp.full((r_pad,), 3e37, jnp.float32)
+                rem_p = rem_p.at[:clip_rem.shape[0]].set(clip_rem)
+                rem_p = rem_p.reshape(-1, 128)
+                hitbuf = hitbuf.at[H_HIT].set(jnp.where(
+                    hitbuf[H_T] <= rem_p, hitbuf[H_HIT], 0.0))
             if static.cutout_textured:
                 hitbuf, state = _textured_cutout_retrace(
                     params0, scene, state, hitbuf, static=static,
                     materials=materials, textures=textures)
-            if static.tangents:
-                parbuf, hitbuf, p = _material_rows(
-                    materials, textures, hitbuf,
-                    static.textured_params, return_params=True)
+            if materials is not None:
+                if static.tangents:
+                    parbuf, hitbuf, p = _material_rows(
+                        materials, textures, hitbuf,
+                        static.textured_params, return_params=True)
+                else:
+                    parbuf, p = _material_rows(materials, textures, hitbuf,
+                                               static.textured_params,
+                                               return_params=True)
             else:
-                parbuf, p = _material_rows(materials, textures, hitbuf,
-                                           static.textured_params,
-                                           return_params=True)
-            flat = hitbuf.reshape(hitbuf.shape[0], -1)[:, :r]
-            fh_hit = flat[H_HIT] > 0.5
-            fh_normal = flat[H_N:H_N + 3].T
-            fh_uv = jnp.stack(
-                [flat[H_UVX], flat[H_UVY], jnp.zeros_like(flat[H_UVX])], axis=-1)
-            p_r = jax.tree.map(lambda a: a[:r] if a.ndim == 1 else a[:r, :], p)
-            fh_albedo = bsdf_mod.auxiliary(p_r, -dirs, fh_normal)
-            t_hit = flat[H_T]
-            cs = uniforms.camera.clip_start
-            ce = uniforms.camera.clip_end
-            log_depth = jnp.where(
-                cs > 0.0,
-                2.0 * jnp.log(jnp.maximum(t_hit, 1e-20) / cs)
-                / jnp.log(jnp.maximum(ce / cs, 1.0 + 1e-6)) - 1.0,
-                t_hit)
-            fh_new = dict(
-                normal=fh_acc["normal"] + jnp.where(fh_hit[:, None], fh_normal, 0.0) / spp,
-                albedo=fh_acc["albedo"] + jnp.where(fh_hit[:, None], fh_albedo, 0.0) / spp,
-                depth=jnp.where(fh_hit, log_depth, fh_acc["depth"]),
-                texcoords=jnp.where(fh_hit[:, None], fh_uv, fh_acc["texcoords"]),
-                hit=fh_acc["hit"] | fh_hit,
-            )
+                # clip-only peel of an untextured scene: the shade kernel
+                # resolves every parameter from the SMEM material table
+                parbuf = jnp.zeros(
+                    (slim_param_rows(static.textured_params),)
+                    + state.shape[1:], jnp.float32)
+                p = None
+            if want_first_hit:
+                flat = hitbuf.reshape(hitbuf.shape[0], -1)[:, :r]
+                fh_hit = flat[H_HIT] > 0.5
+                fh_normal = flat[H_N:H_N + 3].T
+                fh_uv = jnp.stack(
+                    [flat[H_UVX], flat[H_UVY], jnp.zeros_like(flat[H_UVX])],
+                    axis=-1)
+                p_r = jax.tree.map(
+                    lambda a: a[:r] if a.ndim == 1 else a[:r, :], p)
+                fh_albedo = bsdf_mod.auxiliary(p_r, -dirs, fh_normal)
+                t_hit = flat[H_T]
+                cs = uniforms.camera.clip_start
+                ce = uniforms.camera.clip_end
+                log_depth = jnp.where(
+                    cs > 0.0,
+                    2.0 * jnp.log(jnp.maximum(t_hit, 1e-20) / cs)
+                    / jnp.log(jnp.maximum(ce / cs, 1.0 + 1e-6)) - 1.0,
+                    t_hit)
+                fh_new = dict(
+                    normal=fh_acc["normal"]
+                    + jnp.where(fh_hit[:, None], fh_normal, 0.0) / spp,
+                    albedo=fh_acc["albedo"]
+                    + jnp.where(fh_hit[:, None], fh_albedo, 0.0) / spp,
+                    depth=jnp.where(fh_hit, log_depth, fh_acc["depth"]),
+                    texcoords=jnp.where(fh_hit[:, None], fh_uv,
+                                        fh_acc["texcoords"]),
+                    hit=fh_acc["hit"] | fh_hit,
+                )
             state = shade_step(params0, scene, state, hitbuf, parbuf,
                                static=static, nee=nee)
             start_bounce = 1

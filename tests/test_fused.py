@@ -845,3 +845,37 @@ def test_spp_batching_bit_equal(monkeypatch):
             cfg, uni, scene, default_dome(), pix, 4, jnp.int32(0),
             static=static))
     np.testing.assert_allclose(bat, seq, atol=1e-5)
+
+
+def test_fused_clipping_planes_parity():
+    """Round 5: camera clipping runs FUSED via a bounce-0 peel (origin
+    advanced to the near plane + far-plane hit filter). Parity vs the
+    wavefront on near-clip, far-clip and no-op ranges; the clip visibly
+    changes the image."""
+    geom, table, uni = _cornell()
+    scene, static = build_fused_scene(geom, table, None)
+    pix = jnp.arange(144, dtype=jnp.int32)
+
+    def both(cs, ce):
+        u2 = uni._replace(camera=uni.camera._replace(
+            clip_start=jnp.float32(cs), clip_end=jnp.float32(ce)))
+        cfg = RenderConfig(width=12, height=12, spp=8, max_bounces=3,
+                           has_dome=False, clipping_planes=True)
+        assert supports_fused(cfg, False, has_scattering_volumes=False)
+        with pltpu.force_tpu_interpret_mode():
+            f = np.asarray(render_pixels_fused(
+                cfg, u2, scene, default_dome(), pix, 8, jnp.int32(0),
+                static=static))
+        g = np.asarray(render_pixels(
+            cfg, u2, geom, table, empty_light_arrays(), default_dome(),
+            pix, 8, jnp.int32(0)).color)
+        assert np.isfinite(f).all() and (f >= 0).all()
+        rel = abs(f.mean() - g.mean()) / max(g.mean(), 1e-6)
+        assert rel < 0.12, (cs, ce, f.mean(), g.mean())
+        return f.mean()
+
+    m_open = both(0.1, 100.0)   # no-op clip (cornell sits 6-8 units out)
+    m_near = both(6.5, 100.0)   # near plane cuts the front of the room
+    m_far = both(0.1, 7.0)      # far plane cuts the back
+    assert abs(m_near - m_open) > 0.005
+    assert m_far < 0.6 * m_open
