@@ -803,7 +803,11 @@ def build_fused_scene_instanced(
                 material_id=np.zeros(nt, np.int32),
                 flags=np.zeros(nt, np.int32),
             )
-            order = _morton_order(g, nt) if nt > CLUSTER_SIZE else np.arange(nt)
+            # median-split local leaves: compact cluster AABBs measured
+            # +12-13% over raw Morton slicing on the flat path (PERF.md);
+            # the same leaf former now shapes the shared local clusters
+            order = (_median_split_order(g, nt) if nt > CLUSTER_SIZE
+                     else np.arange(nt))
             uniq[key] = {"geom": g, "order": order, "n": nt,
                          "n_clusters": -(-nt // CLUSTER_SIZE)}
         info = uniq[key]
