@@ -80,7 +80,17 @@ def build_light_arrays(lights: list[LightDesc], capacity: int = 8) -> LightArray
     """Pack LightDescs into the four dense light tables."""
     by_type: dict[str, list[LightDesc]] = {"sphere": [], "distant": [], "rect": [], "disk": []}
     for l in lights:
-        if l.light_type in by_type:
+        if l.light_type == "simple":
+            # HdSimpleLight approximation (reference light.cpp: "simple
+            # light approximated"): a point-like sphere light at the prim
+            # transform
+            p = dict(l.params)
+            p.setdefault("radius", 0.01)
+            p.setdefault("normalize", True)
+            l = type(l)(path=l.path, light_type="sphere",
+                        transform=l.transform, params=p)
+            by_type["sphere"].append(l)
+        elif l.light_type in by_type:
             by_type[l.light_type].append(l)
     cap = max(capacity, *(len(v) for v in by_type.values()), 1)
     arrs = empty_light_arrays(cap)._asdict()

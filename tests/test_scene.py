@@ -187,3 +187,24 @@ def test_c_style_light_api():
     gi.giSetDomeLightBaseEmission(dome, (2.0, 2.0, 2.0))
     gi.giSetDomeLightDiffuseSpecular(dome, 0.5, 0.25)
     assert dome.diffuse == 0.5 and dome.specular == 0.25
+
+
+def test_simple_light_approximated_as_sphere():
+    """HdSimpleLight maps to a point-like sphere light (reference
+    light.cpp: 'simple light approximated')."""
+    import numpy as np
+
+    from gatling_tpu.render.lights import build_light_arrays
+    from gatling_tpu.scene.stage import LightDesc
+
+    xf = np.eye(4)
+    xf[3, :3] = [1.0, 2.0, 3.0]
+    la = build_light_arrays([LightDesc(
+        path="/s", light_type="simple", transform=xf,
+        params=dict(intensity=2.0, exposure=0.0,
+                    color=np.array([1.0, 1.0, 1.0], np.float32),
+                    diffuse=1.0, specular=1.0,
+                    enableColorTemperature=False, colorTemperature=6500.0))])
+    assert int(la.sphere_count) == 1
+    np.testing.assert_allclose(np.asarray(la.sphere_pos[0]), [1, 2, 3],
+                               atol=1e-6)
