@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import time
 import numpy as np, jax, jax.numpy as jnp
 from functools import partial
-from gatling_tpu.scene.examples import sphere_field
+from gatling_tpu.scene.examples import interior, sphere_field
 from gatling_tpu.ops.geometry import build_geometry
 from gatling_tpu.render.material import build_material_table, lower_material
 from gatling_tpu.ops.pallas_bounce import (
@@ -23,11 +23,16 @@ from gatling_tpu.render.camera import CameraUniforms, generate_primary_rays
 from gatling_tpu.render.fused import _tile_order, _coherence_keys, _sort_state
 from gatling_tpu.render.integrator import RenderConfig, Uniforms
 
-desc = sphere_field()
-geom = build_geometry(desc.meshes, {None: 0})
+if os.environ.get("GATLING_PROF_SCENE") == "interior":
+    desc = interior()
+else:
+    desc = sphere_field()
+midx = {m.material: 0 for m in desc.meshes}
+midx[None] = 0
+geom = build_geometry(desc.meshes, midx)
 table = build_material_table([lower_material(None)])
 flat_scene, flat_static = build_fused_scene(geom, table, None)
-inst = build_fused_scene_instanced(desc.meshes, {None: 0}, table, None,
+inst = build_fused_scene_instanced(desc.meshes, midx, table, None,
                                    min_flat=0)
 cam = desc.first_camera()
 W = H = 512
