@@ -202,6 +202,12 @@ _PROF_NODMA = _os.environ.get("GATLING_WALK_NODMA", "") == "1"
 # fan-level cap tightening experiment (exact either way): update per-ray
 # caps after every cluster visit instead of once per entry
 _FAN_TIGHTEN = _os.environ.get("GATLING_FAN_TIGHTEN", "") == "1"
+# per-object fan ordering (PERF.md interior lever): the plan appends a
+# per-entry cluster order sorted by the conservative per-cluster entry
+# bound, and the camera walk visits each entry's fan near-to-far behind an
+# early-exit while with per-visit cap tightening (near clusters prune far
+# ones). Exact either way — order never affects the argmin winner.
+_FAN_SORT = _os.environ.get("GATLING_FAN_SORT", "") == "1"
 _PROF_NOMXU = _os.environ.get("GATLING_WALK_NOMXU", "") == "1"
 _PROF_NOP2 = _os.environ.get("GATLING_WALK_NOP2", "") == "1"
 
@@ -1231,7 +1237,12 @@ def _cluster_walk_plan(state, l1_aabbs, l2_aabbs, exact: bool = True):
     # kernel gates each cluster on ONE SMEM scalar compare against the
     # walk's tightening cap instead of a per-ray [8,128] slab test + reduce
     ten2, crossed2 = _interval_slab(l2_aabbs[0:3], l2_aabbs[3:6])
-    ten2 = jnp.where(crossed2, ten2, 3e37)
+    # inverted (empty/pad) boxes come out of the interval slab as garbage
+    # (FLOAT_MAX slab offsets overflow the products) — force them to the
+    # never-crossed bound so they order LAST in the per-fan sort and the
+    # sorted walk's fan_g-bounded loop still reaches every real cluster
+    empty2 = jnp.any(l2_aabbs[0:3] > l2_aabbs[3:6], axis=0)[None, :]
+    ten2 = jnp.where(crossed2 & ~empty2, ten2, 3e37)
     gbox = jnp.concatenate([
         jnp.min(jnp.where(g_lo <= 1e30, g_lo, big), axis=1),
         jnp.max(jnp.where(g_hi >= -1e30, g_hi, -big), axis=1),
@@ -1311,8 +1322,17 @@ def _cluster_walk_plan(state, l1_aabbs, l2_aabbs, exact: bool = True):
     # (PERF.md); merging the three plan inputs into one spec recovers
     # ~26 us/block of pure overhead. The per-block axis leads because
     # Mosaic SMEM blocks need the last two dims full-size.
-    plan_row = jnp.concatenate(
-        [order.astype(jnp.float32), dist_sorted, ten2], axis=1)
+    parts = [order.astype(jnp.float32), dist_sorted, ten2]
+    if _FAN_SORT:
+        # per-entry fan order by the cluster entry bounds (pads/never-
+        # crossed clusters carry 3e37 so they sort last and the walk's
+        # dist-based fan exit never reaches them). The kernel reads this
+        # at offset 2*n_l1 + n_clusters; builders guarantee n_clusters ==
+        # n_l1 * L1_FAN.
+        fan_ord = jnp.argsort(
+            ten2.reshape(n_blocks, -1, L1_FAN), axis=2)
+        parts.append(fan_ord.astype(jnp.float32).reshape(n_blocks, -1))
+    plan_row = jnp.concatenate(parts, axis=1)
     return (plan_row[:, None, :], gbox, lhs)
 
 
@@ -1551,61 +1571,97 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, plan_ref,
                 lhs24_g = lhs24
                 fan_g = L1_FAN
 
-            def l2_body(b, __):
+            def _visit_cluster(b):
+                # b: within-group cluster index (build order, or the
+                # plan's per-fan near-to-far order under _FAN_SORT)
                 c = g * L1_FAN + b
+                hit2 = _slab_test(l2_ref, c, ox, oy, oz, ivx, ivy, ivz,
+                                  tmin_r, acc[0])
+                any2 = jnp.max(hit2.astype(jnp.float32)) > 0.5
 
-                @pl.when(plan_ref[0, 0, 2 * n_l1 + c] <= max_best)
+                @pl.when(any2)
                 def _():
-                    hit2 = _slab_test(l2_ref, c, ox, oy, oz, ivx, ivy, ivz,
-                                      tmin_r, acc[0])
-                    any2 = jnp.max(hit2.astype(jnp.float32)) > 0.5
+                    # ONE stacked (o|d) x rows product covers all three
+                    # Baldwin-Weber quads: the quads sit at 8-aligned
+                    # sublanes (CLU layout) so the lane-concat
+                    # legalizes, and lhs columns 4-7 are zero so the
+                    # attr rows parked in each quad's upper half
+                    # contribute nothing (selection only; the winner's
+                    # t/u/v are recomputed exactly in pass 2).
+                    tri = cluster_rows(handle, b)
+                    po, pd = _bw_products(lhs24_g, tri)
+                    nd = pd[:, 0:128]
+                    okm = jnp.abs(nd) > 1e-12
+                    inv = jnp.where(okm, 1.0 / jnp.where(okm, nd, 1.0), 0.0)
+                    tt = -po[:, 0:128] * inv
+                    u = po[:, 128:256] + tt * pd[:, 128:256]
+                    v = po[:, 256:384] + tt * pd[:, 256:384]
+                    okm = (okm & (u >= -BARY_EPS) & (v >= -BARY_EPS) & (u + v <= 1.0 + BARY_EPS)
+                           & (tt > tmin) & (tt < cap_t))
+                    if cutout:
+                        xi = _cutout_xi(
+                            key_col,
+                            (c * CLUSTER_SIZE).astype(jnp.uint32),
+                            lane_i.astype(jnp.uint32))
+                        if inst is not None:
+                            # per-instance pass probability (the mesh
+                            # rows are shared; opacity is a material
+                            # property of the PLACEMENT)
+                            okm = okm & (xi < inst_smem_ref[g, 12])
+                        else:
+                            okm = okm & (xi < tri[CLU_OPAC:CLU_OPAC + 1, :])
+                    cur = best128[...]
+                    bet = okm & (tt < cur)
+                    best128[...] = jnp.where(bet, tt, cur)
+                    clus128[...] = jnp.where(bet, c.astype(jnp.float32),
+                                             clus128[...])
+                    if _FAN_TIGHTEN:
+                        # tighten per-ray caps after EVERY cluster so
+                        # later clusters in this fan prune on their
+                        # slab test (costs one lane-reduce per visit)
+                        btf = jnp.min(best128[...], axis=1)
+                        acc[0] = jnp.minimum(
+                            acc[0], btf.reshape(BLOCK_ROWS, 128))
 
-                    @pl.when(any2)
+            if _FAN_SORT:
+                # near-to-far fan walk: visit clusters in the plan's
+                # per-entry sorted order behind a while whose exit bound
+                # tightens after every visit — once the nearest remaining
+                # cluster's entry bound clears every alive ray's running
+                # best, the rest of the fan (pads included: bound 3e37)
+                # is skipped
+                fan_off = 2 * n_l1 + n_l1 * L1_FAN
+
+                def l2_cond(carry):
+                    b, mb = carry
+                    bs = plan_ref[0, 0, fan_off + g * L1_FAN + jnp.minimum(
+                        b, L1_FAN - 1)].astype(jnp.int32)
+                    return (b < fan_g) & (
+                        plan_ref[0, 0, 2 * n_l1 + g * L1_FAN + bs] <= mb)
+
+                def l2_sorted(carry):
+                    b, mb = carry
+                    bs = plan_ref[0, 0,
+                                  fan_off + g * L1_FAN + b].astype(jnp.int32)
+                    _visit_cluster(bs)
+                    # scalar exit-bound tighten (conservative: max-of-best
+                    # over alive rays bounds max-of-min(cap, best))
+                    btf = jnp.min(best128[...], axis=1)
+                    mb = jnp.minimum(mb, jnp.max(jnp.where(
+                        alive, btf.reshape(BLOCK_ROWS, 128), 0.0)))
+                    return b + 1, mb
+
+                jax.lax.while_loop(l2_cond, l2_sorted,
+                                   (jnp.int32(0), max_best))
+            else:
+                def l2_body(b, __):
+                    @pl.when(plan_ref[0, 0, 2 * n_l1 + g * L1_FAN + b]
+                             <= max_best)
                     def _():
-                        # ONE stacked (o|d) x rows product covers all three
-                        # Baldwin-Weber quads: the quads sit at 8-aligned
-                        # sublanes (CLU layout) so the lane-concat
-                        # legalizes, and lhs columns 4-7 are zero so the
-                        # attr rows parked in each quad's upper half
-                        # contribute nothing (selection only; the winner's
-                        # t/u/v are recomputed exactly in pass 2).
-                        tri = cluster_rows(handle, b)
-                        po, pd = _bw_products(lhs24_g, tri)
-                        nd = pd[:, 0:128]
-                        okm = jnp.abs(nd) > 1e-12
-                        inv = jnp.where(okm, 1.0 / jnp.where(okm, nd, 1.0), 0.0)
-                        tt = -po[:, 0:128] * inv
-                        u = po[:, 128:256] + tt * pd[:, 128:256]
-                        v = po[:, 256:384] + tt * pd[:, 256:384]
-                        okm = (okm & (u >= -BARY_EPS) & (v >= -BARY_EPS) & (u + v <= 1.0 + BARY_EPS)
-                               & (tt > tmin) & (tt < cap_t))
-                        if cutout:
-                            xi = _cutout_xi(
-                                key_col,
-                                (c * CLUSTER_SIZE).astype(jnp.uint32),
-                                lane_i.astype(jnp.uint32))
-                            if inst is not None:
-                                # per-instance pass probability (the mesh
-                                # rows are shared; opacity is a material
-                                # property of the PLACEMENT)
-                                okm = okm & (xi < inst_smem_ref[g, 12])
-                            else:
-                                okm = okm & (xi < tri[CLU_OPAC:CLU_OPAC + 1, :])
-                        cur = best128[...]
-                        bet = okm & (tt < cur)
-                        best128[...] = jnp.where(bet, tt, cur)
-                        clus128[...] = jnp.where(bet, c.astype(jnp.float32),
-                                                 clus128[...])
-                        if _FAN_TIGHTEN:
-                            # tighten per-ray caps after EVERY cluster so
-                            # later clusters in this fan prune on their
-                            # slab test (costs one lane-reduce per visit)
-                            btf = jnp.min(best128[...], axis=1)
-                            acc[0] = jnp.minimum(
-                                acc[0], btf.reshape(BLOCK_ROWS, 128))
-                return 0
+                        _visit_cluster(b)
+                    return 0
 
-            jax.lax.fori_loop(0, fan_g, l2_body, 0)
+                jax.lax.fori_loop(0, fan_g, l2_body, 0)
 
             # per-ray cap tighten (prunes later clusters + drives the exit)
             bt = jnp.min(best128[...], axis=1)  # [1024]
@@ -3004,9 +3060,10 @@ def _inst_specs_args(static: FusedStatic, scene: FusedScene):
 def _plan_specs(static: FusedStatic):
     """in_specs + per-block index maps for the XLA-computed walk plan."""
     c_pad = static.n_l1 * L1_FAN
+    plan_len = 2 * static.n_l1 + c_pad * (2 if _FAN_SORT else 1)
     return [
-        pl.BlockSpec((1, 1, 2 * static.n_l1 + c_pad), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM),  # order | dists | ten2
+        pl.BlockSpec((1, 1, plan_len), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),  # order | dists | ten2 [| fan]
         pl.BlockSpec(memory_space=pltpu.SMEM),  # global scene box [8]
         pl.BlockSpec((1, 3, RAY_BLOCK, 8), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),  # transposed ray matrix
