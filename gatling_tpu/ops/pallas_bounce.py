@@ -208,6 +208,14 @@ _FAN_TIGHTEN = _os.environ.get("GATLING_FAN_TIGHTEN", "") == "1"
 # early-exit while with per-visit cap tightening (near clusters prune far
 # ones). Exact either way — order never affects the argmin winner.
 _FAN_SORT = _os.environ.get("GATLING_FAN_SORT", "") == "1"
+# split-kernel pass-2 relocation: trace_step's kernel emits only the winner
+# triangle id and the XLA stage fetches/transforms the attribute rows with
+# dense per-ray gathers (the same gather family as the texture stage),
+# replacing the kernel's serial candidate-list scan + one-hot matmuls.
+# Measured motivation (tools/plan_prof.py NOP2): pass 2 is ~5 us/block at
+# bounce 0 but 33-64 us/block (half to two-thirds of the real trace cost)
+# on incoherent secondary blocks whose winners span many entries.
+_XLA_P2 = _os.environ.get("GATLING_XLA_P2", "1") == "1"
 _PROF_NOMXU = _os.environ.get("GATLING_WALK_NOMXU", "") == "1"
 _PROF_NOP2 = _os.environ.get("GATLING_WALK_NOP2", "") == "1"
 
@@ -292,6 +300,11 @@ class FusedScene(NamedTuple):
     # (lhs24 @ m24 = hi@hi + hi@lo + lo@hi, ~2^-16 relative) instead of ~21
     # lane-skinny VPU madds per visited instance
     inst_m24: jnp.ndarray | None = None   # [n_l1 * 24, 8] bf16 VMEM
+    # gather-friendly transpose of the cluster table ([C_pad, 128, TRI_ROWS]:
+    # one ray's winner rows are CONTIGUOUS) for the XLA pass-2 relocation
+    # (_finalize_hits); HBM-only — never bound into a kernel. None in
+    # resident mode.
+    tris_g: jnp.ndarray | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -728,6 +741,7 @@ def build_fused_scene_with_order(
         lights=jnp.asarray(light_table),
         l1_aabbs=jnp.asarray(l1),
         l2_aabbs=jnp.asarray(l2),
+        tris_g=jnp.asarray(tris.transpose(0, 2, 1).copy()),
     )
     return scene, static, order
 
@@ -1019,6 +1033,7 @@ def build_fused_scene_instanced(
         inst_map=jnp.asarray(inst_map),
         inst_attr=jnp.asarray(inst_attr),
         inst_m24=jnp.asarray(m24, dtype=jnp.bfloat16),
+        tris_g=jnp.asarray(tris.transpose(0, 2, 1).copy()),
     )
     return scene, static
 
@@ -1459,7 +1474,7 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, plan_ref,
                             clus128, attrs_acc, acc,
                             ox, oy, oz, dx, dy, dz, tmin, alive_f, *, n_l1,
                             want_uv=False, tangents=False, cutout=False,
-                            inst=None):
+                            inst=None, skip_p2=False):
     """Matrix-form ordered closest-hit walk (round-3 clustered tracer).
 
     Measured on v5e (PERF.md): every DMA costs ~13 us FIXED regardless of
@@ -1682,6 +1697,11 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, plan_ref,
     win_t = jnp.where(wt < 1e30, wt, -1.0)  # [1024] global tri id or -1
     acc[0] = bt.reshape(BLOCK_ROWS, 128)
     acc[3] = win_t.reshape(BLOCK_ROWS, 128)
+
+    if skip_p2:
+        # XLA pass-2 relocation (trace_step + _finalize_hits): the winner
+        # id + pass-1 t in acc[0]/acc[3] are the kernel's whole output
+        return
 
     # ---- pass 2: one-hot matmul attribute fetch from winning clusters ----
     # walks the PLAN's candidate list (same distance exit as pass 1), not
@@ -3121,7 +3141,7 @@ def bounce_step(params, scene: FusedScene, state, *, static: FusedStatic, nee: b
 # ---------------------------------------------------------------------------
 
 def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, *rest,
-                  static: FusedStatic):
+                  static: FusedStatic, xla_p2: bool = False):
     inst = None
     if static.instanced:
         inst_smem_ref, inst_map_ref, inst_attr_ref, inst_m24_ref, *rest = rest
@@ -3145,6 +3165,22 @@ def _trace_kernel(params_ref, tri_ref, l1_ref, l2_ref, *rest,
         alive = s(13) > 0.5
         alive_f = s(13)
         tmin = params_ref[P_TMIN]
+
+        if static.clustered and xla_p2:
+            # slim winner output: [0]=win tri id, [1]=pass-1 best t (scene
+            # exit cap for misses); _finalize_hits builds the real hitbuf
+            acc, cache, best128, clus128, attrs_acc = _clu_scratch_views(
+                scratch, static)
+            _trace_clustered_matrix(
+                tri_ref, l1_ref, l2_ref, plan_ref,
+                gbox_ref, lhs_ref, cache, best128, clus128, attrs_acc, acc,
+                ox, oy, oz, dx, dy, dz, tmin, alive_f, n_l1=static.n_l1,
+                cutout=static.cutout, inst=inst, skip_p2=True)
+            hit_ref[0] = acc[3]
+            hit_ref[1] = acc[0]
+            for pad_row in range(2, hit_ref.shape[0]):
+                hit_ref[pad_row] = jnp.zeros(hit_ref.shape[1:], jnp.float32)
+            return
 
         if static.clustered:
             acc, cache, best128, clus128, attrs_acc = _clu_scratch_views(
@@ -3367,19 +3403,150 @@ def _block_spec(rows, block_rows=BLOCK_ROWS):
 
 
 @partial(jax.jit, static_argnames=("static",))
+def _finalize_hits(scene: FusedScene, state, winbuf, static: FusedStatic):
+    """XLA pass 2 for the split trace (GATLING_XLA_P2): per-ray gathers of
+    the winner's attribute rows from the gather-major cluster table replace
+    the kernel's serial candidate-list scan + one-hot matmuls. Same math as
+    the in-kernel pass 2 / trace epilogue — t/u/v recomputed EXACTLY from
+    the f32 rows, instance covector transforms, facing flip, tangent
+    orthonormalization — so the returned hitbuf is row-for-row the
+    trace_step contract."""
+    chunks = state.shape[1]
+    rr = chunks * 128
+    ox, oy, oz = (state[i].reshape(rr) for i in range(3))
+    dx, dy, dz = (state[i].reshape(rr) for i in range(3, 6))
+    alive = state[13].reshape(rr) > 0.5
+    win = winbuf[0].reshape(rr)
+    t_pass1 = winbuf[1].reshape(rr)
+    hit = alive & (win >= 0.0)
+    wsafe = jnp.where(hit, win, 0.0).astype(jnp.int32)
+    c = wsafe // CLUSTER_SIZE
+    lane = wsafe - c * CLUSTER_SIZE
+
+    if static.instanced:
+        uc = scene.inst_map[c]
+        rows = scene.tris_g[uc, lane]                     # [R, rows]
+        ia = scene.inst_attr[c // L1_FAN]                 # [R, 24]
+        ia = jnp.where(hit[:, None], ia, 0.0)
+    else:
+        rows = scene.tris_g[c, lane]
+    rows = jnp.where(hit[:, None], rows, 0.0)
+    r = lambda i: rows[:, i]  # noqa: E731
+
+    def _safe(nd):
+        return jnp.where(jnp.abs(nd) > 1e-20,
+                         nd, jnp.where(nd >= 0.0, 1e-20, -1e-20))
+
+    if static.instanced:
+        A = lambda j, i: ia[:, 3 * j + i]  # noqa: E731 — A3[j, i]
+        # local rays; t is the same parameter in both frames
+        olx = ox * A(0, 0) + oy * A(1, 0) + oz * A(2, 0) + ia[:, 9]
+        oly = ox * A(0, 1) + oy * A(1, 1) + oz * A(2, 1) + ia[:, 10]
+        olz = ox * A(0, 2) + oy * A(1, 2) + oz * A(2, 2) + ia[:, 11]
+        dlx = dx * A(0, 0) + dy * A(1, 0) + dz * A(2, 0)
+        dly = dx * A(0, 1) + dy * A(1, 1) + dz * A(2, 1)
+        dlz = dx * A(0, 2) + dy * A(1, 2) + dz * A(2, 2)
+        ndw = r(CLU_N) * dlx + r(CLU_N + 1) * dly + r(CLU_N + 2) * dlz
+        pow_ = (r(CLU_N) * olx + r(CLU_N + 1) * oly + r(CLU_N + 2) * olz
+                + r(CLU_N + 3))
+        t = jnp.where(hit, -pow_ / _safe(ndw), t_pass1)
+        pxl = olx + t * dlx
+        pyl = oly + t * dly
+        pzl = olz + t * dlz
+        u = (r(CLU_R1) * pxl + r(CLU_R1 + 1) * pyl + r(CLU_R1 + 2) * pzl
+             + r(CLU_R1 + 3))
+        v = (r(CLU_R2) * pxl + r(CLU_R2 + 1) * pyl + r(CLU_R2 + 2) * pzl
+             + r(CLU_R2 + 3))
+        u = jnp.where(hit, u, 0.0)
+        v = jnp.where(hit, v, 0.0)
+
+        # normals are covectors: n_w = n_l @ A3ᵀ
+        def covec(r0):
+            nlx, nly, nlz = r(r0), r(r0 + 1), r(r0 + 2)
+            return (nlx * A(0, 0) + nly * A(0, 1) + nlz * A(0, 2),
+                    nlx * A(1, 0) + nly * A(1, 1) + nlz * A(1, 2),
+                    nlx * A(2, 0) + nly * A(2, 1) + nlz * A(2, 2))
+
+        gnx, gny, gnz = covec(CLU_GN)
+        glen = jax.lax.rsqrt(jnp.maximum(
+            gnx * gnx + gny * gny + gnz * gnz, 1e-20))
+        gnx, gny, gnz = gnx * glen, gny * glen, gnz * glen
+        (n0x, n0y, n0z) = covec(CLU_N0)
+        (n1x, n1y, n1z) = covec(CLU_N1)
+        (n2x, n2y, n2z) = covec(CLU_N2)
+        mat_f = ia[:, 12]
+        dsided = ia[:, 15]
+    else:
+        ndw = r(CLU_N) * dx + r(CLU_N + 1) * dy + r(CLU_N + 2) * dz
+        pow_ = (r(CLU_N) * ox + r(CLU_N + 1) * oy + r(CLU_N + 2) * oz
+                + r(CLU_N + 3))
+        t = jnp.where(hit, -pow_ / _safe(ndw), t_pass1)
+        pxw = ox + t * dx
+        pyw = oy + t * dy
+        pzw = oz + t * dz
+        u = (r(CLU_R1) * pxw + r(CLU_R1 + 1) * pyw + r(CLU_R1 + 2) * pzw
+             + r(CLU_R1 + 3))
+        v = (r(CLU_R2) * pxw + r(CLU_R2 + 1) * pyw + r(CLU_R2 + 2) * pzw
+             + r(CLU_R2 + 3))
+        u = jnp.where(hit, u, 0.0)
+        v = jnp.where(hit, v, 0.0)
+        gnx, gny, gnz = r(CLU_GN), r(CLU_GN + 1), r(CLU_GN + 2)
+        n0x, n0y, n0z = r(CLU_N0), r(CLU_N0 + 1), r(CLU_N0 + 2)
+        n1x, n1y, n1z = r(CLU_N1), r(CLU_N1 + 1), r(CLU_N1 + 2)
+        n2x, n2y, n2z = r(CLU_N2), r(CLU_N2 + 1), r(CLU_N2 + 2)
+        mat_f = r(CLU_MAT)
+        dsided = r(CLU_DS)
+
+    # trace epilogue (same math as the in-kernel finalize)
+    posx = ox + t * dx
+    posy = oy + t * dy
+    posz = oz + t * dz
+    w = 1.0 - u - v
+    uvx = w * r(CLU_UV) + u * r(CLU_UV + 2) + v * r(CLU_UV + 4)
+    uvy = w * r(CLU_UV + 1) + u * r(CLU_UV + 3) + v * r(CLU_UV + 5)
+    nx = w * n0x + u * n1x + v * n2x
+    ny = w * n0y + u * n1y + v * n2y
+    nz = w * n0z + u * n1z + v * n2z
+    nlen = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+    nx, ny, nz = nx * nlen, ny * nlen, nz * nlen
+    front = (gnx * -dx + gny * -dy + gnz * -dz) >= 0.0
+    fsign = jnp.where(front, 1.0, -1.0)
+
+    out = [hit.astype(jnp.float32), t, uvx, uvy, mat_f,
+           gnx * fsign, gny * fsign, gnz * fsign,
+           nx * fsign, ny * fsign, nz * fsign,
+           front.astype(jnp.float32), dsided, posx, posy, posz]
+    if static.tangents:
+        tnx = w * r(CLU_T0) + u * r(CLU_T1) + v * r(CLU_T2)
+        tny = w * r(CLU_T0 + 1) + u * r(CLU_T1 + 1) + v * r(CLU_T2 + 1)
+        tnz = w * r(CLU_T0 + 2) + u * r(CLU_T1 + 2) + v * r(CLU_T2 + 2)
+        tbs = w * r(CLU_BS) + u * r(CLU_BS + 1) + v * r(CLU_BS + 2)
+        fnx, fny, fnz = nx * fsign, ny * fsign, nz * fsign
+        tdn = tnx * fnx + tny * fny + tnz * fnz
+        tx = tnx - fnx * tdn
+        ty = tny - fny * tdn
+        tz = tnz - fnz * tdn
+        tlen = jax.lax.rsqrt(jnp.maximum(tx * tx + ty * ty + tz * tz, 1e-20))
+        out += [tx * tlen, ty * tlen, tz * tlen, tbs]
+        out += [jnp.zeros(rr, jnp.float32)] * (HIT_ROWS_TAN - len(out))
+    return jnp.stack(out).reshape(len(out), chunks, 128)
+
+
 def trace_step(params, scene: FusedScene, state, *, static: FusedStatic):
     """Textured-mode trace: closest hit + shading-state rows (no shading)."""
     br = _eff_block_rows(static, state.shape[1])
     n_blocks = state.shape[1] // br
     tri_spec, scratch_shapes = _tri_specs(static)
-    kernel = partial(_trace_kernel, static=static)
+    xp2 = static.clustered and _XLA_P2 and scene.tris_g is not None
+    kernel = partial(_trace_kernel, static=static, xla_p2=xp2)
+    out_rows = 8 if xp2 else hit_row_count(static.tangents)
     plan_specs: list = []
     plan_args: tuple = ()
     if static.clustered:
         plan_args = _cluster_walk_plan(state, scene.l1_aabbs, scene.l2_aabbs)
         plan_specs = _plan_specs(static)
     inst_specs, inst_args = _inst_specs_args(static, scene)
-    return pl.pallas_call(
+    hitbuf = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
@@ -3391,9 +3558,9 @@ def trace_step(params, scene: FusedScene, state, *, static: FusedStatic):
             *plan_specs,
             _block_spec(STATE_ROWS, br),
         ],
-        out_specs=_block_spec(hit_row_count(static.tangents), br),
+        out_specs=_block_spec(out_rows, br),
         out_shape=jax.ShapeDtypeStruct(
-            (hit_row_count(static.tangents),) + state.shape[1:], jnp.float32),
+            (out_rows,) + state.shape[1:], jnp.float32),
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -3401,6 +3568,9 @@ def trace_step(params, scene: FusedScene, state, *, static: FusedStatic):
         ),
     )(params, scene.tris, scene.l1_aabbs, scene.l2_aabbs, *inst_args,
       *plan_args, state)
+    if xp2:
+        return _finalize_hits(scene, state, hitbuf, static)
+    return hitbuf
 
 
 @partial(jax.jit, static_argnames=("static", "nee"))

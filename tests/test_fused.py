@@ -879,3 +879,54 @@ def test_fused_clipping_planes_parity():
     m_far = both(0.1, 7.0)      # far plane cuts the back
     assert abs(m_near - m_open) > 0.005
     assert m_far < 0.6 * m_open
+
+
+def test_trace_step_xla_p2_matches_kernel_pass2():
+    """The XLA pass-2 relocation (GATLING_XLA_P2, _finalize_hits) must
+    reproduce the in-kernel candidate-list pass 2 row-for-row, on both the
+    flattened clustered and the instanced walks. The kernel fetch is a
+    hi/mid/lo bf16 one-hot matmul (~2^-24); the XLA gather is exact f32, so
+    tolerances are tight."""
+    import gatling_tpu.ops.pallas_bounce as pb
+    from gatling_tpu.ops.pallas_bounce import (build_fused_scene,
+                                               build_fused_scene_instanced,
+                                               make_params, pack_state,
+                                               trace_step)
+
+    def compare(scene, static, uni, center):
+        cfg = RenderConfig(width=16, height=16, spp=1, max_bounces=2,
+                           has_dome=False)
+        params = make_params(cfg, uni, jnp.int32(0))
+        k = np.random.default_rng(7)
+        o = jnp.asarray(k.uniform(-2, 2, (1024, 3)) + np.asarray(center),
+                        jnp.float32)
+        d = jnp.asarray(k.normal(size=(1024, 3)), jnp.float32)
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        state = pack_state(o, d, jnp.zeros((1024,), jnp.uint32), 1024)
+        saved = pb._XLA_P2
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                pb._XLA_P2 = True
+                a = np.asarray(trace_step(params, scene, state,
+                                          static=static))
+                pb._XLA_P2 = False
+                b = np.asarray(trace_step(params, scene, state,
+                                          static=static))
+        finally:
+            pb._XLA_P2 = saved
+        assert a.shape == b.shape
+        assert a[0].sum() > 0  # some rays hit
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    geom, table, uni = _cornell()
+    lights = build_light_arrays([_rect_light()])
+    scene, static = build_fused_scene(geom, table, lights, resident_max=0)
+    assert static.clustered and not static.instanced
+    compare(scene, static, uni, (0.0, 1.0, 2.5))
+
+    meshes, midx, itable = _instanced_scene()
+    iscene, istatic = build_fused_scene_instanced(
+        meshes, midx, itable, lights, min_gain=1.5, min_flat=0)
+    assert istatic.instanced
+    compare(iscene, istatic, _instanced_uniforms(), (0.0, 0.0, 8.0))
