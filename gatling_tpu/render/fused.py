@@ -593,6 +593,20 @@ def render_pixels_fused(
                                                   static=static, nee=nee),
                             head)
                     return split(head)
+                if (static.clustered and not static.scatter
+                        and os.environ.get("GATLING_FORCE_SPLIT", "") == "1"):
+                    # experiment knob: run UNTEXTURED clustered scenes
+                    # through the split kernels — with the XLA pass-2
+                    # relocation the split trace skips the in-kernel
+                    # winner-attribute scan, which may beat the megakernel
+                    # on incoherent-bounce-heavy scenes (PERF.md)
+                    from gatling_tpu.ops.pallas_bounce import slim_param_rows
+                    hitbuf = trace_step(params, scene, head, static=static)
+                    parbuf = jnp.zeros(
+                        (slim_param_rows(static.textured_params),)
+                        + head.shape[1:], jnp.float32)
+                    return shade_step(params, scene, head, hitbuf, parbuf,
+                                      static=static, nee=nee)
                 return bounce_step(params, scene, head, static=static, nee=nee)
 
             st = _chunk_prefix_switch(chunk_body, st, live_chunks,
