@@ -586,7 +586,11 @@ def render_pixels_fused(
                         # texture LOD: bounces >= k take the plain one-kernel
                         # bounce — scene.mats holds the texture MEANS in the
                         # textured columns (substitute_texture_means), so
-                        # this is exactly "top mip" shading with zero taps
+                        # this is exactly "top mip" shading with zero taps.
+                        # A split-pipeline fallback (means-gathered parbuf)
+                        # was measured and REJECTED: cornell textured lod2
+                        # 61.7 vs 102.9 Mray/s, interior lod2 4.97 vs 5.19
+                        # (PERF.md) — the megakernel fallback stays.
                         return jax.lax.cond(
                             bounce < config.tex_lod_bounces, split,
                             lambda h: bounce_step(params, scene, h,

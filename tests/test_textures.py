@@ -141,9 +141,7 @@ def _default_params():
     return dict(_DEFAULTS)
 
 
-def test_textured_quad_render(tmp_path, checker_file):
-    """End-to-end: UsdPreviewSurface with a UsdUVTexture-driven diffuseColor."""
-    usda = f'''#usda 1.0
+_QUAD_USDA = '''#usda 1.0
 (
     defaultPrim = "Root"
 )
@@ -202,6 +200,11 @@ def Xform "Root"
     }}
 }}
 '''
+
+
+def test_textured_quad_render(tmp_path, checker_file):
+    """End-to-end: UsdPreviewSurface with a UsdUVTexture-driven diffuseColor."""
+    usda = _QUAD_USDA.format(checker_file=checker_file)
     scene_file = tmp_path / "quad.usda"
     scene_file.write_text(usda)
 
@@ -224,3 +227,31 @@ def Xform "Root"
     assert tr[1] > 0.5 and tr[1] > 2 * tr[0]  # green dominates
     assert bl[2] > 0.5 and bl[2] > 2 * bl[0]  # blue dominates
     assert br.min() > 0.4  # white-ish
+
+
+def test_texture_lod_mean_fallback(tmp_path, checker_file):
+    """textureLodBounces: bounces >= k shade from the texture MEANS via the
+    split_mean pipeline (gathered parbuf, zero taps — fused.py). The camera
+    bounce still taps the real texture, so quadrant colors must survive,
+    and the indirect bounces must stay finite and non-black."""
+    usda = _QUAD_USDA.format(checker_file=checker_file)
+    scene_file = tmp_path / "quad_lod.usda"
+    scene_file.write_text(usda)
+
+    from gatling_tpu.cli import render_scene_file
+    from gatling_tpu.utils.config import default_settings
+
+    s = default_settings()
+    s.update(spp=4, maxBounces=3, jitteredSampling=False,
+             textureLodBounces=1)
+    img, _ = render_scene_file(str(scene_file), 32, 32, s)
+    assert np.isfinite(img).all()
+    tl = img[24, 8, :3]
+    assert tl[0] > 0.4 and tl[0] > 1.5 * tl[1]  # camera taps intact
+
+    s0 = default_settings()
+    s0.update(spp=4, maxBounces=3, jitteredSampling=False)
+    img0, _ = render_scene_file(str(scene_file), 32, 32, s0)
+    # means-based indirect shading approximates full-tap shading
+    assert abs(float(img.mean()) - float(img0.mean())) < 0.2 * max(
+        float(img0.mean()), 1e-3)
