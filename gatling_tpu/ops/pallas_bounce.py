@@ -1457,8 +1457,10 @@ def _bw_products(lhs24, tri):
          tri[CLU_R2:CLU_R2 + 8]], axis=1)  # [8, 384]
 
     if _PROF_NOMXU:
-        p = jnp.broadcast_to(ro[0:1, :] + lhs24[0, 0].astype(jnp.float32),
-                             (2 * RAY_BLOCK, 384))
+        # keep a (1,1)-shaped slice: Mosaic cannot squeeze a bf16 scalar
+        p = jnp.broadcast_to(
+            ro[0:1, :] + lhs24[0:1, 0:1].astype(jnp.float32),
+            (2 * RAY_BLOCK, 384))
     else:
         ro_hi = ro.astype(jnp.bfloat16)
         ro_lo = (ro - ro_hi.astype(jnp.float32)).astype(jnp.bfloat16)
