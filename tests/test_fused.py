@@ -930,3 +930,32 @@ def test_trace_step_xla_p2_matches_kernel_pass2():
         meshes, midx, itable, lights, min_gain=1.5, min_flat=0)
     assert istatic.instanced
     compare(iscene, istatic, _instanced_uniforms(), (0.0, 0.0, 8.0))
+
+    # clustered + tangents (normal-mapped): the finalize's CLU_T*/CLU_BS
+    # interpolation + orthonormalization branch
+    from gatling_tpu.render.material import build_materials
+    from gatling_tpu.render.texture import TextureRef
+    desc = load_scene(CORNELL)
+    mat_paths = sorted({m.material for m in desc.meshes if m.material})
+    midx2 = {p: i for i, p in enumerate(mat_paths)}
+    midx2[None] = len(mat_paths)
+    geom2 = build_geometry(desc.meshes, midx2)
+    rows = [None] * len(midx2)
+    for p, i in midx2.items():
+        rows[i] = lower_material(desc.materials.get(p) if p else None)
+    import numpy as _np
+    from gatling_tpu import imgio as _imgio
+    import tempfile, os as _os
+    nm = _np.full((2, 2, 4), 128, _np.uint8)
+    nm[..., 2] = 255
+    with tempfile.TemporaryDirectory() as td:
+        nm_path = _os.path.join(td, "flat.png")
+        _imgio.write_image_file(nm_path, nm)
+        for r2 in rows:
+            r2.textures["normal"] = TextureRef(file_path=nm_path,
+                                               is_srgb=False)
+        ttable, _tpool = build_materials(rows)
+    tscene, tstatic = build_fused_scene(geom2, ttable, lights,
+                                        resident_max=0)
+    assert tstatic.clustered and tstatic.tangents
+    compare(tscene, tstatic, uni, (0.0, 1.0, 2.5))
