@@ -947,6 +947,14 @@ class _CrateWriter:
             off = self._append(payload)
             return (T_TOKEN_VECTOR << 48) | off
         a = np.asarray(arr)
+        if a.ndim == 3 and a.shape[1] == a.shape[2] and a.shape[1] in (2, 3, 4):
+            # matrixNd[] (e.g. UsdSkel bind/restTransforms): each matrix is
+            # a flat row-major d-run; the reader's POD-array branch hands
+            # back 16-tuples (pxr: CrateFile array-of-Matrix4d)
+            ty = {2: T_MATRIX2D, 3: T_MATRIX3D, 4: T_MATRIX4D}[a.shape[1]]
+            a = a.astype(np.float64).reshape(len(a), -1)
+            off = self._append(struct.pack("<Q", len(a)) + a.tobytes())
+            return (ty << 48) | _REP_ARRAY | off
         if a.ndim == 2:
             ty = {2: T_VEC2F, 3: T_VEC3F, 4: T_VEC4F}[a.shape[1]]
             a = a.astype(np.float32)
