@@ -13,7 +13,8 @@ plumbing.
 
 Scope (documented limits, logged via the lowering-diagnostics pattern):
 classic linear skinning only (UsdSkel's default `skinningMethod`); blend
-shapes are ignored; the mesh is assumed to sit at the skeleton's frame
+shapes apply as pre-LBS point offsets (in-betweens ignored); the mesh is
+assumed to sit at the skeleton's frame
 (identity mesh-local under the SkelRoot — the layout Blender/Maya/Houdini
 exporters author), matching UsdSkelSkinningQuery's skel-space math when
 geomBindTransform carries the mesh->skel bind map.
@@ -130,6 +131,56 @@ def _skel_space_transforms(stage, skel_prim) -> tuple[list[str], np.ndarray]:
     return joints, (np.stack(world) if joints else np.zeros((0, 4, 4)))
 
 
+
+def _apply_blend_shapes(stage, prim, skel_prim, pts):
+    """UsdSkel blend shapes (pre-LBS point offsets): mesh skel:blendShapes
+    tokens pair order-wise with skel:blendShapeTargets rels; weights come
+    from the bound SkelAnimation's blendShapes/blendShapeWeights (already
+    frame-resolved). In-between shapes are not supported (logged).
+    Returns offset points, or None when no shapes apply."""
+    names = _attr_val(prim, "skel:blendShapes")
+    targets = prim.rels.get("skel:blendShapeTargets")
+    if not names or not targets:
+        return None
+    anim_path = _find_binding(stage, prim, "skel:animationSource") or \
+        _find_binding(stage, skel_prim, "skel:animationSource")
+    anim = stage.find(str(anim_path)) if anim_path else None
+    if anim is None:
+        return None
+    anames = [str(t) for t in _attr_val(anim, "blendShapes", [])]
+    weights = _attr_val(anim, "blendShapeWeights")
+    if weights is None:
+        return None
+    weights = np.asarray(weights, np.float64).ravel()
+    wmap = {n: float(weights[i]) for i, n in enumerate(anames)
+            if i < len(weights)}
+    out = pts.copy()
+    for name, tgt in zip([str(n) for n in names], targets):
+        w = wmap.get(str(name), 0.0)
+        if w == 0.0:
+            continue
+        shape = stage.find(str(tgt))
+        if shape is None:
+            log.warning("blend shape target %s not found", tgt)
+            continue
+        if _attr_val(shape, "inbetweens") is not None:
+            log.info("in-between shapes on %s ignored", tgt)
+        offs = _attr_val(shape, "offsets")
+        if offs is None:
+            continue
+        offs = np.asarray(offs, np.float64).reshape(-1, 3)
+        pi = _attr_val(shape, "pointIndices")
+        if pi is not None:
+            idx = np.asarray(pi, np.int64).ravel()
+            ok = idx < len(out)
+            out[idx[ok]] += w * offs[: len(idx)][ok]
+        elif len(offs) == len(out):
+            out += w * offs
+        else:
+            log.warning("blend shape %s offsets length mismatch", tgt)
+    return out
+
+
 def maybe_skin_mesh(stage, prim, points, normals, corner_point_indices=None):
     """Apply UsdSkel LBS to `points` (and `normals`) if `prim` is bound to
     a skeleton. Returns (points, normals, skinned: bool); unskinned input
@@ -150,9 +201,10 @@ def maybe_skin_mesh(stage, prim, points, normals, corner_point_indices=None):
     if skel is None:
         log.warning("skel:skeleton %s not found for %s", skel_path, prim.path)
         return points, normals, False
-    if prim.attrs.get("skel:blendShapes") is not None or \
-            prim.rels.get("skel:blendShapeTargets"):
-        log.warning("blend shapes on %s ignored (LBS only)", prim.path)
+    pts_in = np.asarray(points, np.float64)
+    bs_applied = _apply_blend_shapes(stage, prim, skel, pts_in)
+    if bs_applied is not None:
+        pts_in = bs_applied
 
     joints, world = _skel_space_transforms(stage, skel)
     bind = _attr_val(skel, "bindTransforms")
@@ -176,7 +228,7 @@ def maybe_skin_mesh(stage, prim, points, normals, corner_point_indices=None):
     k = int(ji.meta.get("elementSize", 1))
     idx = np.asarray(ji.value, np.int64).reshape(-1, k)
     w = np.asarray(jw.value, np.float64).reshape(-1, k)
-    pts = np.asarray(points, np.float64)
+    pts = pts_in
     n_pts = len(pts)
     if len(idx) == 1:  # constant interpolation: rigid whole-mesh binding
         idx = np.broadcast_to(idx, (n_pts, k))

@@ -160,3 +160,36 @@ def test_skel_through_usdc_crate(tmp_path):
         [(0, 0, 0), (0, 1, 0), (-1, 1, 0), (0, 1, 0)], np.float32), 4),
         axis=0)
     np.testing.assert_allclose(v, expect, atol=1e-4)
+
+
+def test_blend_shape_offsets(tmp_path):
+    """skel:blendShapes apply as pre-LBS point offsets weighted by the
+    SkelAnimation's blendShapeWeights at the frame (UsdSkelImaging's
+    skinning computation includes shapes — the reference renders them)."""
+    text = SKEL_USDA.replace(
+        'rel skel:skeleton = </Root/Skel>',
+        '''rel skel:skeleton = </Root/Skel>
+        uniform token[] skel:blendShapes = ["puff"]
+        rel skel:blendShapeTargets = [</Root/Strip/Puff>]
+        def BlendShape "Puff"
+        {
+            uniform vector3f[] offsets = [(0, 0, 2)]
+            uniform int[] pointIndices = [0]
+        }''').replace(
+        'half3[] scales.timeSamples = {',
+        '''uniform token[] blendShapes = ["puff"]
+            float[] blendShapeWeights.timeSamples = {
+                1: [0],
+                2: [0.5],
+            }
+            half3[] scales.timeSamples = {''')
+    f = tmp_path / "bs.usda"
+    f.write_text(text)
+    # frame 1: zero weight -> rest positions
+    v1 = _loaded_vertices(load_scene(str(f), frame=1.0))
+    assert (np.abs(v1[:, 2]) < 1e-4).all()
+    # frame 2: point 0 (joint-0 bound, unrotated) lifts by 0.5 * 2 in z
+    v2 = _loaded_vertices(load_scene(str(f), frame=2.0))
+    lifted = v2[np.abs(v2[:, 2] - 1.0) < 1e-4]
+    assert len(lifted) == 1
+    np.testing.assert_allclose(lifted[0], [0, 0, 1], atol=1e-4)
