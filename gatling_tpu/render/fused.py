@@ -530,7 +530,7 @@ def render_pixels_fused(
             bounce, st, _orig, _perm = carry2
             return (bounce < config.max_bounces) & (jnp.max(st[13]) > 0.5)
 
-        def body(carry2):
+        def body(carry2, use_taps=True):
             bounce, st, orig_, perm_ = carry2
             params = make_params(config, uniforms, bounce)
             if sort_alive:
@@ -582,20 +582,19 @@ def render_pixels_fused(
                         return shade_step(params, scene, h, hb, parbuf,
                                           static=static, nee=nee)
 
-                    if config.tex_lod_bounces > 0 and not static.cutout_textured:
-                        # texture LOD: bounces >= k take the plain one-kernel
-                        # bounce — scene.mats holds the texture MEANS in the
-                        # textured columns (substitute_texture_means), so
-                        # this is exactly "top mip" shading with zero taps.
-                        # A split-pipeline fallback (means-gathered parbuf)
-                        # was measured and REJECTED: cornell textured lod2
-                        # 61.7 vs 102.9 Mray/s, interior lod2 4.97 vs 5.19
-                        # (PERF.md) — the megakernel fallback stays.
-                        return jax.lax.cond(
-                            bounce < config.tex_lod_bounces, split,
-                            lambda h: bounce_step(params, scene, h,
-                                                  static=static, nee=nee),
-                            head)
+                    if not use_taps:
+                        # texture-LOD top-mip phase (bounces >= k): zero
+                        # taps — scene.mats holds the texture MEANS
+                        # (substitute_texture_means), shaded from SMEM in
+                        # the one-kernel bounce. Statically selected by
+                        # the two-phase loop below; both a per-bounce
+                        # lax.cond (interior 5.19) and a split-pipeline
+                        # means-parbuf phase (5.02; clustered 61.7 vs
+                        # 102.9 on cornell) measured worse — the top-mip
+                        # phase is an untextured workload, where the
+                        # megakernel wins (PERF.md force-split result).
+                        return bounce_step(params, scene, head,
+                                           static=static, nee=nee)
                     return split(head)
                 if (static.clustered and not static.scatter
                         and os.environ.get("GATLING_FORCE_SPLIT", "") == "1"):
@@ -637,9 +636,22 @@ def render_pixels_fused(
                 perm_ = jnp.bool_(True)
             return bounce + 1, st, orig_, perm_
 
-        _, state, orig, permuted = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(start_bounce), state, orig, jnp.bool_(False)))
+        carry0 = (jnp.int32(start_bounce), state, orig, jnp.bool_(False))
+        lod_k = (config.tex_lod_bounces
+                 if (static.textured and config.tex_lod_bounces > 0
+                     and not static.cutout_textured) else 0)
+        if lod_k > 0:
+            # two-phase loop: taps while bounce < k, then the top-mip body
+            # — each phase is its own while_loop with a statically chosen
+            # body, so no per-bounce cond dispatch
+            carry0 = jax.lax.while_loop(
+                lambda c: cond(c) & (c[0] < lod_k),
+                partial(body, use_taps=True), carry0)
+            carry0 = jax.lax.while_loop(
+                cond, partial(body, use_taps=False), carry0)
+        else:
+            carry0 = jax.lax.while_loop(cond, body, carry0)
+        _, state, orig, permuted = carry0
         if sort_rays:
             state = jax.lax.cond(
                 permuted,
