@@ -157,6 +157,13 @@ def render_products(scene_path: str | Path) -> tuple[dict[str, np.ndarray], Rend
     by '<aov-name>' (flipped to image convention)."""
     stage = load_usd(scene_path)
     spec = compute_render_spec(stage)
+    # resolve timeSamples (geometry AND skinning) at the test's frame —
+    # gtl:frame beats the layer default (renderPass.cpp frame plumbing)
+    from gatling_tpu.scene.usda import resolve_frame, stage_frame_default
+
+    frame = spec.settings.get("frame")
+    resolve_frame(stage, float(frame) if frame is not None
+                  else stage_frame_default(stage))
     desc = build_scene(stage)
 
     scene = gi.create_scene()
