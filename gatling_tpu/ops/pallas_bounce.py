@@ -216,6 +216,11 @@ _FAN_SORT = _os.environ.get("GATLING_FAN_SORT", "") == "1"
 # bounce 0 but 33-64 us/block (half to two-thirds of the real trace cost)
 # on incoherent secondary blocks whose winners span many entries.
 _XLA_P2 = _os.environ.get("GATLING_XLA_P2", "1") == "1"
+# pair-visit experiment: intersect TWO clusters per MXU pass
+# ([2048,24]x[24,768] instead of two x[24,384] dots) behind a pair-OR
+# gate — halves dot-issue + fan-loop iterations at slightly coarser
+# gating (a passing partner drags its pair in)
+_FAN_PAIR = _os.environ.get("GATLING_FAN_PAIR", "") == "1"
 _PROF_NOMXU = _os.environ.get("GATLING_WALK_NOMXU", "") == "1"
 _PROF_NOP2 = _os.environ.get("GATLING_WALK_NOP2", "") == "1"
 
@@ -1471,6 +1476,24 @@ def _bw_products(lhs24, tri):
     return p[0:RAY_BLOCK], p[RAY_BLOCK:2 * RAY_BLOCK]
 
 
+def _bw_products_pair(lhs24, tri_a, tri_b):
+    """_bw_products over TWO clusters in one K=24 MXU pass: the pair's
+    quads ride the N dimension ([24, 768]); returns (po, pd) [RAY_BLOCK,
+    768] with cluster A's quads at columns 0:384 and B's at 384:768."""
+    ro = jnp.concatenate(
+        [tri_a[CLU_N:CLU_N + 8], tri_a[CLU_R1:CLU_R1 + 8],
+         tri_a[CLU_R2:CLU_R2 + 8],
+         tri_b[CLU_N:CLU_N + 8], tri_b[CLU_R1:CLU_R1 + 8],
+         tri_b[CLU_R2:CLU_R2 + 8]], axis=1)  # [8, 768]
+    ro_hi = ro.astype(jnp.bfloat16)
+    ro_lo = (ro - ro_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    ro24 = jnp.concatenate([ro_hi, ro_lo, ro_hi], axis=0)  # [24, 768]
+    p = jax.lax.dot_general(
+        lhs24, ro24, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [2048, 768]
+    return p[0:RAY_BLOCK], p[RAY_BLOCK:2 * RAY_BLOCK]
+
+
 def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, plan_ref,
                             gbox_ref, lhs_ref, cache, best128,
                             clus128, attrs_acc, acc,
@@ -1670,6 +1693,63 @@ def _trace_clustered_matrix(tri_ref, l1_ref, l2_ref, plan_ref,
 
                 jax.lax.while_loop(l2_cond, l2_sorted,
                                    (jnp.int32(0), max_best))
+            elif _FAN_PAIR:
+                def l2_pair(b2, __):
+                    b0 = b2 * 2
+                    c0 = g * L1_FAN + b0
+                    c1 = c0 + 1  # odd tails land on a pad slot (no hits)
+                    gate = ((plan_ref[0, 0, 2 * n_l1 + c0] <= max_best)
+                            | (plan_ref[0, 0, 2 * n_l1 + c1] <= max_best))
+
+                    @pl.when(gate)
+                    def _():
+                        h_a = _slab_test(l2_ref, c0, ox, oy, oz,
+                                         ivx, ivy, ivz, tmin_r, acc[0])
+                        h_b = _slab_test(l2_ref, c1, ox, oy, oz,
+                                         ivx, ivy, ivz, tmin_r, acc[0])
+                        any2 = jnp.max(h_a.astype(jnp.float32)
+                                       + h_b.astype(jnp.float32)) > 0.5
+
+                        @pl.when(any2)
+                        def _():
+                            tri_a = cluster_rows(handle, b0)
+                            tri_b = cluster_rows(handle, b0 + 1)
+                            po, pd = _bw_products_pair(lhs24_g, tri_a, tri_b)
+                            for half, (c, tri) in enumerate(
+                                    ((c0, tri_a), (c1, tri_b))):
+                                o0 = half * 384
+                                nd = pd[:, o0:o0 + 128]
+                                okm = jnp.abs(nd) > 1e-12
+                                inv = jnp.where(
+                                    okm, 1.0 / jnp.where(okm, nd, 1.0), 0.0)
+                                tt = -po[:, o0:o0 + 128] * inv
+                                u = (po[:, o0 + 128:o0 + 256]
+                                     + tt * pd[:, o0 + 128:o0 + 256])
+                                v = (po[:, o0 + 256:o0 + 384]
+                                     + tt * pd[:, o0 + 256:o0 + 384])
+                                okm = (okm & (u >= -BARY_EPS)
+                                       & (v >= -BARY_EPS)
+                                       & (u + v <= 1.0 + BARY_EPS)
+                                       & (tt > tmin) & (tt < cap_t))
+                                if cutout:
+                                    xi = _cutout_xi(
+                                        key_col,
+                                        (c * CLUSTER_SIZE).astype(
+                                            jnp.uint32),
+                                        lane_i.astype(jnp.uint32))
+                                    if inst is not None:
+                                        okm = okm & (xi < inst_smem_ref[g, 12])
+                                    else:
+                                        okm = okm & (
+                                            xi < tri[CLU_OPAC:CLU_OPAC + 1, :])
+                                cur = best128[...]
+                                bet = okm & (tt < cur)
+                                best128[...] = jnp.where(bet, tt, cur)
+                                clus128[...] = jnp.where(
+                                    bet, c.astype(jnp.float32), clus128[...])
+                    return 0
+
+                jax.lax.fori_loop(0, (fan_g + 1) // 2, l2_pair, 0)
             else:
                 def l2_body(b, __):
                     @pl.when(plan_ref[0, 0, 2 * n_l1 + g * L1_FAN + b]
