@@ -430,3 +430,92 @@ def test_adversarial_timesamples():
     resolve_frame(s2, 10)
     np.testing.assert_allclose(
         np.asarray(a.value, np.float64)[1], (2, 0, 0), atol=1e-6)
+
+
+def test_crate_roundtrip_property_fuzz():
+    """Seeded property fuzz: random typed values (scalars, vecs, matrices,
+    arrays, token lists, timeSamples, rels) through write_usdc/read_usdc in
+    both plain and adversarial layouts must survive numerically (f32
+    storage tolerance; matrix arrays come back as flat 16-tuples per pxr's
+    array-of-Matrix4d convention). The matrix4d[] writer bug (mangled to a
+    2-float array) would have been caught here."""
+    import random
+
+    rng = random.Random(7)
+
+    def rand_value():
+        kind = rng.choice(["int", "float", "str", "bool", "vec2", "vec3",
+                           "vec4", "mat4", "int_arr", "float_arr",
+                           "vec3_arr", "tok_arr", "mat4_arr"])
+        if kind == "int":
+            return rng.randint(-2 ** 30, 2 ** 30)
+        if kind == "float":
+            return round(rng.uniform(-1e3, 1e3), 4)
+        if kind == "str":
+            return "tok%d" % rng.randint(0, 99)
+        if kind == "bool":
+            return rng.random() < 0.5
+        if kind in ("vec2", "vec3", "vec4"):
+            k = int(kind[3])
+            return tuple(round(rng.uniform(-9, 9), 3) for _ in range(k))
+        if kind == "mat4":
+            return tuple(tuple(round(rng.uniform(-9, 9), 3)
+                               for _ in range(4)) for _ in range(4))
+        n = rng.randint(0, 9)
+        if kind == "int_arr":
+            return [rng.randint(-1000, 1000) for _ in range(n)]
+        if kind == "float_arr":
+            return [round(rng.uniform(-99, 99), 3) for _ in range(n)]
+        if kind == "vec3_arr":
+            return [tuple(round(rng.uniform(-9, 9), 3) for _ in range(3))
+                    for _ in range(max(n, 1))]
+        if kind == "tok_arr":
+            return ["t%d" % rng.randint(0, 50) for _ in range(n)]
+        return [tuple(tuple(round(rng.uniform(-9, 9), 3) for _ in range(4))
+                      for _ in range(4)) for _ in range(max(n, 1))]
+
+    def equal(sent, got):
+        def is_num(v):
+            if isinstance(v, (bool, int, float, np.generic)):
+                return True
+            return isinstance(v, (list, tuple)) and all(is_num(x) for x in v)
+        if is_num(sent) and is_num(got):
+            a = np.asarray(sent, np.float64).reshape(-1)
+            b = np.asarray(got, np.float64).reshape(-1)
+            return a.shape == b.shape and np.allclose(a, b, rtol=1e-5,
+                                                      atol=1e-3)
+        return sent == got or list(sent) == list(got)
+
+    from gatling_tpu.scene.crate import read_usdc, write_usdc
+    from gatling_tpu.scene.usda import Attr, Prim, Stage
+
+    for trial in range(100):
+        root = Prim(name="", type_name="", path="")
+        stage = Stage(root=root, meta={})
+        p = Prim(name="P", type_name="Xform", path="/P")
+        root.children["P"] = p
+        sent = {}
+        for i in range(rng.randint(1, 6)):
+            v = rand_value()
+            sent[f"a{i}"] = v
+            a = Attr(type_name="float", value=v)
+            if rng.random() < 0.3:
+                a.time_samples = {1.0: v, 2.0: rand_value()}
+            p.attrs[f"a{i}"] = a
+        if rng.random() < 0.5:
+            p.rels["relx"] = ["/P"]
+        st2 = read_usdc(write_usdc(stage, adversarial=(trial % 2 == 1)))
+        q = st2.find("/P")
+        assert q is not None, f"trial {trial}: prim lost"
+        for name, v in sent.items():
+            got = q.attrs.get(name)
+            assert got is not None, f"trial {trial}: {name} missing"
+            assert equal(v, got.value), \
+                f"trial {trial}: {name} sent {v!r} got {got.value!r}"
+            ts = p.attrs[name].time_samples
+            if ts:
+                gts = got.time_samples
+                assert gts and all(equal(ts[k], gts.get(k)) for k in ts), \
+                    f"trial {trial}: {name} timeSamples mismatch"
+        if p.rels:
+            assert q.rels.get("relx") == ["/P"], f"trial {trial}: rel lost"
