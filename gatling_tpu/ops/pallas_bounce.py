@@ -807,6 +807,16 @@ def build_fused_scene_instanced(
     mat_pass_sh = (np.asarray(shadow_pass, np.float32)
                    if shadow_pass is not None else mat_pass)
 
+    # NORMAL-MAPPED instanced scenes carry tangent rows on the shared
+    # local clusters; the XLA pass-2 finalize transforms them to world
+    # per instance (the in-kernel pass 2 has no instanced tangent path,
+    # so these scenes require GATLING_XLA_P2 — on by default). Anisotropy
+    # stays on the flattened tables (gi routing): its shade-side frames
+    # come from the same rows but were only validated flat.
+    tangents = bool((np.asarray(table.normal_tex) >= 0).any())
+    if tangents and not _XLA_P2:
+        return None
+
     # ---- unique meshes -> local clustered rows ----
     uniq: dict[int, dict] = {}  # id(mesh) -> info
     flat_tris = 0
@@ -825,6 +835,10 @@ def build_fused_scene_instanced(
                 uv0=tm.uvs.reshape(-1, 3, 2)[:, 0],
                 uv1=tm.uvs.reshape(-1, 3, 2)[:, 1],
                 uv2=tm.uvs.reshape(-1, 3, 2)[:, 2],
+                t0=tm.tangents.reshape(-1, 3, 3)[:, 0],
+                t1=tm.tangents.reshape(-1, 3, 3)[:, 1],
+                t2=tm.tangents.reshape(-1, 3, 3)[:, 2],
+                bsign=tm.bitangent_signs.reshape(-1, 3),
                 material_id=np.zeros(nt, np.int32),
                 flags=np.zeros(nt, np.int32),
             )
@@ -870,7 +884,7 @@ def build_fused_scene_instanced(
     # culling visits a fraction of the flat walk's clusters. A
     # single-object scene gains nothing (the L1 level degenerates) and
     # stays flat.
-    uniq_rows = CLU_TRI_ROWS
+    uniq_rows = clu_row_count(tangents)
     uniq_bytes = sum(-(-i["n"] // CLUSTER_SIZE) for i in uniq.values()) \
         * CLUSTER_SIZE * uniq_rows * 4
     object_walk = (len(insts) >= 2
@@ -888,7 +902,7 @@ def build_fused_scene_instanced(
     # 47 MB flattened table) and keeps transform edits table-only refits.
 
     # local cluster tables (CLU layout, shared across instances)
-    n_rows = CLU_TRI_ROWS
+    n_rows = clu_row_count(tangents)
     blocks: list[np.ndarray] = []
     c2min: list[np.ndarray] = []
     c2max: list[np.ndarray] = []
@@ -897,12 +911,13 @@ def build_fused_scene_instanced(
         go = SimpleNamespace(**{k: np.asarray(v)[order] if hasattr(
             v, "__len__") and len(v) == nt else v
             for k, v in vars(g).items()})
-        rows = _tri_rows(go, tangents=False)
+        rows = _tri_rows(go, tangents=tangents)
         c_pad = info["n_clusters"]
         t_pad = c_pad * CLUSTER_SIZE
         rows_p = np.zeros((t_pad, n_rows), np.float32)
-        src_rows = [src for src, _ in CLU_ROW_MAP]
-        dst_rows = [dst for _, dst in CLU_ROW_MAP]
+        row_map = CLU_ROW_MAP_TAN if tangents else CLU_ROW_MAP
+        src_rows = [src for src, _ in row_map]
+        dst_rows = [dst for _, dst in row_map]
         rows_p[:nt, dst_rows] = rows[:, src_rows]
         rows_p[:nt, CLU_OPAC] = 1.0
         info["cluster_base"] = len(blocks)
@@ -1026,7 +1041,7 @@ def build_fused_scene_instanced(
     static = FusedStatic(
         n_tris=flat_tris, n_mats=int(pf.shape[0]), n_clusters=uc,
         n_l1=n_l1, light_types=light_types, clu_vmem=True,
-        cutout=cutout, n_instances=len(insts),
+        cutout=cutout, n_instances=len(insts), tangents=tangents,
         advanced=_advanced_from_table(table))
     scene = FusedScene(
         tris=jnp.asarray(tris),
@@ -3558,6 +3573,34 @@ def _finalize_hits(scene: FusedScene, state, winbuf, static: FusedStatic):
         (n2x, n2y, n2z) = covec(CLU_N2)
         mat_f = ia[:, 12]
         dsided = ia[:, 15]
+
+        if static.tangents:
+            # tangents are VECTORS: local -> world is A^{-1} (exact
+            # adjugate; A^T — the covec transform — would skew the uv
+            # frame under non-uniform instance scale)
+            a00, a01, a02 = A(0, 0), A(0, 1), A(0, 2)
+            a10, a11, a12 = A(1, 0), A(1, 1), A(1, 2)
+            a20, a21, a22 = A(2, 0), A(2, 1), A(2, 2)
+            det = (a00 * (a11 * a22 - a12 * a21)
+                   - a01 * (a10 * a22 - a12 * a20)
+                   + a02 * (a10 * a21 - a11 * a20))
+            idet = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+            i00 = (a11 * a22 - a12 * a21) * idet
+            i01 = (a02 * a21 - a01 * a22) * idet
+            i02 = (a01 * a12 - a02 * a11) * idet
+            i10 = (a12 * a20 - a10 * a22) * idet
+            i11 = (a00 * a22 - a02 * a20) * idet
+            i12 = (a02 * a10 - a00 * a12) * idet
+            i20 = (a10 * a21 - a11 * a20) * idet
+            i21 = (a01 * a20 - a00 * a21) * idet
+            i22 = (a00 * a11 - a01 * a10) * idet
+
+            def vec_l2w(x, y, z):
+                return (x * i00 + y * i10 + z * i20,
+                        x * i01 + y * i11 + z * i21,
+                        x * i02 + y * i12 + z * i22)
+        else:
+            vec_l2w = None
     else:
         ndw = r(CLU_N) * dx + r(CLU_N + 1) * dy + r(CLU_N + 2) * dz
         pow_ = (r(CLU_N) * ox + r(CLU_N + 1) * oy + r(CLU_N + 2) * oz
@@ -3603,6 +3646,8 @@ def _finalize_hits(scene: FusedScene, state, winbuf, static: FusedStatic):
         tny = w * r(CLU_T0 + 1) + u * r(CLU_T1 + 1) + v * r(CLU_T2 + 1)
         tnz = w * r(CLU_T0 + 2) + u * r(CLU_T1 + 2) + v * r(CLU_T2 + 2)
         tbs = w * r(CLU_BS) + u * r(CLU_BS + 1) + v * r(CLU_BS + 2)
+        if static.instanced:
+            tnx, tny, tnz = vec_l2w(tnx, tny, tnz)
         fnx, fny, fnz = nx * fsign, ny * fsign, nz * fsign
         tdn = tnx * fnx + tny * fny + tnz * fnz
         tx = tnx - fnx * tdn

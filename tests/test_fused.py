@@ -959,3 +959,67 @@ def test_trace_step_xla_p2_matches_kernel_pass2():
                                         resident_max=0)
     assert tstatic.clustered and tstatic.tangents
     compare(tscene, tstatic, uni, (0.0, 1.0, 2.5))
+
+
+def test_fused_instanced_normal_map_matches_flattened(tmp_path):
+    """Normal-mapped INSTANCED walks: tangent rows ride the shared local
+    clusters and the XLA pass-2 finalize transforms them to world per
+    instance (vector transform, exact adjugate inverse). Images must match
+    the flattened clustered build, whose world-space tangent path is
+    independently validated against the general integrator."""
+    import dataclasses
+
+    from gatling_tpu import imgio
+    from gatling_tpu.ops.geometry import build_geometry
+    from gatling_tpu.ops.pallas_bounce import build_fused_scene_instanced
+    from gatling_tpu.render.material import (LoweredMaterial, MaterialTraits,
+                                             _DEFAULTS, build_materials)
+    from gatling_tpu.render.texture import TextureRef
+
+    meshes, midx, _ = _instanced_scene()
+    nm = np.zeros((2, 2, 4), np.uint8)
+    nm[..., 0] = 200  # strong +x tangent-space lean
+    nm[..., 1] = 128
+    nm[..., 2] = 230
+    nm[..., 3] = 255
+    nm_path = tmp_path / "lean.png"
+    imgio.write_image_file(nm_path, nm)
+    rows = []
+    for base in ((0.8, 0.2, 0.2), (0.2, 0.4, 0.8), (0.7, 0.7, 0.7),
+                 (0.8, 0.8, 0.8)):
+        m = LoweredMaterial(params=dict(_DEFAULTS), traits=MaterialTraits(),
+                            textures={})
+        m.params.update(base_color=base, roughness=0.5)
+        m.textures["normal"] = TextureRef(
+            file_path=str(nm_path), is_srgb=False,
+            scale=(2.0, 2.0, 2.0, 1.0), bias=(-1.0, -1.0, -1.0, 0.0))
+        rows.append(m)
+    table, pool = build_materials(rows)
+
+    uni = _instanced_uniforms()
+    lights = build_light_arrays([_rect_light()])
+    res = build_fused_scene_instanced(meshes, midx, table, lights,
+                                      min_gain=1.5, min_flat=0)
+    assert res is not None
+    iscene, istatic = res
+    assert istatic.instanced and istatic.tangents
+
+    geom = build_geometry(meshes, midx)
+    fscene, fstatic = build_fused_scene(geom, table, lights, resident_max=0)
+    assert fstatic.clustered and fstatic.tangents
+
+    istatic = dataclasses.replace(istatic, textured=True)
+    fstatic = dataclasses.replace(fstatic, textured=True)
+    cfg = RenderConfig(width=12, height=12, spp=2, max_bounces=2, nee=True,
+                       has_dome=False, rr_bounce_offset=100)
+    pix = jnp.arange(144, dtype=jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(render_pixels_fused(
+            cfg, uni, iscene, default_dome(), pix, 2, jnp.int32(0),
+            static=istatic, materials=table, textures=pool))
+        b = np.asarray(render_pixels_fused(
+            cfg, uni, fscene, default_dome(), pix, 2, jnp.int32(0),
+            static=fstatic, materials=table, textures=pool))
+    assert np.isfinite(a).all()
+    assert a.max() > 0.0
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
