@@ -705,13 +705,12 @@ def _render_impl(params: GiRenderParams, validate: bool = False) -> None:
 
         if getattr(scene, "_fused_scene", None) is None:
             fs = fstatic = order = None
-            # the two-level instanced/object walk handles textured AND
-            # normal-mapped scenes (uv + tangent rows ride the shared
-            # local clusters; the XLA pass-2 finalize transforms tangents
-            # per instance — the builder itself declines when
-            # GATLING_XLA_P2=0). Anisotropy stays flattened: its
-            # shade-side tangent frames were only validated there.
-            if not has_aniso:
+            # the two-level instanced/object walk handles textured,
+            # normal-mapped AND anisotropic scenes alike: uv + tangent
+            # rows ride the shared local clusters and the XLA pass-2
+            # finalize transforms tangents per instance (the builder
+            # itself declines when GATLING_XLA_P2=0)
+            if True:
                 # two-level instanced scene (BLAS sharing): the right
                 # structure when unique meshes repeat many times — walks
                 # the shared local clusters instead of a flattened table

@@ -813,7 +813,8 @@ def build_fused_scene_instanced(
     # so these scenes require GATLING_XLA_P2 — on by default). Anisotropy
     # stays on the flattened tables (gi routing): its shade-side frames
     # come from the same rows but were only validated flat.
-    tangents = bool((np.asarray(table.normal_tex) >= 0).any())
+    tangents = bool((np.asarray(table.normal_tex) >= 0).any()
+                    or _aniso_from_table(table))
     if tangents and not _XLA_P2:
         return None
 

@@ -1023,3 +1023,53 @@ def test_fused_instanced_normal_map_matches_flattened(tmp_path):
     assert np.isfinite(a).all()
     assert a.max() > 0.0
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_instanced_aniso_matches_flattened():
+    """Anisotropic GGX on INSTANCED walks: the advanced shade's mesh-tangent
+    frame comes from the same per-instance world-transformed tangent rows;
+    images must match the flattened clustered build."""
+    import dataclasses
+
+    from gatling_tpu.ops.geometry import build_geometry
+    from gatling_tpu.ops.pallas_bounce import build_fused_scene_instanced
+    from gatling_tpu.render.material import (LoweredMaterial, MaterialTraits,
+                                             _DEFAULTS, build_materials)
+
+    meshes, midx, _ = _instanced_scene()
+    rows = []
+    for base in ((0.8, 0.2, 0.2), (0.2, 0.4, 0.8), (0.7, 0.7, 0.7),
+                 (0.8, 0.8, 0.8)):
+        m = LoweredMaterial(params=dict(_DEFAULTS), traits=MaterialTraits(),
+                            textures={})
+        m.params.update(base_color=base, roughness=0.3, metallic=1.0,
+                        anisotropy=0.8)
+        rows.append(m)
+    table, pool = build_materials(rows)
+
+    uni = _instanced_uniforms()
+    lights = build_light_arrays([_rect_light()])
+    res = build_fused_scene_instanced(meshes, midx, table, lights,
+                                      min_gain=1.5, min_flat=0)
+    assert res is not None
+    iscene, istatic = res
+    assert istatic.instanced and istatic.tangents and istatic.advanced
+
+    geom = build_geometry(meshes, midx)
+    fscene, fstatic = build_fused_scene(geom, table, lights, resident_max=0)
+    assert fstatic.tangents and fstatic.advanced
+
+    istatic = dataclasses.replace(istatic, textured=True)
+    fstatic = dataclasses.replace(fstatic, textured=True)
+    cfg = RenderConfig(width=12, height=12, spp=2, max_bounces=2, nee=True,
+                       has_dome=False, rr_bounce_offset=100)
+    pix = jnp.arange(144, dtype=jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(render_pixels_fused(
+            cfg, uni, iscene, default_dome(), pix, 2, jnp.int32(0),
+            static=istatic, materials=table, textures=pool))
+        b = np.asarray(render_pixels_fused(
+            cfg, uni, fscene, default_dome(), pix, 2, jnp.int32(0),
+            static=fstatic, materials=table, textures=pool))
+    assert np.isfinite(a).all() and a.max() > 0.0
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
