@@ -194,14 +194,15 @@ def measure(scene_path: str, width=None, spp=None, max_bounces=None,
         from gatling_tpu.ops.pallas_bounce import (build_fused_scene,
                                                    build_fused_scene_instanced)
 
-        res = None
-        if not use_normalmap:
-            kt = table
-            if lod_bounces > 0 and use_textured:
-                from gatling_tpu.render.material import substitute_texture_means
+        kt = table
+        if lod_bounces > 0 and use_textured:
+            from gatling_tpu.render.material import substitute_texture_means
 
-                kt = substitute_texture_means(table, pool)
-            res = build_fused_scene_instanced(desc.meshes, midx, kt, lights)
+            kt = substitute_texture_means(table, pool)
+        # normal-mapped scenes ride the instanced walk too: tangent rows on
+        # the shared local clusters, world-transformed by the XLA pass-2
+        # finalize (the builder declines under GATLING_XLA_P2=0)
+        res = build_fused_scene_instanced(desc.meshes, midx, kt, lights)
         if res is not None:
             fs, fstatic = res
         else:
@@ -356,6 +357,11 @@ LADDER = [
     # PERF.md): indirect bounces shade from exact texture means
     ("interior_nee_textured_lod2", dict(scene_path="interior", use_nee=True,
                                         lod_bounces=2)),
+    # normal-mapped object walk (round 5: tangent rows on the shared local
+    # clusters, world-transformed by the XLA pass-2 finalize) — measured
+    # 3.25 flat vs 4.62 instanced (+42%)
+    ("interior_nee_normalmapped", dict(scene_path="interior", use_nee=True,
+                                       use_normalmap=True)),
     # advanced lobe set (glass + clearcoat) in the FUSED shade — VERDICT r4
     # item 2's criterion: within ~2x of cornell throughput, not the
     # 3.7-5.6 Mray/s wavefront it used to demote to
